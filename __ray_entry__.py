@@ -1,44 +1,388 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator pipelines,
+oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() here or in the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families:
+- extraction (the reference's capabilities, SURVEY.md §2): run over a
+  deterministic synthetic Common-Crawl-style pages table derived from
+  the sf_dir scale (no SQL oracle — HTML extraction isn't
+  SQL-expressible; the byte-level behavior is pinned by tests/ ported
+  from the reference's own unit suites);
+- training-data ops over the driver's documents/embeddings/events
+  tables — SQL-checked wherever expressible (same RE2 regexes, floor-6
+  float discipline, md5 hashing on both sides).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+STOPWORD_RE_SQL = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
+TOKEN_RE_SQL = r"\S+"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _pages_ds(sf_dir: str):
+    import ray.data
+    from readability_ray.sources import pages_path_for_sf
+    return ray.data.read_parquet(pages_path_for_sf(sf_dir),
+                                 columns=["url", "html"])
+
+
+# --------------------------------------------------------------------------
+# extraction queries (rows-only checks)
+# --------------------------------------------------------------------------
+
+def _q_extract_articles(sf_dir: str):
+    from readability_ray.pipelines import extract_pipeline
+    ds = _pages_ds(sf_dir)
+    out = extract_pipeline(ds, concurrency=(1, 8), batch_size=64)
+    return out.select_columns([
+        "url", "page_type", "title", "byline", "lang", "site_name",
+        "node_count", "n_candidates", "n_links", "html_bytes", "error"])
+
+
+def _q_extract_text(sf_dir: str):
+    """Byte-identity surface: url → md5 of extracted text/markdown."""
+    import hashlib
+    import pyarrow as pa
+    from readability_ray.pipelines import extract_pipeline
+
+    def hash_cols(batch: pa.Table) -> pa.Table:
+        text_hash = [hashlib.md5(t.encode()).hexdigest()
+                     for t in batch.column("extracted_text").to_pylist()]
+        md_hash = [hashlib.md5(t.encode()).hexdigest()
+                   for t in batch.column("markdown").to_pylist()]
+        return pa.table({
+            "url": batch.column("url"),
+            "text_md5": pa.array(text_hash, pa.string()),
+            "markdown_md5": pa.array(md_hash, pa.string()),
+            "text_len": pa.array(
+                [len(t) for t in batch.column("extracted_text").to_pylist()],
+                pa.int64()),
+        })
+
+    out = extract_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
+                           batch_size=64)
+    return out.map_batches(hash_cols, batch_format="pyarrow")
+
+
+def _q_aria_trees(sf_dir: str):
+    from readability_ray.pipelines import extract_pipeline
+    out = extract_pipeline(_pages_ds(sf_dir), emit_aria=True,
+                           emit_html=False, emit_markdown=False,
+                           concurrency=(1, 8), batch_size=64)
+    return out.select_columns(["url", "aria_yaml", "page_type"])
+
+
+def _q_link_hierarchy(sf_dir: str):
+    """Per-page link classification vs the page's own URL."""
+    import pyarrow as pa
+
+    def classify(batch: pa.Table) -> pa.Table:
+        from readability_ray.extract import PageMetadata, extract
+        from readability_ray.hierarchy import analyze_link_hierarchy
+        urls_out, hrefs_out, rels_out = [], [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            html = bytes(html).decode("utf-8", errors="replace")
+            try:
+                snap = extract(html)
+            except Exception:
+                continue
+            meta = PageMetadata(url=url)
+            analysis = analyze_link_hierarchy(snap.links, meta)
+            for rel in ("parent", "sibling", "child", "external"):
+                for link in getattr(analysis, rel):
+                    urls_out.append(url)
+                    hrefs_out.append(link.href or "")
+                    rels_out.append(rel)
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "href": pa.array(hrefs_out, pa.string()),
+            "relation": pa.array(rels_out, pa.string()),
+        })
+
+    return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
+                                         batch_size=64)
+
+
+def _q_image_features(sf_dir: str):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        image_features, make_fake_media_table)
+    n = 200 if "0.1" in sf_dir else 60
+    ds = ray.data.from_arrow(make_fake_media_table(n))
+    feats = image_features(ds, fake_decode=True)
+
+    import pyarrow as pa
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        sums = [float(np.floor(np.sum(f) * 1e3) / 1e3)
+                for f in batch.column("feature").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "feature_sum": pa.array(sums, pa.float64()),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# training-data ops (SQL-checked unless noted)
+# --------------------------------------------------------------------------
+
+def _q_token_stats(sf_dir: str):
+    from readability_ray.functions import token_stats
+    return token_stats(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from readability_ray.functions import quality_scores
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from readability_ray.functions import lang_id
+    return lang_id(_docs(sf_dir))
+
+
+def _q_doc_lang_stats(sf_dir: str):
+    from readability_ray.functions import doc_lang_stats
+    return doc_lang_stats(_docs(sf_dir))
+
+
+def _q_content_hashes(sf_dir: str):
+    from readability_ray.functions import content_hashes
+    return content_hashes(_docs(sf_dir))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from readability_ray.functions import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from readability_ray.functions import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4)
+
+
+def _q_simhash(sf_dir: str):
+    from readability_ray.functions import simhash_signatures
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_knn(sf_dir: str):
+    from readability_ray.functions import knn_topk
+    return knn_topk(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_lsh_ann(sf_dir: str):
+    from readability_ray.functions import lsh_ann_topk
+    return lsh_ann_topk(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_embedding_dups(sf_dir: str):
+    from readability_ray.functions import embedding_dup_pairs
+    return embedding_dup_pairs(_embs(sf_dir), threshold=0.35)
+
+
+def _q_events_hourly(sf_dir: str):
+    import os as _os
+    import pyarrow as pa
+    import ray.data
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hours = pa.compute.divide(
+            batch.column("ts").cast(pa.int64()), 3600000000)
+        tmp = pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": hours,
+            "value": batch.column("value"),
+        })
+        grouped = tmp.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({
+            "event_type": grouped.column("event_type"),
+            "hour": grouped.column("hour"),
+            "n": grouped.column("value_count").cast(pa.int64()),
+            "mn": grouped.column("value_min"),
+            "mx": grouped.column("value_max"),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n"), Min("mn"), Max("mx"))
+    import pyarrow as _pa
+
+    def rename(batch: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": batch.column("hour"),
+            "n": batch.column("sum(n)").cast(_pa.int64()),
+            "min_value": batch.column("min(mn)"),
+            "max_value": batch.column("max(mx)"),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: extraction over the synthetic pages table at
+    sf0.001 scale (Ray already initialised by the driver)."""
+    return _q_extract_articles("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (reference capability surface)
+        "extract_articles": _q_extract_articles,
+        "extract_text_hashes": _q_extract_text,
+        "aria_trees": _q_aria_trees,
+        "link_hierarchy": _q_link_hierarchy,
+        "image_features": _q_image_features,
+        # training-data ops
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_lang_stats": _q_doc_lang_stats,
+        "content_hashes": _q_content_hashes,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash,
+        "knn_cosine_top5": _q_knn,
+        "lsh_ann_top5": _q_lsh_ann,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "events_hourly": _q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok = TOKEN_RE_SQL
+    stop = STOPWORD_RE_SQL
+    lang_counts = """
+        len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS c_en,
+        len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS c_de,
+        len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|pas|pour|dans|une|que)\\b')) AS c_fr,
+        len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|es|de|que|por|con|una)\\b')) AS c_es,
+        len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS c_zh
     """
-    return {}
+    return {
+        "token_stats": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '{tok}'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+                   len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+                   len(regexp_extract_all(text, '{stop}'))::BIGINT AS n_stopwords
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '{tok}'))::BIGINT AS n_tokens,
+                   floor(len(regexp_extract_all(text, '{stop}'))::DOUBLE
+                         / greatest(len(regexp_extract_all(text, '{tok}')), 1)
+                         * 1000000) / 1000000 AS stop_ratio,
+                   floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+                         / greatest(length(text), 1) * 1000000) / 1000000
+                       AS punct_ratio,
+                   floor(length(text)::DOUBLE
+                         / greatest(len(regexp_extract_all(text, '{tok}')), 1)
+                         * 1000000) / 1000000 AS mean_token_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH counts AS (SELECT doc_id, {lang_counts} FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN c_zh > greatest(c_en, c_de, c_fr, c_es) THEN 'zh'
+                     WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0
+                       THEN 'und'
+                     WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                       THEN 'en'
+                     WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                     WHEN c_fr >= c_es THEN 'fr'
+                     ELSE 'es'
+                   END AS pred_lang
+            FROM counts
+        """,
+        "doc_lang_stats": f"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS total_chars,
+                   sum(len(regexp_extract_all(text, '{tok}')))::BIGINT
+                       AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "content_hashes": """
+            SELECT doc_id, md5(text) AS text_hash FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id)::BIGINT AS keeper_doc_id,
+                   count(*)::BIGINT AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_cosine_top5": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       floor(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                           * 1000000) / 1000000 AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+                   floor(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       * 1000000) / 1000000 AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND floor(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                      * 1000000) / 1000000 >= 0.35
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   count(*)::BIGINT AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+        """,
+        # extraction / minhash / simhash / lsh-ann / link-hierarchy /
+        # aria / image_features are not SQL-expressible → rows-only.
+    }

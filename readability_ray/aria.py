@@ -161,3 +161,15 @@ def count_aria_nodes(node: dict) -> int:
     for child in node.get("children") or ():
         count += count_aria_nodes(child)
     return count
+
+
+def extract_text_from_aria_node(node: dict, include_newlines: bool = False) -> str:
+    """reference src/aria/utils.ts:13-30."""
+    text = ""
+    if node.get("name"):
+        text += node["name"]
+        if include_newlines:
+            text += "\n"
+    for child in node.get("children") or ():
+        text += extract_text_from_aria_node(child, include_newlines)
+    return text

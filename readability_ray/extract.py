@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 from .jsstr import COMMAS_RE, js_len, js_trim
 from .vdom import (
-    VDocument, VElement, ELEMENT, create_element,
+    VDocument, VElement, ELEMENT, create_element, ensure_recursion_headroom,
     get_elements_by_tag_name, get_inner_text, get_link_density,
     get_node_ancestors, get_text_density, is_probably_visible,
     text_cache_clear,
@@ -346,6 +346,7 @@ def extract(html: str, char_threshold: int | None = None,
     Note JS falsy-default semantics: charThreshold=0 → 500,
     nbTopCandidates=0 → 5 (``options.x || DEFAULT``).
     """
+    ensure_recursion_headroom()
     text_cache_clear()
     parse = parser or parse_html
     doc = _wrap_fragment(parse(html))

@@ -1,0 +1,20 @@
+"""Large-scale training-data operators over the corpus tables.
+
+Beyond the reference's per-document operators, a 100 TB training-data
+pipeline needs corpus-level primitives; these are implemented
+Ray-Data-first (vectorized map_batches, partial aggregation before
+shuffles, broadcast small sides) with DuckDB-matching semantics where a
+SQL oracle exists.
+"""
+
+from .textstats import doc_lang_stats, lang_id, quality_scores, token_stats
+from .dedup import (
+    content_hashes, exact_dedup, minhash_lsh_pairs, simhash_signatures,
+)
+from .similarity import embedding_dup_pairs, knn_topk, lsh_ann_topk
+
+__all__ = [
+    "doc_lang_stats", "lang_id", "quality_scores", "token_stats",
+    "content_hashes", "exact_dedup", "minhash_lsh_pairs",
+    "simhash_signatures", "embedding_dup_pairs", "knn_topk", "lsh_ann_topk",
+]

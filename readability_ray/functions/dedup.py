@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale shapes (ray_guide patterns):
+- exact: vectorized content-hash column → ``groupby(hash)`` (the one
+  hash shuffle) → first-per-group.  At 100 TB the hash column is 16
+  bytes/row, so the shuffle moves hashes + ids, never the text.
+- MinHash+LSH: shingle→minhash per batch (numpy, vectorized per doc),
+  explode to (band, band_hash, doc_id) rows, groupby band bucket →
+  candidate pairs → exact n-gram Jaccard verification.  Signatures are
+  64 bytes/doc; buckets are tiny relative to the corpus.
+- SimHash: 64-bit signature per doc; near-dup = hamming ≤ k via
+  band-exact-match buckets (4 bands of 16 bits → hamming ≤ 3
+  candidates).
+
+All hashing is seeded md5 (stable across processes/machines — never
+Python's randomized ``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_64(data: bytes) -> int:
+    return struct.unpack("<Q", hashlib.md5(data).digest()[:8])[0]
+
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch.column("text").to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_hash": pa.array(hashes, pa.string()),
+    })
+
+
+def content_hashes(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """md5 content hash per document (matches DuckDB ``md5(text)``)."""
+    return ds.map_batches(_content_hash_batch, batch_format="pyarrow")
+
+
+def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Hash-partition + per-group first: one row per distinct text with
+    the kept doc_id (min) and duplicate count."""
+    hashed = content_hashes(ds)
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": [group["text_hash"].iloc[0]],
+            "keeper_doc_id": [int(group["doc_id"].min())],
+            "dup_count": [len(group)],
+        })
+
+    return hashed.groupby("text_hash").map_groups(
+        keep_first, batch_format="pandas")
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+
+def _shingles(text: str, k: int) -> set:
+    tokens = text.split()
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation parameters built once per
+    actor (map_batches callable class)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 bands: int = 16, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        shingles = _shingles(text, self.shingle_k)
+        if not shingles:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        base = np.fromiter(
+            (_md5_64(s.encode("utf-8")) for s in shingles),
+            dtype=np.uint64, count=len(shingles))
+        # (a*x + b) mod p for all perms × shingles, min over shingles
+        products = (self.a[:, None] * (base[None, :] % _MERSENNE)
+                    + self.b[:, None]) % _MERSENNE
+        return products.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc into (band, band_hash, doc_id) rows."""
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                band_hash = _md5_64(chunk.tobytes())
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_hash.append(band_hash)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+        })
+
+
+def _ngram_jaccard(text_a: str, text_b: str, k: int) -> float:
+    sa, sb = _shingles(text_a, k), _shingles(text_b, k)
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
+                      shingle_k: int = 3, bands: int = 16,
+                      jaccard_threshold: float = 0.5,
+                      verify: bool = True) -> ray.data.Dataset:
+    """Near-duplicate pairs via MinHash banding.
+
+    shingle→minhash→band rows → groupby(band, band_hash) → candidate
+    pairs → exact n-gram Jaccard verify (broadcast text lookup).
+    Partitioning assumption: each LSH bucket fits in one worker (holds
+    unless one band hash is pathologically hot — salt the band hash with
+    a doc-id prefix in that case).
+    """
+    import ray as _ray
+
+    band_rows = ds.map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   bands=bands),
+        # autoscaling (min=1): a fixed pool can reserve every CPU on a
+        # small cluster and starve upstream tasks (executor deadlock)
+        concurrency=(1, 4))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in group["doc_id"]))
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not pairs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    candidates = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands (small shuffle over pairs)
+    candidates = candidates.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    if not verify:
+        return candidates
+
+    # broadcast the text lookup (small side) — ray.put once, read per actor
+    texts = {int(r["doc_id"]): r["text"]
+             for r in ds.select_columns(["doc_id", "text"]).take_all()}
+    text_ref = _ray.put(texts)
+
+    class VerifyJaccard:
+        def __init__(self):
+            self.texts = _ray.get(text_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_a = batch.column("doc_a").to_pylist()
+            doc_b = batch.column("doc_b").to_pylist()
+            jac = [np.floor(_ngram_jaccard(
+                self.texts.get(a, ""), self.texts.get(b, ""),
+                shingle_k) * 1e6) / 1e6
+                for a, b in zip(doc_a, doc_b)]
+            out = pa.table({
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            })
+            mask = pa.array([j >= jaccard_threshold for j in jac])
+            return out.filter(mask)
+
+    return candidates.map_batches(VerifyJaccard, batch_format="pyarrow",
+                                  concurrency=(1, 2))
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    tokens = text.split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for token in tokens:
+        h = _md5_64(token.encode("utf-8"))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    bits_out = (acc > 0).astype(np.uint64)
+    return int((bits_out << np.arange(64, dtype=np.uint64)).sum())
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    sims = [_simhash64(t) for t in batch.column("text").to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(sims, pa.uint64()),
+    })
+
+
+def simhash_signatures(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """64-bit SimHash per document (document fingerprinting)."""
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in
+this environment — see NotImplementedError below); the Ray-side
+plumbing is real and tested: schema, actor-pool signatures, batch
+sizing for large binary payloads, and deterministic fake decoding for
+tests.  Swapping ``_decode_image_real`` in for the fake is the only
+change needed on a cluster with Pillow/torchaudio installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),      # "image" | "audio" | "video"
+    ("payload", pa.large_binary()),   # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),            # typed metadata travels beside
+    ("height", pa.int32()),           # the blob, never inside it
+    ("duration_ms", pa.int32()),
+])
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Real decode path — requires an image library.
+
+    STUB: this container ships no codec libraries; on a real cluster
+    replace with PIL.Image.open(BytesIO(payload)).
+    """
+    raise NotImplementedError(
+        "image decoding requires Pillow/libjpeg; not available in this "
+        "environment — use fake_decode=True for the deterministic stub")
+
+
+def _decode_image_fake(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic fake decode: payload bytes → seeded pixel grid.
+    Same payload → same pixels, so downstream feature tests are exact."""
+    seed = struct.unpack("<I", hashlib.md5(payload).digest()[:4])[0]
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(*out_hw, 3), dtype=np.uint8)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → resize → feature vector.
+
+    Large binary payloads ⇒ SMALL batch_size (8–32) so
+    batch × concurrency stays inside the worker heap; pass
+    ``batch_format="pyarrow"`` so the binary column never converts to
+    pandas object dtype.
+    """
+
+    def __init__(self, out_hw: tuple[int, int] = (32, 32),
+                 fake_decode: bool = True):
+        self.out_hw = tuple(out_hw)
+        self.fake_decode = fake_decode
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.fake_decode:
+            return _decode_image_fake(payload, self.out_hw)
+        return _decode_image_real(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        features = []
+        for payload in payloads:
+            pixels = self._decode(bytes(payload))
+            # cheap channel-mean/std feature vector
+            feat = np.concatenate([
+                pixels.mean(axis=(0, 1)), pixels.std(axis=(0, 1)),
+            ]).astype(np.float32)
+            features.append(feat)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "feature": pa.array(
+                [f.tolist() for f in features], pa.list_(pa.float32())),
+        })
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing: emits (media_id, frame_index,
+    frame_payload) rows.  Decode is the same stub boundary."""
+
+    def __init__(self, every_n_ms: int = 1000, fake_decode: bool = True):
+        self.every_n_ms = every_n_ms
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        durations = batch.column("duration_ms").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_payload = [], [], []
+        for media_id, duration, payload in zip(ids, durations, payloads):
+            if not self.fake_decode:
+                raise NotImplementedError(
+                    "video frame extraction requires ffmpeg; unavailable")
+            n_frames = max(1, (duration or 0) // self.every_n_ms)
+            for idx in range(int(n_frames)):
+                frame = hashlib.md5(
+                    bytes(payload) + struct.pack("<I", idx)).digest()
+                out_id.append(media_id)
+                out_idx.append(idx)
+                out_payload.append(frame)
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_index": pa.array(out_idx, pa.int32()),
+            "frame_payload": pa.array(out_payload, pa.large_binary()),
+        })
+
+
+def image_features(ds: ray.data.Dataset, *, out_hw=(32, 32),
+                   fake_decode: bool = True,
+                   concurrency=(1, 2), batch_size: int = 16) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(out_hw=out_hw, fake_decode=fake_decode))
+
+
+def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table for tests (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(256 + int(rng.randint(0, 512))) for _ in range(n)]
+    types = [["image", "audio", "video"][i % 3] for i in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+        "width": pa.array([64] * n, pa.int32()),
+        "height": pa.array([64] * n, pa.int32()),
+        "duration_ms": pa.array([3000 if t == "video" else 0
+                                 for t in types], pa.int32()),
+    })

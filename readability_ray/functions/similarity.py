@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``knn_topk``: brute-force cosine top-k — query matrix broadcast once
+  with ``ray.put``, each batch does one float64 matmul against it.
+  This is the baseline and the oracle-checkable path.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — candidates are
+  restricted to the query's bucket(s), the scale path when a full scan
+  is too expensive.  Approximate → rows-only check.
+- ``embedding_dup_pairs``: embedding-cosine near-duplicate detection.
+
+Float discipline: embeddings are float32; all arithmetic is promoted to
+float64 and similarities floored at 1e-6 so the DuckDB oracle
+(list_cosine_similarity on the same values) hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lists = batch.column(col)
+    arr = np.asarray(lists.to_pylist(), dtype=np.float64)
+    return arr
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _floor6(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6) / 1e6
+
+
+def _take_by_ids(ds: ray.data.Dataset, id_col: str, ids: list[int]) -> list:
+    """Fetch specific rows by id (vectorized is_in filter per batch)."""
+    wanted = pa.array(list(ids), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch.column(id_col).cast(pa.int64()),
+                                value_set=wanted)
+        return batch.filter(mask)
+
+    rows = (ds.select_columns([id_col, "embedding"])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r[id_col])
+    return rows
+
+
+def knn_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
+             id_col: str = "vec_id") -> ray.data.Dataset:
+    """Brute-force cosine top-k for a fixed query set.
+
+    Stage 1 (parallel): per batch, cosine of every row against the
+    broadcast query matrix, emit per-batch local top-k — the shuffle
+    then moves only ``len(query_ids) × k × n_batches`` rows.
+    Stage 2: per-query merge of local top-ks.
+    Order key: (-cos, neighbor_id) — fully deterministic.
+    """
+    queries = _take_by_ids(ds, id_col, query_ids)
+    q_ids = np.array([r[id_col] for r in queries], dtype=np.int64)
+    q_mat = _normalize(np.asarray(
+        [r["embedding"] for r in queries], dtype=np.float64))
+    broadcast = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(broadcast)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_matrix(batch))
+        sims = mat @ mat_q.T  # (rows, queries)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            col = sims[:, qi]
+            mask = ids != qid  # exclude self
+            cand_ids = ids[mask]
+            cand_sims = _floor6(col[mask])
+            take = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -cand_sims))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_sims[order])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "cos_sim": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
+
+    import pandas as pd
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        top = top.reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas")
+
+
+def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
+                 n_planes: int = 8, seed: int = 11,
+                 id_col: str = "vec_id") -> ray.data.Dataset:
+    """Approximate top-k: random-hyperplane signature buckets.
+
+    Scale path: each vector lands in one of 2^n_planes buckets; search
+    touches only the query's bucket.  Recall is tested against
+    ``knn_topk`` in the unit suite; at 100 TB the bucket column becomes
+    the partition key so each bucket co-locates.
+    """
+    # dimension probe from one row
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    queries = _take_by_ids(ds, id_col, query_ids)
+    q_mat = np.asarray([r["embedding"] for r in queries], dtype=np.float64)
+    q_sig = (q_mat @ planes > 0).astype(np.uint32)
+    q_buckets = (q_sig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+    wanted = set(int(b) for b in q_buckets)
+    q_by_bucket = {}
+    for r, bucket in zip(queries, q_buckets):
+        q_by_bucket.setdefault(int(bucket), []).append(
+            (int(r[id_col]), np.asarray(r["embedding"], dtype=np.float64)))
+    q_ref = ray.put(q_by_bucket)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        mat = _matrix(batch)
+        sig = (mat @ p > 0).astype(np.uint32)
+        buckets = (sig << np.arange(p.shape[1], dtype=np.uint32)).sum(axis=1)
+        out = batch.append_column("bucket", pa.array(buckets, pa.int64()))
+        mask = pa.array([int(b) in wanted for b in buckets])
+        return out.filter(mask)
+
+    import pandas as pd
+
+    def search_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(q_ref)
+        bucket = int(group["bucket"].iloc[0])
+        if bucket not in qs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.asarray(list(group["embedding"]),
+                                    dtype=np.float64))
+        rows = []
+        for qid, qvec in qs[bucket]:
+            qn = qvec / (np.linalg.norm(qvec) or 1.0)
+            sims = _floor6(mat @ qn)
+            mask = ids != qid
+            cand_ids, cand_sims = ids[mask], sims[mask]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            for idx in order:
+                rows.append((qid, int(cand_ids[idx]), float(cand_sims[idx])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
+                                           "cos_sim"])
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        search_bucket, batch_format="pandas")
+
+
+def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
+                        id_col: str = "vec_id") -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    The full normalized matrix is broadcast once (``ray.put``); each
+    batch multiplies against it.  O(N·B) FLOPs distributed over
+    batches; at true scale swap the broadcast side for LSH buckets
+    (see lsh_ann_topk) — the batch-side code is unchanged.
+    """
+    all_rows = ds.select_columns([id_col, "embedding"]).take_all()
+    all_rows.sort(key=lambda r: r[id_col])
+    all_ids = np.asarray([r[id_col] for r in all_rows], dtype=np.int64)
+    all_mat = _normalize(np.asarray(
+        [r["embedding"] for r in all_rows], dtype=np.float64))
+    ref = ray.put((all_ids, all_mat))
+
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_matrix(batch))
+        sims = _floor6(mat @ mat_all.T)
+        rows_a, rows_b, rows_s = [], [], []
+        for i, a in enumerate(ids):
+            hits = np.nonzero((sims[i] >= threshold) & (ids_all > a))[0]
+            for j in hits:
+                rows_a.append(int(a))
+                rows_b.append(int(ids_all[j]))
+                rows_s.append(float(sims[i][j]))
+        return pa.table({
+            "vec_a": pa.array(rows_a, pa.int64()),
+            "vec_b": pa.array(rows_b, pa.int64()),
+            "cos_sim": pa.array(rows_s, pa.float64()),
+        })
+
+    return ds.map_batches(find_pairs, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""Text analysis operators over the ``documents`` table.
+
+All per-row transforms are single vectorized ``map_batches`` passes
+using pyarrow.compute RE2 kernels — the same regex engine DuckDB uses,
+so the oracle SQL in __ray_entry__ matches bit-for-bit.  Aggregations
+pre-combine inside map_batches before the (tiny) groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+TOKEN_RE = r"\S+"
+DIGIT_RE = r"[0-9]"
+UPPER_RE = r"[A-Z]"
+STOPWORD_RE = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
+
+# per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (matches the synthetic corpus langs en/de/fr/es/zh)
+LANG_PROFILES = {
+    "en": r"(?i)\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"(?i)\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"(?i)\b(le|la|les|et|est|pas|pour|dans|une|que)\b",
+    "es": r"(?i)\b(el|la|los|las|es|de|que|por|con|una)\b",
+}
+CJK_RE = r"[一-鿿]"
+_LANG_ORDER = ("en", "de", "fr", "es")  # tie-break priority, then zh
+
+
+def _token_stats_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        "n_tokens": pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64()),
+        "n_digits": pc.count_substring_regex(text, DIGIT_RE).cast(pa.int64()),
+        "n_upper": pc.count_substring_regex(text, UPPER_RE).cast(pa.int64()),
+        "n_stopwords": pc.count_substring_regex(
+            text, STOPWORD_RE).cast(pa.int64()),
+    })
+
+
+def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document token counting (whitespace tokens, digits, upper,
+    stopwords).  Stateless vectorized map — no shuffle."""
+    return ds.map_batches(_token_stats_batch, batch_format="pyarrow")
+
+
+def _quality_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = pc.count_substring_regex(text, STOPWORD_RE).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(text, r"[.,;:!?]").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    denom_tok = np.maximum(n_tokens, 1).astype(np.float64)
+    denom_chars = np.maximum(n_chars, 1).astype(np.float64)
+    # floor-6 to keep Ray and DuckDB float results hash-identical
+    stop_ratio = np.floor(n_stop / denom_tok * 1e6) / 1e6
+    punct_ratio = np.floor(n_punct / denom_chars * 1e6) / 1e6
+    mean_token_len = np.floor(n_chars / denom_tok * 1e6) / 1e6
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "stop_ratio": pa.array(stop_ratio, pa.float64()),
+        "punct_ratio": pa.array(punct_ratio, pa.float64()),
+        "mean_token_len": pa.array(mean_token_len, pa.float64()),
+    })
+
+
+def quality_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Quality-signal columns (length, punctuation, stopword ratios)."""
+    return ds.map_batches(_quality_batch, batch_format="pyarrow")
+
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    counts = {
+        lang: pc.count_substring_regex(text, profile).cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        for lang, profile in LANG_PROFILES.items()
+    }
+    cjk = pc.count_substring_regex(text, CJK_RE).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n = len(batch)
+    pred = np.full(n, "und", dtype=object)
+    best = np.zeros(n, dtype=np.int64)
+    # fixed priority order for ties (same CASE order as the oracle SQL)
+    for lang in _LANG_ORDER:
+        better = counts[lang] > best
+        pred[better] = lang
+        best = np.maximum(best, counts[lang])
+    zh = cjk > best
+    pred[zh] = "zh"
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(pred, pa.string()),
+    })
+
+
+def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Stopword-profile language identification (en/de/fr/es + CJK)."""
+    return ds.map_batches(_lang_id_batch, batch_format="pyarrow")
+
+
+def _lang_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: one partial row per lang per batch BEFORE the shuffle —
+    the groupby then moves O(langs × batches) rows, not O(rows)."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+    tmp = pa.table({
+        "lang": batch.column("lang"),
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+    })
+    grouped = tmp.group_by("lang").aggregate(
+        [("n_chars", "sum"), ("n_tokens", "sum"), ("lang", "count")])
+    return pa.table({
+        "lang": grouped.column("lang"),
+        "n_docs": grouped.column("lang_count").cast(pa.int64()),
+        "total_chars": grouped.column("n_chars_sum"),
+        "total_tokens": grouped.column("n_tokens_sum"),
+    })
+
+
+def doc_lang_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus stats per language: partial aggregation inside map_batches,
+    then a small groupby over the partials (shuffle moves only
+    langs×batches rows)."""
+    partials = ds.map_batches(_lang_partials, batch_format="pyarrow")
+    return partials.groupby("lang").sum(
+        ["n_docs", "total_chars", "total_tokens"]) \
+        .rename_columns(["lang", "n_docs", "total_chars", "total_tokens"])

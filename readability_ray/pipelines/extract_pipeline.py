@@ -1,0 +1,74 @@
+"""End-to-end extraction pipeline over Common-Crawl-style Parquet.
+
+read_parquet (pruned to url+html) → ExtractStage actor pool →
+write_parquet (partitioned, resumable).  Streaming throughout: no stage
+materializes the dataset; the Ray Data executor pipelines blocks with
+backpressure and spills through the object store at 100 TB scale.
+
+Skew note: per-row extraction cost scales superlinearly with HTML size
+(multi-MB pages dominate).  With ``size_bucket=True`` a cheap projection
+adds ``html_bytes`` and routes giant pages into their own smaller-batch
+pool so one 5 MB page doesn't straggle a whole block of 10 KB pages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.extract_stage import ExtractStage
+
+GIANT_PAGE_BYTES = 512 * 1024
+
+
+def _with_html_bytes(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "html_len", pc.binary_length(batch.column("html")))
+
+
+def extract_pipeline(ds: ray.data.Dataset, *, char_threshold: int = 500,
+                     nb_top_candidates: int = 5, emit_html: bool = True,
+                     emit_markdown: bool = True, emit_aria: bool = False,
+                     concurrency=None, batch_size: int = 64,
+                     size_bucket: bool = False) -> ray.data.Dataset:
+    """Build the lazy extraction Dataset (does not execute)."""
+    stage_kwargs = dict(char_threshold=char_threshold,
+                        nb_top_candidates=nb_top_candidates,
+                        emit_html=emit_html, emit_markdown=emit_markdown,
+                        emit_aria=emit_aria)
+    common = dict(batch_format="pyarrow", fn_constructor_kwargs=stage_kwargs,
+                  num_cpus=1)
+    if concurrency is not None:
+        common["concurrency"] = concurrency
+
+    if not size_bucket:
+        return ds.map_batches(ExtractStage, batch_size=batch_size, **common)
+
+    # Route giant pages to a dedicated small-batch pool.  Both pools are
+    # autoscaling with min=1 so the two pools + read/filter tasks can't
+    # reserve every CPU and deadlock the streaming executor (a fixed
+    # pool × 2 would starve upstream tasks on small clusters).
+    if isinstance(common.get("concurrency"), int):
+        common["concurrency"] = (1, common["concurrency"])
+    sized = ds.map_batches(_with_html_bytes, batch_format="pyarrow")
+    small = sized.filter(expr=f"html_len < {GIANT_PAGE_BYTES}")
+    giant = sized.filter(expr=f"html_len >= {GIANT_PAGE_BYTES}")
+    small_out = small.map_batches(ExtractStage, batch_size=batch_size, **common)
+    giant_out = giant.map_batches(ExtractStage, batch_size=4, **common)
+    return small_out.union(giant_out)
+
+
+def run_extraction(input_path: str, output_dir: str | None = None,
+                   **kwargs) -> ray.data.Dataset:
+    """Read → extract → optionally write partitioned Parquet.
+
+    Column pruning at the read: only (url, html) leave storage — the
+    crawler's text/lang/warc_ts columns are never shipped.
+    """
+    ds = ray.data.read_parquet(input_path, columns=["url", "html"])
+    out = extract_pipeline(ds, **kwargs)
+    if output_dir is not None:
+        out.write_parquet(output_dir)
+        return ray.data.read_parquet(output_dir)
+    return out

@@ -22,7 +22,7 @@ from .markdown import to_markdown
 from .parser import parse_html
 from .preprocess import preprocess_document
 from .readable_aria import build_aria_tree
-from .vdom import text_cache_clear
+from .vdom import ensure_recursion_headroom, text_cache_clear
 
 _UNSET = object()
 
@@ -41,6 +41,7 @@ class Readable:
                   nb_top_candidates=_UNSET, forced_page_type=None,
                   url: str | None = None, parser=None) -> "Readable":
         """reference src/readable.ts:100-172."""
+        ensure_recursion_headroom()
         text_cache_clear()
         parse = parser or parse_html
         doc = _wrap_fragment(parse(content))

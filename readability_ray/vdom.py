@@ -16,7 +16,19 @@ Python notes vs the TS original:
 
 from __future__ import annotations
 
+import sys
+
 from .jsstr import js_len, js_normalize_spaces, js_trim
+
+
+def ensure_recursion_headroom(limit: int = 30000) -> None:
+    """Deep real-world DOMs (1000s of nested wrappers) exceed CPython's
+    default recursion limit in the recursive tree walks; entrypoints
+    call this once.  The Ray extraction actor additionally wraps each
+    row in try/except so a pathological page degrades to an ``error``
+    column, never a crash."""
+    if sys.getrecursionlimit() < limit:
+        sys.setrecursionlimit(limit)
 
 ELEMENT = 0
 TEXT = 1
