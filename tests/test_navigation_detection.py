@@ -1,0 +1,255 @@
+"""Port of reference src/test/navigation-detection.test.ts (CI-included)."""
+
+from readability_ray.detect import analyze_page_structure
+
+HTML_WITH_NAV = """
+<!DOCTYPE html>
+<html>
+  <head><title>Navigation Test</title></head>
+  <body>
+    <header>
+      <nav class="main-nav" aria-label="Main navigation">
+        <ul>
+          <li><a href="/">Home</a></li>
+          <li><a href="/about">About</a></li>
+          <li><a href="/products">Products</a></li>
+          <li><a href="/contact">Contact</a></li>
+        </ul>
+      </nav>
+    </header>
+    <main>
+      <h1>Page Content</h1>
+      <p>This is the main content.</p>
+    </main>
+  </body>
+</html>
+"""
+
+
+def test_detect_main_navigation():
+    structure = analyze_page_structure(HTML_WITH_NAV)
+    assert len(structure.navigations) > 0
+    assert structure.main_navigation is not None
+    assert structure.main_navigation.type == "global"
+    assert len(structure.main_navigation.items) == 4
+
+
+def test_extract_navigation_items():
+    structure = analyze_page_structure(HTML_WITH_NAV)
+    nav = structure.main_navigation
+    assert nav.items[0].label == "Home"
+    assert nav.items[0].href == "/"
+    assert nav.items[1].label == "About"
+    assert nav.items[1].href == "/about"
+
+
+def test_breadcrumb_navigation():
+    html = """
+      <html><body>
+        <nav aria-label="Breadcrumb">
+          <ol>
+            <li><a href="/">Home</a></li>
+            <li><a href="/products">Products</a></li>
+            <li>Current Item</li>
+          </ol>
+        </nav>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    assert structure.breadcrumb is not None
+    assert structure.breadcrumb.type == "breadcrumb"
+    assert len(structure.breadcrumb.items) == 3
+
+
+def test_pagination_navigation():
+    html = """
+      <html><body>
+        <nav class="pagination">
+          <a href="/page/1">Previous</a>
+          <a href="/page/1">1</a>
+          <span>2</span>
+          <a href="/page/3">3</a>
+          <a href="/page/3">Next</a>
+        </nav>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    pagination = next(
+        (n for n in structure.navigations if n.type == "pagination"), None)
+    assert pagination is not None
+    assert len(pagination.items) > 0
+
+
+def test_table_of_contents():
+    html = """
+      <html><body>
+        <nav class="toc">
+          <h2>Table of Contents</h2>
+          <ul>
+            <li><a href="#section1">Section 1</a></li>
+            <li><a href="#section2">Section 2</a></li>
+            <li><a href="#section3">Section 3</a></li>
+          </ul>
+        </nav>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    assert structure.toc is not None
+    assert structure.toc.type == "toc"
+    assert all(item.href and item.href.startswith("#")
+               for item in structure.toc.items)
+
+
+def test_navigation_locations():
+    html = """
+      <html><body>
+        <header>
+          <nav class="header-nav">
+            <a href="/">Home</a>
+            <a href="/about">About</a>
+          </nav>
+        </header>
+        <aside>
+          <nav class="sidebar-nav">
+            <h3>Categories</h3>
+            <ul>
+              <li><a href="/cat/1">Category 1</a></li>
+              <li><a href="/cat/2">Category 2</a></li>
+            </ul>
+          </nav>
+        </aside>
+        <footer>
+          <nav class="footer-nav">
+            <a href="/privacy">Privacy</a>
+            <a href="/terms">Terms</a>
+          </nav>
+        </footer>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    locations = [n.location for n in structure.navigations]
+    assert "header" in locations
+    assert "sidebar" in locations
+    assert "footer" in locations
+
+
+def test_nested_navigation():
+    html = """
+      <html><body>
+        <nav>
+          <ul>
+            <li>
+              <a href="/products">Products</a>
+              <ul>
+                <li><a href="/products/software">Software</a></li>
+                <li><a href="/products/hardware">Hardware</a></li>
+              </ul>
+            </li>
+            <li>
+              <a href="/services">Services</a>
+              <ul>
+                <li><a href="/services/consulting">Consulting</a></li>
+                <li><a href="/services/support">Support</a></li>
+              </ul>
+            </li>
+          </ul>
+        </nav>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    nav = structure.navigations[0]
+    assert nav.structure == "nested"
+    products = next((i for i in nav.items if i.label == "Products"), None)
+    assert products is not None
+    assert len(products.children) == 2
+
+
+HEADER_HTML = """
+<html><body>
+  <header class="site-header">
+    <img src="/logo.png" alt="Company Logo" class="logo">
+    <h1>Company Name</h1>
+    <nav>
+      <a href="/">Home</a>
+      <a href="/about">About</a>
+    </nav>
+  </header>
+  <article>
+    <header>
+      <h1>Article Title</h1>
+      <p>Published on January 1, 2024</p>
+    </header>
+    <p>Article content...</p>
+  </article>
+</body></html>
+"""
+
+
+def test_detect_headers():
+    structure = analyze_page_structure(HEADER_HTML)
+    assert len(structure.headers) > 0
+    assert structure.main_header is not None
+    assert structure.main_header.type == "main"
+
+
+def test_detect_logo_and_site_title():
+    structure = analyze_page_structure(HEADER_HTML)
+    main_header = structure.main_header
+    assert "logo" in main_header.contains
+    assert "siteTitle" in main_header.contains
+    assert "navigation" in main_header.contains
+
+
+def test_page_structure_elements():
+    html = """
+      <html><body>
+        <header>
+          <h1>Site Title</h1>
+          <nav><a href="/">Home</a></nav>
+        </header>
+        <main>
+          <article>
+            <h1>Main Article</h1>
+            <p>Main content goes here.</p>
+          </article>
+        </main>
+        <aside>
+          <h2>Sidebar</h2>
+          <p>Sidebar content.</p>
+        </aside>
+        <footer>
+          <p>Footer content.</p>
+        </footer>
+      </body></html>
+    """
+    structure = analyze_page_structure(html)
+    assert structure.main_content is not None
+    assert structure.sidebar is not None
+    assert structure.footer is not None
+
+
+COMPLEX_NAV_HTML = """
+<html><body>
+  <header>
+    <nav><a href="/">Home</a></nav>
+    <nav><a href="/search">Search</a></nav>
+  </header>
+  <nav><a href="/cat1">Category 1</a></nav>
+  <nav><a href="/cat2">Category 2</a></nav>
+  <nav><a href="/cat3">Category 3</a></nav>
+  <footer>
+    <nav><a href="/about">About</a></nav>
+  </footer>
+</body></html>
+"""
+
+
+def test_max_navigations_option():
+    structure = analyze_page_structure(COMPLEX_NAV_HTML, max_navigations=3)
+    assert len(structure.navigations) <= 3
+
+
+def test_header_navigation_only_option():
+    structure = analyze_page_structure(COMPLEX_NAV_HTML,
+                                       header_navigation_only=True)
+    assert all(n.location == "header" for n in structure.navigations)
