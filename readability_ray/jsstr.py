@@ -37,8 +37,12 @@ COMMAS_RE = re.compile("[\u002c\u060c\ufe50\ufe10\ufe11\u2e41\u2e34\u2e32\uff0c]
 
 
 def js_trim(s: str) -> str:
-    """``String.prototype.trim`` (JS whitespace class, not Python's)."""
-    return JS_TRIM_RE.sub("", s)
+    """``String.prototype.trim`` (JS whitespace class, not Python's).
+
+    ``str.strip(chars)`` removes leading/trailing characters from the
+    set — identical semantics to the anchored regex, at C speed.
+    """
+    return s.strip(JS_WS_CHARS)
 
 
 def js_normalize_spaces(s: str) -> str:

@@ -100,6 +100,13 @@ def get_attribute(element: VElement, name: str) -> str | None:
     return element.attrs.get(name) or None
 
 
+# Per-document memo for tag scans: the DOM is static outside
+# preprocessing (the only mutator), and candidate scoring / classify /
+# metadata each re-scan the same subtrees for the same tags.  Cleared by
+# text_cache_clear() (called at parse and around preprocessing).
+_TAG_CACHE: dict[tuple, list] = {}
+
+
 def get_elements_by_tag_name(element: VElement, tag_name) -> list[VElement]:
     """Pre-order collection including self (reference src/dom.ts:41-59).
 
@@ -110,17 +117,40 @@ def get_elements_by_tag_name(element: VElement, tag_name) -> list[VElement]:
         tags = (tag_name.lower(),)
     else:
         tags = tuple(t.lower() for t in tag_name)
+    key = (id(element), tags)
+    cached = _TAG_CACHE.get(key)
+    if cached is not None:
+        return cached  # callers never mutate the returned list
+    # (cache pays off only for repeated whole-doc scans: classify +
+    # metadata re-scan body/documentElement for the same tags)
     match_all = "*" in tags
     result: list[VElement] = []
     stack = [element]
-    while stack:
-        node = stack.pop()
-        if match_all or node.tag in tags:
+    if match_all:
+        while stack:
+            node = stack.pop()
             result.append(node)
-        # push children reversed to keep pre-order
-        for child in reversed(node.children):
-            if child.nodeType == ELEMENT:
-                stack.append(child)
+            for child in reversed(node.children):
+                if child.nodeType == ELEMENT:
+                    stack.append(child)
+    elif len(tags) == 1:
+        tag = tags[0]
+        while stack:
+            node = stack.pop()
+            if node.tag == tag:
+                result.append(node)
+            for child in reversed(node.children):
+                if child.nodeType == ELEMENT:
+                    stack.append(child)
+    else:
+        while stack:
+            node = stack.pop()
+            if node.tag in tags:
+                result.append(node)
+            for child in reversed(node.children):
+                if child.nodeType == ELEMENT:
+                    stack.append(child)
+    _TAG_CACHE[key] = result
     return result
 
 
@@ -228,6 +258,7 @@ _TEXT_CACHE: dict[int, str] = {}
 
 def text_cache_clear() -> None:
     _TEXT_CACHE.clear()
+    _TAG_CACHE.clear()
 
 
 def get_inner_text(element, normalize_spaces: bool = True) -> str:
