@@ -388,3 +388,138 @@ def extract(html: str, char_threshold: int | None = None,
         root=root, node_count=node_count, links=links, metadata=metadata,
         main_candidates=main_candidates, aria_tree=aria_tree,
         page_type=page_type, byline=byline)
+
+
+def find_structural_elements(doc: VDocument) -> dict:
+    """Detect header / footer / other significant structural nodes
+    (reference src/extract/extract.ts:102-216)."""
+    header: VElement | None = None
+    footer: VElement | None = None
+    body = doc.body
+
+    header_tags = get_elements_by_tag_name(doc.document_element, "header")
+    if len(header_tags) == 1:
+        header = header_tags[0]
+    else:
+        for el in get_elements_by_tag_name(body, "*"):
+            role = (el.attrs.get("role") or "").lower() or None
+            el_id = (el.id or "").lower() if el.id else None
+            class_name = (el.class_name or "").lower() if el.class_name \
+                else None
+            if (role == "banner" or el_id in ("header", "masthead")
+                    or (class_name is not None
+                        and ("header" in class_name
+                             or "masthead" in class_name))):
+                if header is None or (
+                        el.parent is body and header.parent is not body):
+                    header = el
+
+    footer_tags = get_elements_by_tag_name(doc.document_element, "footer")
+    if len(footer_tags) == 1:
+        footer = footer_tags[0]
+    else:
+        all_elements = get_elements_by_tag_name(body, "*")
+        # reverse iteration: lower elements are more footer-like
+        for el in reversed(all_elements):
+            role = (el.attrs.get("role") or "").lower() or None
+            el_id = (el.id or "").lower() if el.id else None
+            class_name = (el.class_name or "").lower() if el.class_name \
+                else None
+            if (role == "contentinfo" or el_id in ("footer", "colophon")
+                    or (class_name is not None
+                        and ("footer" in class_name
+                             or "site-info" in class_name))):
+                if footer is None:
+                    inside_header = False
+                    current = el
+                    while current is not None and current is not body:
+                        if current is header:
+                            inside_header = True
+                            break
+                        current = current.parent
+                    if not inside_header:
+                        footer = el
+
+    potential: list[VElement] = []
+    for tag in ("main", "article", "section", "aside", "nav"):
+        potential.extend(get_elements_by_tag_name(body, tag))
+    add_significant_elements_by_class_or_id(body, potential)
+
+    other: list[VElement] = []
+    for node in potential:
+        inside = False
+        current = node
+        while current is not None and current is not body:
+            if current is header or current is footer:
+                inside = True
+                break
+            current = current.parent
+        if not inside and node not in other:
+            if is_probably_visible(node) and (
+                    is_significant_node(node) or is_semantic_tag(node.tag)):
+                other.append(node)
+    # dedupe preserving order (Set iteration order == insertion in JS)
+    seen: list = []
+    unique = [n for n in other if not (n in seen or seen.append(n))]
+    return {"header": header, "footer": footer,
+            "otherSignificantNodes": unique}
+
+
+_SIGNIFICANT_PATTERNS = [re.compile(p, re.I) for p in (
+    "content", "main", "article", "post", "entry", "body", "text",
+    "story", "container", "wrapper", "page", "blog", "section")]
+
+
+def add_significant_elements_by_class_or_id(body: VElement,
+                                            potential: list) -> None:
+    """reference src/extract/extract.ts:221-256."""
+    for el in get_elements_by_tag_name(body, "*"):
+        class_name = (el.class_name or "").lower()
+        el_id = (el.id or "").lower()
+        combined = f"{class_name} {el_id}"
+        for pattern in _SIGNIFICANT_PATTERNS:
+            if pattern.search(combined):
+                if el not in potential:
+                    potential.append(el)
+                break
+
+
+def is_significant_node(node: VElement) -> bool:
+    """textLen ≥ 50 ∧ textDensity ≥ 0.1 ∧ linkDensity ≤ 0.5
+    (reference src/extract/extract.ts:261-281)."""
+    if js_len(get_inner_text(node, False)) < 50:
+        return False
+    if get_text_density(node) < 0.1:
+        return False
+    if get_link_density(node) > 0.5:
+        return False
+    return True
+
+
+def is_semantic_tag(tag_name: str) -> bool:
+    """reference src/extract/extract.ts:286-289."""
+    return tag_name.lower() in ("main", "article", "section", "aside", "nav")
+
+
+def extract_aria_tree(html: str, compress: bool = True, parser=None) -> dict:
+    """parse → preprocess → (compressed | raw) ARIA tree
+    (reference src/extract/extract.ts:717-772)."""
+    from .aria import build_aria_node, count_aria_nodes
+    from .readable_aria import build_aria_tree
+    text_cache_clear()
+    parse = parser or parse_html
+    doc = _wrap_fragment(parse(html))
+    preprocess_document(doc)
+    if compress:
+        return build_aria_tree(doc)
+    root_node = build_aria_node(doc.body)
+    return {"root": root_node, "nodeCount": count_aria_nodes(root_node)}
+
+
+def create_extractor(parser, forced_page_type: str | None = None):
+    """Curry extract with a fixed parser/options
+    (reference src/extract/extract.ts:866-890)."""
+    def configured_extract(html: str, **options) -> ExtractedSnapshot:
+        options.setdefault("forced_page_type", forced_page_type)
+        return extract(html, parser=parser, **options)
+    return configured_extract

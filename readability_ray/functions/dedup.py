@@ -48,19 +48,24 @@ def content_hashes(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Hash-partition + per-group first: one row per distinct text with
-    the kept doc_id (min) and duplicate count."""
-    hashed = content_hashes(ds)
+    """Hash-partition + first-per-group: one row per distinct text with
+    the kept doc_id (min) and duplicate count.
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "text_hash": [group["text_hash"].iloc[0]],
-            "keeper_doc_id": [int(group["doc_id"].min())],
-            "dup_count": [len(group)],
+    Vectorized aggregate (Min/Count) — a per-group ``map_groups`` costs
+    a pandas call per distinct hash, which at mostly-unique corpora is
+    one call per row."""
+    from ray.data.aggregate import Count, Min
+    hashed = content_hashes(ds)
+    agg = hashed.groupby("text_hash").aggregate(Min("doc_id"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": batch.column("text_hash"),
+            "keeper_doc_id": batch.column("min(doc_id)").cast(pa.int64()),
+            "dup_count": batch.column("count()").cast(pa.int64()),
         })
 
-    return hashed.groupby("text_hash").map_groups(
-        keep_first, batch_format="pandas")
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # ---- MinHash + LSH ---------------------------------------------------------
@@ -150,19 +155,41 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
         # small cluster and starve upstream tasks (executor deadlock)
         concurrency=(1, 4))
 
+    # Coarse-partition the band rows (band_hash % K) so the shuffle has
+    # K groups instead of one per distinct hash; real bucket collisions
+    # are found vectorized inside each coarse partition.
+    coarse = 64
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        bucket = pc.bit_wise_and(batch.column("band_hash"),
+                                 np.uint64(coarse - 1))
+        return batch.append_column("coarse", bucket.cast(pa.int64()))
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in group["doc_id"]))
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        dup = group[group.duplicated(["band", "band_hash"], keep=False)]
+        pairs = set()
+        for _, sub in dup.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(int(x) for x in sub["doc_id"]))
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    pairs.add((a, b))
         if not pairs:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"])
 
-    candidates = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands (small shuffle over pairs)
-    candidates = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    candidates = band_rows.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("coarse").map_groups(bucket_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple coarse partitions/bands: vectorized
+    # count-aggregate, then drop the count
+    from ray.data.aggregate import Count
+    deduped = candidates.groupby(["doc_a", "doc_b"]).aggregate(Count())
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_a", "doc_b"])
+
+    candidates = deduped.map_batches(drop_count, batch_format="pyarrow")
     if not verify:
         return candidates
 

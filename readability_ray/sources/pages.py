@@ -322,16 +322,42 @@ def write_pages_parquet(path: str, n_pages: int, seed: int = 42,
 
 def pages_path_for_sf(sf_dir: str, cache_root: str = "/tmp/readability_ray",
                       include_reference_fixtures: bool = False) -> str:
-    """Deterministic pages table sized to match a testdata scale factor.
+    """Deterministic sharded pages table sized to a testdata scale factor.
 
-    sf0.001 → 120 pages, sf0.01 → 1200, sf0.1 → 12000 (≈2 pages per
-    lineitem-50 rows).  Cached under /tmp keyed by the basename.
+    sf0.001 → 120 pages / 2 shards, sf0.01 → 1200 / 4, sf0.1 →
+    12000 / 16.  Sharding matters: one monolithic parquet file gives
+    the Ray read layer a single task (serial decompress); a shard per
+    read task parallelizes the scan like a real multi-file crawl dump.
+    Cached under /tmp keyed by the sf basename.
     """
     base = os.path.basename(os.path.normpath(sf_dir))
-    n_pages = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000}.get(base, 1200)
+    n_pages, n_shards = {
+        "sf0.001": (120, 2), "sf0.01": (1200, 4), "sf0.1": (12000, 16),
+    }.get(base, (1200, 4))
+    # scaling runs need a long-enough job to amortize pool startup:
+    # GRAFT_PAGES_MULT multiplies the corpus (and shard count)
+    mult = int(os.environ.get("GRAFT_PAGES_MULT", "1"))
+    n_pages *= mult
+    n_shards *= mult
     suffix = "+fixtures" if include_reference_fixtures else ""
-    path = os.path.join(cache_root, f"pages-{base}{suffix}.parquet")
-    if not os.path.isfile(path):
-        write_pages_parquet(path, n_pages, seed=42,
-                            include_reference_fixtures=include_reference_fixtures)
-    return path
+    if mult > 1:
+        suffix += f"-x{mult}"
+    out_dir = os.path.join(cache_root, f"pages-{base}{suffix}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.isfile(marker):
+        import shutil
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        table = generate_pages(n_pages, seed=42,
+                               include_reference_fixtures=include_reference_fixtures)
+        per = (table.num_rows + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            chunk = table.slice(i * per, per)
+            if chunk.num_rows:
+                pq.write_table(chunk,
+                               os.path.join(out_dir, f"part-{i:03d}.parquet"),
+                               row_group_size=256)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir

@@ -1,0 +1,64 @@
+"""Resumable extraction: partition layout, lineage manifests, skip of
+completed shards, recovery from partial output."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def _make_shards(tmp_path, n_shards=3, pages_per_shard=40):
+    from readability_ray.sources import write_pages_parquet
+    files = []
+    for i in range(n_shards):
+        path = str(tmp_path / f"shard{i}.parquet")
+        write_pages_parquet(path, pages_per_shard, seed=100 + i)
+        files.append(path)
+    return files
+
+
+def test_resumable_extraction(ray_session, tmp_path):
+    from readability_ray.pipelines.resume import (
+        completed_shards, run_resumable_extraction)
+    files = _make_shards(tmp_path)
+    out_dir = str(tmp_path / "out")
+
+    summary = run_resumable_extraction(files, out_dir, concurrency=(1, 2),
+                                       batch_size=32)
+    assert summary["processed"] == ["shard0", "shard1", "shard2"]
+    assert summary["skipped"] == []
+    assert summary["total_rows"] == 120
+
+    manifests = completed_shards(out_dir)
+    assert set(manifests) == {"shard0", "shard1", "shard2"}
+    m = manifests["shard0"]
+    assert m["rows"] == 40
+    assert m["errors"] == 0
+    assert "article" in m["page_types"]
+    assert m["wall_time_sec"] > 0
+
+    # output is readable parquet per shard
+    table = pq.read_table(os.path.join(out_dir, "shard=shard1"))
+    assert table.num_rows == 40
+
+    # second run skips everything
+    summary2 = run_resumable_extraction(files, out_dir, concurrency=(1, 2))
+    assert summary2["processed"] == []
+    assert set(summary2["skipped"]) == {"shard0", "shard1", "shard2"}
+
+
+def test_resume_recovers_incomplete_shard(ray_session, tmp_path):
+    from readability_ray.pipelines.resume import (
+        MANIFEST_NAME, completed_shards, run_resumable_extraction)
+    files = _make_shards(tmp_path, n_shards=2, pages_per_shard=20)
+    out_dir = str(tmp_path / "out")
+    run_resumable_extraction(files, out_dir, concurrency=(1, 2))
+
+    # simulate a crash: remove shard1's manifest (incomplete output)
+    os.remove(os.path.join(out_dir, "shard=shard1", MANIFEST_NAME))
+    assert set(completed_shards(out_dir)) == {"shard0"}
+
+    summary = run_resumable_extraction(files, out_dir, concurrency=(1, 2))
+    assert summary["processed"] == ["shard1"]
+    assert summary["skipped"] == ["shard0"]
+    assert set(completed_shards(out_dir)) == {"shard0", "shard1"}
