@@ -64,7 +64,7 @@ def _run_benchmarks() -> None:
     for attempt in range(2):
         t0 = time.time()
         ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
-        out = extract_pipeline(ds, concurrency=pool, batch_size=32)
+        out = extract_pipeline(ds, concurrency=pool, batch_size=128)
         sink = tempfile.mkdtemp(prefix="bench_extract_")
         out.write_parquet(sink)
         extract_sec = time.time() - t0
@@ -107,10 +107,10 @@ def _run_scaling() -> None:
     """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N)."""
     results = {}
     for ncpu in (8, 32):
-        # 4x corpus so the 32-CPU run is long enough to amortize pool
+        # 16x corpus so the 32-CPU run is long enough to amortize pool
         # startup (the ratio, not the absolute, is what's measured)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_PAGES_MULT="4")
+                   GRAFT_PAGES_MULT="16")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True).stdout

@@ -41,3 +41,23 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+# second-tier API (imported lazily by consumers who need them):
+from .classify import (  # noqa: E402
+    analyze_content_characteristics, analyze_url_pattern, classify,
+    classify_snapshot, get_expected_page_type_by_url,
+)
+from .extract import (  # noqa: E402
+    create_extractor, extract_aria_tree, find_structural_elements,
+)
+from .hierarchy import analyze_link_hierarchy  # noqa: E402
+from .readable import Readable, readable  # noqa: E402
+from .serializer import deserialize, serialize  # noqa: E402
+
+__all__ += [
+    "analyze_content_characteristics", "analyze_url_pattern", "classify",
+    "classify_snapshot", "get_expected_page_type_by_url",
+    "create_extractor", "extract_aria_tree", "find_structural_elements",
+    "analyze_link_hierarchy", "Readable", "readable", "deserialize",
+    "serialize",
+]

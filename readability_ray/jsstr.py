@@ -30,6 +30,7 @@ JS_NORMALIZE_RE = re.compile(_JS_WS_CLASS + "{2,}")  # /\\s{2,}/g
 JS_WS_RE = re.compile(_JS_WS_CLASS)
 JS_WS_END_RE = re.compile(_JS_WS_CLASS + "$")  # /\\s$/
 JS_WS_START_RE = re.compile("^" + _JS_WS_CLASS)  # /^\\s/
+JS_WS_SET = frozenset(JS_WS_CHARS)  # O(1) membership for /\\s$/ checks
 
 # Commas as used in Latin, Sindhi, Chinese and various other scripts
 # (reference src/constants.ts:30).

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-from .jsstr import JS_WS_END_RE, JS_WS_START_RE, js_trim
+from .jsstr import JS_WS_SET, js_trim
 from .vdom import ELEMENT, TEXT
 
 _ESCAPE_RE = re.compile(r"([*_`\[\]\\])")
@@ -64,8 +64,11 @@ def join_markdown_parts(parts: list[str]) -> str:
         if result == "":
             result = part
         else:
-            ends_ws = bool(JS_WS_END_RE.search(result))
-            starts_ws = bool(JS_WS_START_RE.search(part))
+            # /\s$/ and /^\s/ are single-char-class tests: O(1)
+            # membership instead of re.search scanning the whole
+            # accumulated string (which made long paragraphs O(n^2))
+            ends_ws = result[-1] in JS_WS_SET
+            starts_ws = part[0] in JS_WS_SET
             if not ends_ws and not starts_ws:
                 if part[0] not in _PUNCT:
                     result += " "
