@@ -186,6 +186,76 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_simhash_pairs(sf_dir: str):
+    from readability_ray.functions import simhash_near_pairs
+    return simhash_near_pairs(_docs(sf_dir), max_hamming=8)
+
+
+def _q_page_structure(sf_dir: str):
+    """Corpus-level page-structure detection (detect/ package)."""
+    import pyarrow as pa
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        from readability_ray.detect import analyze_page_structure
+        urls, n_navs, n_headers, main_nav, has_main, has_footer = \
+            [], [], [], [], [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            html = bytes(html).decode("utf-8", errors="replace")
+            try:
+                s = analyze_page_structure(html)
+            except Exception:
+                continue
+            urls.append(url)
+            n_navs.append(len(s.navigations))
+            n_headers.append(len(s.headers))
+            main_nav.append(s.main_navigation.type
+                            if s.main_navigation else "")
+            has_main.append(s.main_content is not None)
+            has_footer.append(s.footer is not None)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "n_navigations": pa.array(n_navs, pa.int32()),
+            "n_headers": pa.array(n_headers, pa.int32()),
+            "main_nav_type": pa.array(main_nav, pa.string()),
+            "has_main_content": pa.array(has_main, pa.bool_()),
+            "has_footer": pa.array(has_footer, pa.bool_()),
+        })
+
+    return _pages_ds(sf_dir).map_batches(analyze, batch_format="pyarrow",
+                                         batch_size=128)
+
+
+def _q_classify_pages(sf_dir: str):
+    """Possibility-scored classification (classify_snapshot) per page."""
+    import pyarrow as pa
+
+    def classify(batch: pa.Table) -> pa.Table:
+        from readability_ray.classify import classify_snapshot
+        from readability_ray.extract import extract
+        import numpy as np
+        urls, kinds, possibilities = [], [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            html = bytes(html).decode("utf-8", errors="replace")
+            try:
+                results = classify_snapshot(extract(html))
+            except Exception:
+                continue
+            urls.append(url)
+            kinds.append(results[0].page_type)
+            possibilities.append(
+                float(np.floor(results[0].possibility * 1e6) / 1e6))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "top_page_type": pa.array(kinds, pa.string()),
+            "possibility": pa.array(possibilities, pa.float64()),
+        })
+
+    return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
+                                         batch_size=128)
+
+
 def _q_knn(sf_dir: str):
     from readability_ray.functions import knn_topk
     return knn_topk(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
@@ -271,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "page_structure": _q_page_structure,
+        "classify_pages": _q_classify_pages,
         "knn_cosine_top5": _q_knn,
         "lsh_ann_top5": _q_lsh_ann,
         "embedding_dup_pairs": _q_embedding_dups,

@@ -9,12 +9,14 @@ SQL oracle exists.
 
 from .textstats import doc_lang_stats, lang_id, quality_scores, token_stats
 from .dedup import (
-    content_hashes, exact_dedup, minhash_lsh_pairs, simhash_signatures,
+    content_hashes, exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
+    simhash_signatures,
 )
 from .similarity import embedding_dup_pairs, knn_topk, lsh_ann_topk
 
 __all__ = [
     "doc_lang_stats", "lang_id", "quality_scores", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
-    "simhash_signatures", "embedding_dup_pairs", "knn_topk", "lsh_ann_topk",
+    "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
+    "knn_topk", "lsh_ann_topk",
 ]

@@ -223,17 +223,28 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
 
 # ---- SimHash ---------------------------------------------------------------
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def _simhash64(text: str) -> int:
     tokens = text.split()
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for token in tokens:
-        h = _md5_64(token.encode("utf-8"))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    cache = _TOKEN_HASH_CACHE
+    hashes = np.empty(len(tokens), dtype=np.uint64)
+    for i, token in enumerate(tokens):
+        h = cache.get(token)
+        if h is None:
+            h = _md5_64(token.encode("utf-8"))
+            if len(cache) < 200_000:  # bounded per-worker memo
+                cache[token] = h
+        hashes[i] = h
+    # one vectorized bit-expansion per document instead of per token
+    bits = ((hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
+    acc = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
     bits_out = (acc > 0).astype(np.uint64)
-    return int((bits_out << np.arange(64, dtype=np.uint64)).sum())
+    return int((bits_out << _BIT_SHIFTS).sum())
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
@@ -247,3 +258,71 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
 def simhash_signatures(ds: ray.data.Dataset) -> ray.data.Dataset:
     """64-bit SimHash per document (document fingerprinting)."""
     return ds.map_batches(_simhash_batch, batch_format="pyarrow")
+
+
+def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3
+                       ) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: 4 bands of 16 bits — two signatures
+    within hamming distance ≤ 3 must agree exactly on ≥ 1 band
+    (pigeonhole), so banding finds ALL such pairs with a groupby on
+    (band, band_value); candidates are verified by exact hamming.
+    For max_hamming > 3 the band guarantee no longer covers every pair
+    (recall < 1); results are the band-colliding subset."""
+    signatures = simhash_signatures(ds)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sims = batch.column("simhash").to_pylist()
+        out_doc, out_band, out_val, out_sig = [], [], [], []
+        for doc_id, sig in zip(doc_ids, sims):
+            for band in range(4):
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_val.append((sig >> (band * 16)) & 0xFFFF)
+                out_sig.append(sig)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_value": pa.array(out_val, pa.int32()),
+            "simhash": pa.array(out_sig, pa.uint64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        dup = group[group.duplicated(["band", "band_value"], keep=False)]
+        rows = set()
+        for _, sub in dup.groupby(["band", "band_value"], sort=False):
+            entries = sorted(
+                {(int(r.doc_id), int(r.simhash)) for r in sub.itertuples()})
+            for i, (a, sig_a) in enumerate(entries):
+                for b, sig_b in entries[i + 1:]:
+                    hamming = bin(sig_a ^ sig_b).count("1")
+                    if hamming <= max_hamming:
+                        rows.add((a, b, hamming))
+        if not rows:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame(sorted(rows),
+                            columns=["doc_a", "doc_b", "hamming"])
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        coarse = pc.bit_wise_and(
+            batch.column("band_value").cast(pa.int64()), 63)
+        return batch.append_column("coarse", coarse)
+
+    from ray.data.aggregate import Min
+    exploded = signatures.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = exploded.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby("coarse").map_groups(bucket_pairs, batch_format="pandas")
+    # distinct pairs (a pair can collide in several bands)
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "hamming": batch.column("min(hamming)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
