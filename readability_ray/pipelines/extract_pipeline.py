@@ -28,17 +28,24 @@ def _with_html_bytes(batch: pa.Table) -> pa.Table:
 
 
 def extract_pipeline(ds: ray.data.Dataset, *, char_threshold: int = 500,
-                     nb_top_candidates: int = 5, emit_html: bool = True,
+                     nb_top_candidates: int = 5, emit_html: bool = False,
                      emit_markdown: bool = True, emit_aria: bool = False,
                      concurrency=None, batch_size: int = 64,
                      size_bucket: bool = False) -> ray.data.Dataset:
-    """Build the lazy extraction Dataset (does not execute)."""
+    """Build the lazy extraction Dataset (does not execute).
+
+    Default output columns are text+markdown (the reference CLI's
+    default format is markdown); pass emit_html/emit_aria for the html
+    and ARIA-YAML columns — the schema is stable either way (empty
+    strings when disabled)."""
     stage_kwargs = dict(char_threshold=char_threshold,
                         nb_top_candidates=nb_top_candidates,
                         emit_html=emit_html, emit_markdown=emit_markdown,
                         emit_aria=emit_aria)
+    # zero_copy_batch: the UDF never mutates its input batch, so Ray can
+    # hand it object-store memory without a defensive copy
     common = dict(batch_format="pyarrow", fn_constructor_kwargs=stage_kwargs,
-                  num_cpus=1)
+                  num_cpus=1, zero_copy_batch=True)
     if concurrency is not None:
         common["concurrency"] = concurrency
 
