@@ -71,3 +71,19 @@ def test_full_corpus_sweep_no_crashes():
     # most of the Mozilla corpus is articles; extraction should find
     # content on a healthy majority
     assert articles > len(cases) * 0.5
+
+
+@needs_fixtures
+def test_yahoo_fixture_smoke():
+    """The reference's large real-world fixture (252 KB Yahoo page,
+    src/test/fixtures/yahoo.html) extracts cleanly end to end."""
+    path = "/root/reference/src/test/fixtures/yahoo.html"
+    if not os.path.isfile(path):
+        pytest.skip("yahoo fixture unavailable")
+    with open(path, encoding="utf-8") as f:
+        html = f.read()
+    snap = extract(html, char_threshold=100)
+    assert snap.metadata.title
+    assert snap.page_type in ("article", "other")
+    from readability_ray.markdown import to_markdown
+    to_markdown(snap.root)  # must not raise
