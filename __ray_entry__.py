@@ -271,6 +271,19 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_embs(sf_dir), threshold=0.35)
 
 
+def _q_token_frequency(sf_dir: str):
+    from readability_ray.functions import token_frequency_topk
+    return token_frequency_topk(_docs(sf_dir), k=50)
+
+
+def _q_events_sessions(sf_dir: str):
+    import os as _os
+    import ray.data
+    from readability_ray.functions import events_sessionize
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"))
+    return events_sessionize(ds, gap_minutes=30)
+
+
 def _q_events_hourly(sf_dir: str):
     import os as _os
     import pyarrow as pa
@@ -348,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_top5": _q_lsh_ann,
         "embedding_dup_pairs": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
+        "token_frequency_top50": _q_token_frequency,
+        "events_sessionize": _q_events_sessions,
     }
 
 
@@ -447,6 +462,41 @@ def oracle_sql() -> dict[str, str]:
               AND floor(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                       * 1000000) / 1000000 >= 0.35
+        """,
+        "token_frequency_top50": """
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(
+                      text, '[^ \t\n\r\f\v]+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev_us
+                FROM events
+            ), flagged AS (
+                SELECT user_id, us,
+                       CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), with_sid AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, sid, count(*) AS cnt
+                FROM with_sid GROUP BY user_id, sid
+            )
+            SELECT user_id, sum(cnt)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_sessions,
+                   max(cnt)::BIGINT AS longest_session_events
+            FROM per_session GROUP BY user_id
         """,
         "events_hourly": """
             SELECT event_type,

@@ -7,7 +7,10 @@ shuffles, broadcast small sides) with DuckDB-matching semantics where a
 SQL oracle exists.
 """
 
-from .textstats import doc_lang_stats, lang_id, quality_scores, token_stats
+from .textstats import (
+    doc_lang_stats, events_sessionize, lang_id, quality_scores,
+    token_frequency_topk, token_stats,
+)
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
     simhash_signatures,
@@ -15,7 +18,8 @@ from .dedup import (
 from .similarity import embedding_dup_pairs, knn_topk, lsh_ann_topk
 
 __all__ = [
-    "doc_lang_stats", "lang_id", "quality_scores", "token_stats",
+    "doc_lang_stats", "events_sessionize", "lang_id", "quality_scores",
+    "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk",

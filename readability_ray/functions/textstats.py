@@ -138,3 +138,89 @@ def doc_lang_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     return partials.groupby("lang").sum(
         ["n_docs", "total_chars", "total_tokens"]) \
         .rename_columns(["lang", "n_docs", "total_chars", "total_tokens"])
+
+
+def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
+                         ) -> ray.data.Dataset:
+    """Corpus vocabulary statistics: top-k tokens by frequency.
+
+    The classic wide-shuffle shape, done right: tokens are counted
+    WITHIN each batch first (one partial row per distinct token per
+    batch), so the groupby shuffle moves vocab-sized partials, never
+    the token stream.  Ties broken by token asc for determinism.
+    """
+    from ray.data.aggregate import Sum
+
+    import re as _re
+    ascii_token = _re.compile(r"[^ \t\n\r\f\v]+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import collections
+        counter: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            counter.update(ascii_token.findall(text))
+        if not counter:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tokens, counts = zip(*counter.items())
+        return pa.table({"token": pa.array(tokens, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    totals = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch.column("token"),
+            "n": batch.column("sum(n)").cast(pa.int64()),
+        })
+
+    renamed = totals.map_batches(rename, batch_format="pyarrow")
+    # deterministic top-k: (count desc, token asc)
+    import pandas as pd
+
+    def global_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "token"],
+                                 ascending=[False, True]).head(k)
+
+    # local top-k per block, then a single small merge
+    local = renamed.map_batches(global_topk, batch_format="pandas")
+    merged = local.repartition(1).map_batches(global_topk,
+                                              batch_format="pandas")
+    return merged
+
+
+def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30
+                      ) -> ray.data.Dataset:
+    """Session windows per user: a gap > gap_minutes starts a new
+    session (streaming-shaped op per ray_guide: partition by key, sort
+    by ts inside the group, windowing in pandas).
+
+    Output: user_id, n_events, n_sessions, longest_session_events.
+    Ordering assumption: each user's events fit in one group (holds by
+    construction of the groupby).
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(group["ts"].to_numpy(dtype="datetime64[us]")
+                     .astype("int64"))
+        if len(ts) == 0:
+            return pd.DataFrame()
+        gaps = np.diff(ts)
+        new_session = (gaps > gap_us)
+        n_sessions = 1 + int(new_session.sum())
+        # longest run of events within one session
+        session_ids = np.concatenate([[0], np.cumsum(new_session)])
+        longest = int(np.bincount(session_ids).max())
+        return pd.DataFrame({
+            "user_id": [int(group["user_id"].iloc[0])],
+            "n_events": [len(ts)],
+            "n_sessions": [n_sessions],
+            "longest_session_events": [longest],
+        })
+
+    return ds.select_columns(["user_id", "ts"]) \
+        .groupby("user_id").map_groups(sessionize, batch_format="pandas")
