@@ -120,6 +120,23 @@ def _q_link_hierarchy(sf_dir: str):
                                          batch_size=64)
 
 
+def _q_full_analysis(sf_dir: str):
+    from readability_ray.pipelines import full_analysis_pipeline
+    out = full_analysis_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
+                                 batch_size=64)
+    return out.select_columns([
+        "url", "page_type", "title", "n_navigations", "n_headers",
+        "main_nav_type", "breadcrumb", "error"])
+
+
+def _q_dedup_pages(sf_dir: str):
+    import ray.data
+    from readability_ray.pipelines import dedup_pages_by_url
+    from readability_ray.sources import pages_path_for_sf
+    ds = ray.data.read_parquet(pages_path_for_sf(sf_dir))
+    return dedup_pages_by_url(ds).select_columns(["url", "warc_ts", "lang"])
+
+
 def _q_image_features(sf_dir: str):
     import ray.data
     from readability_ray.functions.multimodal import (
@@ -344,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_hashes": _q_extract_text,
         "aria_trees": _q_aria_trees,
         "link_hierarchy": _q_link_hierarchy,
+        "full_analysis": _q_full_analysis,
+        "dedup_pages_by_url": _q_dedup_pages,
         "image_features": _q_image_features,
         # training-data ops
         "token_stats": _q_token_stats,

@@ -1,3 +1,7 @@
-from .extract_pipeline import extract_pipeline, run_extraction
+from .extract_pipeline import (
+    dedup_pages_by_url, extract_pipeline, full_analysis_pipeline,
+    run_extraction,
+)
 
-__all__ = ["extract_pipeline", "run_extraction"]
+__all__ = ["dedup_pages_by_url", "extract_pipeline",
+           "full_analysis_pipeline", "run_extraction"]

@@ -79,3 +79,53 @@ def run_extraction(input_path: str, output_dir: str | None = None,
         out.write_parquet(output_dir)
         return ray.data.read_parquet(output_dir)
     return out
+
+
+def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact URL dedup — the only shuffle the core extraction pipeline
+    ever needs, and it is optional (SURVEY.md §2.9): hash-partition on
+    url, keep the earliest crawl per url (min warc_ts).
+
+    Implemented as a vectorized aggregate (never per-group Python) and
+    a broadcast-free second read: the winning (url, warc_ts) pairs are
+    joined back by a per-batch semi-join against the aggregate result.
+    At crawl scale the aggregate output is one row per distinct url —
+    for a stronger reduction hash-bucket urls first and run this per
+    bucket.
+    """
+    from ray.data.aggregate import Min
+
+    winners = ds.groupby("url").aggregate(Min("warc_ts"))
+
+    winners_table = winners.to_arrow_refs()
+    import ray as _ray
+    tables = [t for t in (_ray.get(ref) for ref in winners_table)
+              if t.num_rows > 0]
+    lookup_table = pa.concat_tables(tables)
+    keep = set(zip(lookup_table.column("url").to_pylist(),
+                   lookup_table.column("min(warc_ts)").to_pylist()))
+    keep_ref = _ray.put(keep)
+
+    def filter_winners(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        keep_set = _r.get(keep_ref)
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        mask = pa.array([(u, t) in keep_set for u, t in zip(urls, tss)])
+        return batch.filter(mask)
+
+    return ds.map_batches(filter_winners, batch_format="pyarrow")
+
+
+def full_analysis_pipeline(ds: ray.data.Dataset, *,
+                           char_threshold: int = 500,
+                           concurrency=None,
+                           batch_size: int = 64) -> ray.data.Dataset:
+    """Extraction + structure detection in one pass (two-phase per row:
+    preprocessed DOM for content, raw re-parse for structure)."""
+    from ..stages.structure_stage import FullAnalysisStage
+    kwargs = dict(batch_format="pyarrow", num_cpus=1, zero_copy_batch=True,
+                  fn_constructor_kwargs=dict(char_threshold=char_threshold))
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(FullAnalysisStage, batch_size=batch_size, **kwargs)

@@ -1,0 +1,85 @@
+"""Combined extraction + page-structure stage (SURVEY.md §3 two-phase
+architecture at corpus scale): content extraction runs on the
+preprocessed DOM, structure detection re-parses the ORIGINAL html
+(reference docs/architecture-decision.md:37-52) — both phases inside
+one actor call per row, so the html bytes cross the object store once.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyarrow as pa
+
+FULL_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("page_type", pa.string()),
+    ("title", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("markdown", pa.large_string()),
+    ("n_navigations", pa.int32()),
+    ("n_headers", pa.int32()),
+    ("main_nav_type", pa.string()),
+    ("breadcrumb", pa.string()),
+    ("toc_md", pa.large_string()),
+    ("sidebar_nav_md", pa.large_string()),
+    ("outline_md", pa.large_string()),
+    ("error", pa.string()),
+])
+
+
+class FullAnalysisStage:
+    """``map_batches`` actor stage mirroring the CLI's --full-analysis
+    composite: extraction output + navigation/structure context."""
+
+    def __init__(self, char_threshold: int = 500):
+        sys.setrecursionlimit(40000)
+        self.char_threshold = char_threshold
+
+    def _analyze_row(self, url: str, html: str) -> dict:
+        from readability_ray.detect import (
+            analyze_page_structure, extract_document_content)
+        from readability_ray.extract import extract
+        from readability_ray.format import format_document, stringify
+        from readability_ray.markdown import to_markdown
+
+        snap = extract(html, char_threshold=self.char_threshold)
+        structure = analyze_page_structure(html)
+        doc_content = extract_document_content(html)
+        return {
+            "url": url,
+            "page_type": snap.page_type,
+            "title": snap.metadata.title,
+            "extracted_text": (format_document(stringify(snap.root))
+                               if snap.root else ""),
+            "markdown": to_markdown(snap.root) if snap.root else "",
+            "n_navigations": len(structure.navigations),
+            "n_headers": len(structure.headers),
+            "main_nav_type": (structure.main_navigation.type
+                              if structure.main_navigation else ""),
+            "breadcrumb": doc_content.breadcrumb or "",
+            "toc_md": doc_content.toc or "",
+            "sidebar_nav_md": doc_content.sidebar_nav or "",
+            "outline_md": doc_content.outline or "",
+            "error": "",
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        rows = {name: [] for name in FULL_SCHEMA.names}
+        for url, html in zip(urls, htmls):
+            if isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            try:
+                row = self._analyze_row(url, html or "")
+            except Exception as exc:
+                row = {name: "" for name in FULL_SCHEMA.names}
+                row.update(url=url, page_type="error", n_navigations=0,
+                           n_headers=0,
+                           error=f"{type(exc).__name__}: {exc}"[:500])
+            for name in FULL_SCHEMA.names:
+                rows[name].append(row[name])
+        return pa.table(
+            {name: pa.array(rows[name], FULL_SCHEMA.field(name).type)
+             for name in FULL_SCHEMA.names})

@@ -196,3 +196,38 @@ def test_entry_contract(ray_session):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 15
+
+
+def test_dedup_pages_by_url(ray_session):
+    import datetime
+    import ray.data
+    from readability_ray.pipelines import dedup_pages_by_url
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": "https://a.test/x", "warc_ts": epoch,
+         "html": b"<p>first crawl</p>"},
+        {"url": "https://a.test/x",
+         "warc_ts": epoch + datetime.timedelta(days=1),
+         "html": b"<p>second crawl</p>"},
+        {"url": "https://a.test/y", "warc_ts": epoch,
+         "html": b"<p>only crawl</p>"},
+    ]
+    ds = ray.data.from_items(rows)
+    df = dedup_pages_by_url(ds).to_pandas().sort_values("url")
+    assert len(df) == 2
+    kept = df[df.url == "https://a.test/x"].iloc[0]
+    assert bytes(kept.html) == b"<p>first crawl</p>"  # earliest wins
+
+
+def test_full_analysis_pipeline(ray_session, pages_path):
+    import ray.data
+    from readability_ray.pipelines import full_analysis_pipeline
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"]).limit(40)
+    df = full_analysis_pipeline(ds, concurrency=(1, 2),
+                                batch_size=16).to_pandas()
+    assert len(df) == 40
+    assert (df.error == "").all()
+    # docsite template pages must surface structure context
+    docsites = df[df.url.str.contains("/docsite/")]
+    if len(docsites):
+        assert (docsites.n_navigations > 0).any()
