@@ -46,7 +46,6 @@ def preprocess_document(doc: VDocument) -> VDocument:
     subtree, so the surviving tree is identical to the reference's
     walk-per-tag behavior — at 1/16th the traversal cost.
     """
-    text_cache_clear()  # tag scans below must not see stale indexes
     removal_set = frozenset(TAGS_TO_REMOVE)
     by_tag: dict[str, list] = {tag: [] for tag in TAGS_TO_REMOVE}
 
@@ -74,7 +73,11 @@ def preprocess_document(doc: VDocument) -> VDocument:
     for element in ad_candidates:
         if element.parent is not None and is_likely_ad(element):
             _detach(element)
-    text_cache_clear()
+    # invalidate per-node memos across the (mutated) tree; body may be
+    # detached from documentElement in the fragment case
+    text_cache_clear(doc.document_element)
+    if doc.body is not doc.document_element:
+        text_cache_clear(doc.body)
     return doc
 
 
@@ -94,7 +97,9 @@ def remove_unwanted_tags(doc: VDocument) -> None:
     for tag_name in TAGS_TO_REMOVE:
         for element in get_elements_by_tag_name(doc.document_element, tag_name):
             _detach(element)
-    text_cache_clear()
+    text_cache_clear(doc.document_element)
+    if doc.body is not doc.document_element:
+        text_cache_clear(doc.body)
 
 
 def remove_ads(doc: VDocument) -> None:
@@ -103,7 +108,9 @@ def remove_ads(doc: VDocument) -> None:
     for element in get_elements_by_tag_name(doc.body, "*"):
         if element.parent is not None and is_likely_ad(element):
             _detach(element)
-    text_cache_clear()
+    text_cache_clear(doc.document_element)
+    if doc.body is not doc.document_element:
+        text_cache_clear(doc.body)
 
 
 def is_likely_ad(element) -> bool:

@@ -47,7 +47,7 @@ class VText:
 
 
 class VElement:
-    __slots__ = ("tag", "attrs", "children", "parent", "score")
+    __slots__ = ("tag", "attrs", "children", "parent", "score", "_cache")
     nodeType = ELEMENT
 
     def __init__(self, tag: str, attrs: dict | None = None,
@@ -59,6 +59,9 @@ class VElement:
         # readability.contentScore annotation; None == "not initialized"
         # (reference src/types.ts:15-17)
         self.score: float | None = None
+        # per-node memo for inner-text / tag scans; lives and dies with
+        # the node (an id()-keyed module dict can collide after GC)
+        self._cache: dict | None = None
 
     @property
     def id(self) -> str | None:
@@ -100,29 +103,23 @@ def get_attribute(element: VElement, name: str) -> str | None:
     return element.attrs.get(name) or None
 
 
-# Per-document memo for tag scans: the DOM is static outside
-# preprocessing (the only mutator), and candidate scoring / classify /
-# metadata each re-scan the same subtrees for the same tags.  Cleared by
-# text_cache_clear() (called at parse and around preprocessing).
-_TAG_CACHE: dict[tuple, list] = {}
-
-
 def get_elements_by_tag_name(element: VElement, tag_name) -> list[VElement]:
     """Pre-order collection including self (reference src/dom.ts:41-59).
 
     Iterative (explicit stack) so multi-thousand-deep real-world pages
-    don't hit Python's recursion limit.
+    don't hit Python's recursion limit.  Results memoize on the node
+    (the DOM is static outside preprocessing, which invalidates).
     """
     if isinstance(tag_name, str):
         tags = (tag_name.lower(),)
     else:
         tags = tuple(t.lower() for t in tag_name)
-    key = (id(element), tags)
-    cached = _TAG_CACHE.get(key)
+    node_cache = element._cache
+    if node_cache is None:
+        node_cache = element._cache = {}
+    cached = node_cache.get(tags)
     if cached is not None:
         return cached  # callers never mutate the returned list
-    # (cache pays off only for repeated whole-doc scans: classify +
-    # metadata re-scan body/documentElement for the same tags)
     match_all = "*" in tags
     result: list[VElement] = []
     stack = [element]
@@ -150,7 +147,7 @@ def get_elements_by_tag_name(element: VElement, tag_name) -> list[VElement]:
             for child in reversed(node.children):
                 if child.nodeType == ELEMENT:
                     stack.append(child)
-    _TAG_CACHE[key] = result
+    node_cache[tags] = result
     return result
 
 
@@ -249,28 +246,38 @@ def _raw_inner_text(element) -> str:
     return "".join(parts)
 
 
-# Per-document memo cache for get_inner_text: the DOM is static after
-# preprocessing, and candidate scoring / link density calls re-walk the
-# same subtrees many times.  Cleared per extract() call (actors are
-# single-threaded so a module-level dict is safe).
-_TEXT_CACHE: dict[int, str] = {}
+def text_cache_clear(root=None) -> None:
+    """Invalidate per-node memo caches.
 
-
-def text_cache_clear() -> None:
-    _TEXT_CACHE.clear()
-    _TAG_CACHE.clear()
+    With no argument this is a no-op retained for API stability (the
+    caches live on the nodes now and die with them); pass a subtree
+    root to invalidate after mutating the tree."""
+    if root is None:
+        return
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.nodeType == ELEMENT:
+            node._cache = None
+            stack.extend(node.children)
 
 
 def get_inner_text(element, normalize_spaces: bool = True) -> str:
-    """reference src/dom.ts:187-209."""
-    key = id(element) * 2 + (1 if normalize_spaces else 0)
-    cached = _TEXT_CACHE.get(key)
+    """reference src/dom.ts:187-209 (memoized on the node)."""
+    if element.nodeType == TEXT:
+        text = js_trim(element.text)
+        return js_normalize_spaces(text) if normalize_spaces else text
+    node_cache = element._cache
+    if node_cache is None:
+        node_cache = element._cache = {}
+    key = normalize_spaces
+    cached = node_cache.get(key)
     if cached is not None:
         return cached
     text = js_trim(_raw_inner_text(element))
     if normalize_spaces:
         text = js_normalize_spaces(text)
-    _TEXT_CACHE[key] = text
+    node_cache[key] = text
     return text
 
 
