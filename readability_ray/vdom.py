@@ -47,7 +47,8 @@ class VText:
 
 
 class VElement:
-    __slots__ = ("tag", "attrs", "children", "parent", "score", "_cache")
+    __slots__ = ("tag", "attrs", "children", "parent", "score",
+                 "_text_raw", "_text_norm", "_tags")
     nodeType = ELEMENT
 
     def __init__(self, tag: str, attrs: dict | None = None,
@@ -59,9 +60,12 @@ class VElement:
         # readability.contentScore annotation; None == "not initialized"
         # (reference src/types.ts:15-17)
         self.score: float | None = None
-        # per-node memo for inner-text / tag scans; lives and dies with
-        # the node (an id()-keyed module dict can collide after GC)
-        self._cache: dict | None = None
+        # per-node memo slots for inner-text / tag scans; they live and
+        # die with the node (an id()-keyed module dict can collide
+        # after GC recycles addresses)
+        self._text_raw: str | None = None
+        self._text_norm: str | None = None
+        self._tags: dict | None = None
 
     @property
     def id(self) -> str | None:
@@ -114,9 +118,9 @@ def get_elements_by_tag_name(element: VElement, tag_name) -> list[VElement]:
         tags = (tag_name.lower(),)
     else:
         tags = tuple(t.lower() for t in tag_name)
-    node_cache = element._cache
+    node_cache = element._tags
     if node_cache is None:
-        node_cache = element._cache = {}
+        node_cache = element._tags = {}
     cached = node_cache.get(tags)
     if cached is not None:
         return cached  # callers never mutate the returned list
@@ -258,7 +262,9 @@ def text_cache_clear(root=None) -> None:
     while stack:
         node = stack.pop()
         if node.nodeType == ELEMENT:
-            node._cache = None
+            node._text_raw = None
+            node._text_norm = None
+            node._tags = None
             stack.extend(node.children)
 
 
@@ -267,17 +273,18 @@ def get_inner_text(element, normalize_spaces: bool = True) -> str:
     if element.nodeType == TEXT:
         text = js_trim(element.text)
         return js_normalize_spaces(text) if normalize_spaces else text
-    node_cache = element._cache
-    if node_cache is None:
-        node_cache = element._cache = {}
-    key = normalize_spaces
-    cached = node_cache.get(key)
+    if normalize_spaces:
+        cached = element._text_norm
+        if cached is not None:
+            return cached
+        text = js_normalize_spaces(js_trim(_raw_inner_text(element)))
+        element._text_norm = text
+        return text
+    cached = element._text_raw
     if cached is not None:
         return cached
     text = js_trim(_raw_inner_text(element))
-    if normalize_spaces:
-        text = js_normalize_spaces(text)
-    node_cache[key] = text
+    element._text_raw = text
     return text
 
 
