@@ -120,6 +120,19 @@ def _q_link_hierarchy(sf_dir: str):
                                          batch_size=64)
 
 
+def _q_extract_fixture_corpus(sf_dir: str):
+    """Extraction over the synthetic corpus PLUS the reference's 128
+    real-world fixture pages (urls https://fixtures.test/...)."""
+    import ray.data
+    from readability_ray.pipelines import extract_pipeline
+    from readability_ray.sources import pages_path_for_sf
+    path = pages_path_for_sf(sf_dir, include_reference_fixtures=True)
+    ds = ray.data.read_parquet(path, columns=["url", "html"])
+    out = extract_pipeline(ds, concurrency=(1, 8), batch_size=32)
+    return out.select_columns(
+        ["url", "page_type", "title", "node_count", "n_links", "error"])
+
+
 def _q_full_analysis(sf_dir: str):
     from readability_ray.pipelines import full_analysis_pipeline
     out = full_analysis_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
@@ -362,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aria_trees": _q_aria_trees,
         "link_hierarchy": _q_link_hierarchy,
         "full_analysis": _q_full_analysis,
+        "extract_fixture_corpus": _q_extract_fixture_corpus,
         "dedup_pages_by_url": _q_dedup_pages,
         "image_features": _q_image_features,
         # training-data ops

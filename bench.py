@@ -77,7 +77,9 @@ def _run_benchmarks() -> None:
     import __ray_entry__ as entrymod
     bench_queries = ["token_stats", "exact_dedup", "minhash_dedup_pairs",
                      "knn_cosine_top5", "embedding_dup_pairs",
-                     "doc_lang_stats", "events_hourly"]
+                     "doc_lang_stats", "events_hourly",
+                     "token_frequency_top50", "events_sessionize",
+                     "page_structure"]
     qs = entrymod.queries()
     for name in bench_queries:
         t0 = time.time()
