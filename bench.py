@@ -106,9 +106,15 @@ def _run_benchmarks() -> None:
 
 
 def _run_scaling() -> None:
-    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N)."""
-    results = {}
-    for ncpu in (8, 32):
+    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N).
+
+    The sandbox's available compute fluctuates +-30-40% over minutes,
+    so a single (8, 32) pair measures host noise as much as scaling;
+    we alternate three rounds per level and report the MEDIAN
+    throughput of each."""
+    import statistics
+
+    def one(ncpu):
         # 16x corpus so the 32-CPU run is long enough to amortize pool
         # startup (the ratio, not the absolute, is what's measured)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -116,16 +122,22 @@ def _run_scaling() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    pps_lo = results[8]["pages_per_sec"]
-    pps_hi = results[32]["pages_per_sec"]
+        return json.loads(out.strip().splitlines()[-1])["pages_per_sec"]
+
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        lo_runs.append(one(8))
+        hi_runs.append(one(32))
+    pps_lo = statistics.median(lo_runs)
+    pps_hi = statistics.median(hi_runs)
     eff = (pps_hi / pps_lo) / (32 / 8)
     print(json.dumps({
-        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32)",
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, "
+                  "median of 3 alternating rounds)",
         "pages_per_sec_8": pps_lo,
         "pages_per_sec_32": pps_hi,
-        "sec_8": results[8]["queries"]["extract"],
-        "sec_32": results[32]["queries"]["extract"],
+        "runs_8": lo_runs,
+        "runs_32": hi_runs,
         "scaling_efficiency": round(eff, 3),
     }))
 
