@@ -191,6 +191,17 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def _q_quality_filter(sf_dir: str):
+    from readability_ray.functions import quality_filter
+    return quality_filter(_docs(sf_dir), min_tokens=30,
+                          max_stop_ratio=0.3, max_punct_ratio=0.08)
+
+
+def _q_kmeans(sf_dir: str):
+    from readability_ray.functions import kmeans_assign
+    return kmeans_assign(_embs(sf_dir), k=8, n_iter=4)
+
+
 def _q_doc_lang_stats(sf_dir: str):
     from readability_ray.functions import doc_lang_stats
     return doc_lang_stats(_docs(sf_dir))
@@ -381,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
+        "quality_filter": _q_quality_filter,
+        "kmeans_clusters": _q_kmeans,
         "lang_id": _q_lang_id,
         "doc_lang_stats": _q_doc_lang_stats,
         "content_hashes": _q_content_hashes,
@@ -433,6 +446,29 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(regexp_extract_all(text, '{tok}')), 1)
                          * 1000000) / 1000000 AS mean_token_len
             FROM documents
+        """,
+        "quality_filter": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       length(text)::BIGINT AS n_chars,
+                       len(regexp_extract_all(text, '{tok}'))::BIGINT
+                           AS n_tokens,
+                       floor(len(regexp_extract_all(text, '{stop}'))::DOUBLE
+                             / greatest(len(regexp_extract_all(
+                                   text, '{tok}')), 1)
+                             * 1000000) / 1000000 AS stop_ratio,
+                       floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+                             / greatest(length(text), 1) * 1000000) / 1000000
+                           AS punct_ratio,
+                       floor(length(text)::DOUBLE
+                             / greatest(len(regexp_extract_all(
+                                   text, '{tok}')), 1)
+                             * 1000000) / 1000000 AS mean_token_len
+                FROM documents
+            )
+            SELECT * FROM scored
+            WHERE n_tokens >= 30 AND stop_ratio <= 0.3
+              AND punct_ratio <= 0.08
         """,
         "lang_id": f"""
             WITH counts AS (SELECT doc_id, {lang_counts} FROM documents)

@@ -8,17 +8,20 @@ SQL oracle exists.
 """
 
 from .textstats import (
-    doc_lang_stats, events_sessionize, lang_id, quality_scores,
-    token_frequency_topk, token_stats,
+    doc_lang_stats, events_sessionize, lang_id, quality_filter,
+    quality_scores, token_frequency_topk, token_stats,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
     simhash_signatures,
 )
-from .similarity import embedding_dup_pairs, knn_topk, lsh_ann_topk
+from .similarity import (
+    embedding_dup_pairs, kmeans_assign, knn_topk, lsh_ann_topk,
+)
 
 __all__ = [
-    "doc_lang_stats", "events_sessionize", "lang_id", "quality_scores",
+    "doc_lang_stats", "events_sessionize", "lang_id", "quality_filter",
+    "quality_scores", "kmeans_assign",
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",

@@ -205,3 +205,60 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         })
 
     return ds.map_batches(find_pairs, batch_format="pyarrow")
+
+
+def kmeans_assign(ds: ray.data.Dataset, k: int = 8, n_iter: int = 5,
+                  seed: int = 17, id_col: str = "vec_id"
+                  ) -> ray.data.Dataset:
+    """Mini-batch-free Lloyd's k-means over the embedding column.
+
+    Iterative algorithm on Ray Data: each iteration is one vectorized
+    map_batches pass emitting per-batch partial sums per centroid; the
+    driver reduces the (k × dim) partials and broadcasts the new
+    centroids.  Initial centroids are the k smallest ids (seeded and
+    deterministic).  Returns (id, cluster) assignments.
+    """
+    first_rows = _take_by_ids(ds, id_col, list(range(0, 10_000)))[:k]
+    centroids = np.asarray([r["embedding"] for r in first_rows],
+                           dtype=np.float64)
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cents = ray.get(ref)
+            mat = _matrix(batch)
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            np.add.at(sums, assign, mat)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "cluster": pa.array(range(len(cents)), pa.int32()),
+                "vec_sum": pa.array([row.tolist() for row in sums],
+                                    pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for row in rows:
+            sums[row["cluster"]] += np.asarray(row["vec_sum"])
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    final_ref = ray.put(centroids)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(final_ref)
+        mat = _matrix(batch)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(d2.argmin(axis=1), pa.int32()),
+        })
+
+    return ds.map_batches(assign_final, batch_format="pyarrow")

@@ -224,3 +224,23 @@ def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30
 
     return ds.select_columns(["user_id", "ts"]) \
         .groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def quality_filter(ds: ray.data.Dataset, min_tokens: int = 20,
+                   max_stop_ratio: float = 0.4,
+                   max_punct_ratio: float = 0.1) -> ray.data.Dataset:
+    """Training-data quality gate: keep documents passing the signal
+    thresholds (composition of quality_scores + a vectorized filter —
+    the standard pre-training corpus cleaning step)."""
+    scored = quality_scores(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        mask = pc2.and_(
+            pc2.and_(
+                pc2.greater_equal(batch.column("n_tokens"), min_tokens),
+                pc2.less_equal(batch.column("stop_ratio"), max_stop_ratio)),
+            pc2.less_equal(batch.column("punct_ratio"), max_punct_ratio))
+        return batch.filter(mask)
+
+    return scored.map_batches(keep, batch_format="pyarrow")

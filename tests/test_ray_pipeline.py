@@ -231,3 +231,34 @@ def test_full_analysis_pipeline(ray_session, pages_path):
     docsites = df[df.url.str.contains("/docsite/")]
     if len(docsites):
         assert (docsites.n_navigations > 0).any()
+
+
+def test_quality_filter(ray_session):
+    import ray.data
+    from readability_ray.functions import quality_filter
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox " * 20},     # stop-heavy
+        {"doc_id": 2, "text": "alpha beta gamma delta words " * 20},
+        {"doc_id": 3, "text": "tiny"},                           # too short
+    ]
+    df = quality_filter(ray.data.from_items(rows), min_tokens=20,
+                        max_stop_ratio=0.2).to_pandas()
+    assert df.doc_id.tolist() == [2]
+
+
+def test_kmeans_assign(ray_session):
+    import ray.data
+    from readability_ray.functions import kmeans_assign
+    rng = np.random.RandomState(5)
+    # two well-separated blobs
+    a = rng.standard_normal((30, 8)) + 10
+    b = rng.standard_normal((30, 8)) - 10
+    vecs = np.vstack([a, b]).astype(np.float32)
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)])
+    df = kmeans_assign(ds, k=2, n_iter=4).to_pandas().sort_values("vec_id")
+    clusters = df.cluster.to_numpy()
+    # each blob ends in one cluster, and the two differ
+    assert len(set(clusters[:30])) == 1
+    assert len(set(clusters[30:])) == 1
+    assert clusters[0] != clusters[30]
