@@ -31,7 +31,8 @@ def extract_pipeline(ds: ray.data.Dataset, *, char_threshold: int = 500,
                      nb_top_candidates: int = 5, emit_html: bool = False,
                      emit_markdown: bool = True, emit_aria: bool = False,
                      concurrency=None, batch_size: int = 64,
-                     size_bucket: bool = False) -> ray.data.Dataset:
+                     size_bucket: bool = False,
+                     use_actors: bool = True) -> ray.data.Dataset:
     """Build the lazy extraction Dataset (does not execute).
 
     Default output columns are text+markdown (the reference CLI's
@@ -48,6 +49,16 @@ def extract_pipeline(ds: ray.data.Dataset, *, char_threshold: int = 500,
                   num_cpus=1, zero_copy_batch=True)
     if concurrency is not None:
         common["concurrency"] = concurrency
+
+    if not use_actors:
+        # stateless-task mode: worker-process reuse amortizes the stage
+        # state without per-dataset actor-pool spin-up; `concurrency`
+        # is ignored (tasks are elastic)
+        from ..stages.extract_stage import extract_batch_task
+        import functools
+        fn = functools.partial(extract_batch_task, **stage_kwargs)
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
 
     if not size_bucket:
         return ds.map_batches(ExtractStage, batch_size=batch_size, **common)

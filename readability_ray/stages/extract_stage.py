@@ -40,6 +40,22 @@ RESULT_SCHEMA = pa.schema([
 ])
 
 
+_TASK_STAGE_CACHE: dict = {}
+
+
+def extract_batch_task(batch: pa.Table, **stage_kwargs) -> pa.Table:
+    """Stateless-task variant of ExtractStage: one module-level stage
+    instance per (kwargs, worker process) — Ray reuses worker processes
+    for tasks, so the compiled-regex/import state amortizes exactly like
+    an actor's, without the per-dataset actor-pool spin-up (~3 s for a
+    24-actor pool on this box; see BASELINE.md)."""
+    key = tuple(sorted(stage_kwargs.items()))
+    stage = _TASK_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _TASK_STAGE_CACHE[key] = ExtractStage(**stage_kwargs)
+    return stage(batch)
+
+
 class ExtractStage:
     """``ds.map_batches(ExtractStage, batch_format="pyarrow",
     concurrency=N, batch_size=64)``."""

@@ -262,3 +262,12 @@ def test_kmeans_assign(ray_session):
     assert len(set(clusters[:30])) == 1
     assert len(set(clusters[30:])) == 1
     assert clusters[0] != clusters[30]
+
+
+def test_task_mode_extraction(ray_session, pages_path):
+    import ray.data
+    from readability_ray.pipelines import extract_pipeline
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+    df = extract_pipeline(ds, use_actors=False, batch_size=32).to_pandas()
+    assert len(df) == 120
+    assert (df.error == "").all()
