@@ -62,7 +62,8 @@ class ExtractStage:
 
     def __init__(self, char_threshold: int = 500, nb_top_candidates: int = 5,
                  emit_html: bool = True, emit_markdown: bool = True,
-                 emit_aria: bool = False, forced_page_type: str | None = None):
+                 emit_aria: bool = False, forced_page_type: str | None = None,
+                 max_html_bytes: int = 20_000_000):
         # once-per-actor setup: imports compile the ~40 regexes at module
         # load; deep real-world DOMs need a higher recursion limit.
         sys.setrecursionlimit(40000)
@@ -73,6 +74,10 @@ class ExtractStage:
         self.emit_markdown = emit_markdown
         self.emit_aria = emit_aria
         self.forced_page_type = forced_page_type
+        # defensive truncation guard (SURVEY.md §4 skew row): a
+        # pathological multi-hundred-MB blob degrades to an error row
+        # instead of stalling an actor for minutes
+        self.max_html_bytes = max_html_bytes
 
     def _extract_row(self, url: str, html: str) -> dict:
         from readability_ray.extract import extract
@@ -117,6 +122,10 @@ class ExtractStage:
             if isinstance(html, (bytes, bytearray, memoryview)):
                 html = bytes(html).decode("utf-8", errors="replace")
             try:
+                if html and len(html) > self.max_html_bytes:
+                    raise ValueError(
+                        f"PageTooLarge: {len(html)} bytes > "
+                        f"{self.max_html_bytes} limit")
                 row = self._extract_row(url, html or "")
             except Exception as exc:  # poison page → error column
                 row = {name: "" for name in RESULT_SCHEMA.names}
