@@ -340,11 +340,17 @@ def _wrap_fragment(parsed) -> VDocument:
 def extract(html: str, char_threshold: int | None = None,
             nb_top_candidates: int | None = None,
             parser=None, forced_page_type: str | None = None,
-            url: str | None = None) -> ExtractedSnapshot:
+            url: str | None = None,
+            build_aria: bool = True) -> ExtractedSnapshot:
     """Full per-document pipeline (reference src/extract/extract.ts:777-859).
 
     Note JS falsy-default semantics: charThreshold=0 → 500,
     nbTopCandidates=0 → 5 (``options.x || DEFAULT``).
+
+    ``build_aria=True`` matches the reference exactly (extract.ts:816
+    always builds the tree); False is a corpus-throughput knob (~20%
+    of extract cost) for pipelines that don't consume the aria column —
+    it does not change any other output.
     """
     ensure_recursion_headroom()
     text_cache_clear()
@@ -365,8 +371,10 @@ def extract(html: str, char_threshold: int | None = None,
 
     links = extract_links(doc)
 
-    from .readable_aria import build_aria_tree
-    aria_tree = build_aria_tree(doc)
+    aria_tree = None
+    if build_aria:
+        from .readable_aria import build_aria_tree
+        aria_tree = build_aria_tree(doc)
 
     threshold = char_threshold or DEFAULT_CHAR_THRESHOLD
     page_type = forced_page_type or classify_page_type(doc, candidates, threshold)

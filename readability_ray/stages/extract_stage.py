@@ -87,7 +87,8 @@ class ExtractStage:
 
         snap = extract(html, char_threshold=self.char_threshold,
                        nb_top_candidates=self.nb_top_candidates,
-                       forced_page_type=self.forced_page_type)
+                       forced_page_type=self.forced_page_type,
+                       build_aria=self.emit_aria)
         text = format_document(stringify(snap.root)) if snap.root else ""
         markdown = (to_markdown(snap.root)
                     if self.emit_markdown and snap.root else "")
