@@ -62,17 +62,15 @@ def _q_extract_text(sf_dir: str):
     from readability_ray.pipelines import extract_pipeline
 
     def hash_cols(batch: pa.Table) -> pa.Table:
-        text_hash = [hashlib.md5(t.encode()).hexdigest()
-                     for t in batch.column("extracted_text").to_pylist()]
+        texts = batch.column("extracted_text").to_pylist()
+        text_hash = [hashlib.md5(t.encode()).hexdigest() for t in texts]
         md_hash = [hashlib.md5(t.encode()).hexdigest()
                    for t in batch.column("markdown").to_pylist()]
         return pa.table({
             "url": batch.column("url"),
             "text_md5": pa.array(text_hash, pa.string()),
             "markdown_md5": pa.array(md_hash, pa.string()),
-            "text_len": pa.array(
-                [len(t) for t in batch.column("extracted_text").to_pylist()],
-                pa.int64()),
+            "text_len": pa.array([len(t) for t in texts], pa.int64()),
         })
 
     out = extract_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
@@ -95,25 +93,33 @@ def _q_link_hierarchy(sf_dir: str):
     def classify(batch: pa.Table) -> pa.Table:
         from readability_ray.extract import PageMetadata, extract
         from readability_ray.hierarchy import analyze_link_hierarchy
-        urls_out, hrefs_out, rels_out = [], [], []
+        from readability_ray.vdom import ensure_recursion_headroom
+        ensure_recursion_headroom()
+        urls_out, hrefs_out, rels_out, errs_out = [], [], [], []
         for url, html in zip(batch.column("url").to_pylist(),
                              batch.column("html").to_pylist()):
             html = bytes(html).decode("utf-8", errors="replace")
             try:
                 snap = extract(html)
-            except Exception:
+                meta = PageMetadata(url=url)
+                analysis = analyze_link_hierarchy(snap.links, meta)
+            except Exception as exc:  # poison page → error row, not a drop
+                urls_out.append(url)
+                hrefs_out.append("")
+                rels_out.append("")
+                errs_out.append(f"{type(exc).__name__}: {exc}"[:200])
                 continue
-            meta = PageMetadata(url=url)
-            analysis = analyze_link_hierarchy(snap.links, meta)
             for rel in ("parent", "sibling", "child", "external"):
                 for link in getattr(analysis, rel):
                     urls_out.append(url)
                     hrefs_out.append(link.href or "")
                     rels_out.append(rel)
+                    errs_out.append("")
         return pa.table({
             "url": pa.array(urls_out, pa.string()),
             "href": pa.array(hrefs_out, pa.string()),
             "relation": pa.array(rels_out, pa.string()),
+            "error": pa.array(errs_out, pa.string()),
         })
 
     return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
@@ -238,22 +244,31 @@ def _q_page_structure(sf_dir: str):
 
     def analyze(batch: pa.Table) -> pa.Table:
         from readability_ray.detect import analyze_page_structure
-        urls, n_navs, n_headers, main_nav, has_main, has_footer = \
-            [], [], [], [], [], []
+        from readability_ray.vdom import ensure_recursion_headroom
+        ensure_recursion_headroom()
+        urls, n_navs, n_headers, main_nav, has_main, has_footer, errs = \
+            [], [], [], [], [], [], []
         for url, html in zip(batch.column("url").to_pylist(),
                              batch.column("html").to_pylist()):
             html = bytes(html).decode("utf-8", errors="replace")
+            urls.append(url)
             try:
                 s = analyze_page_structure(html)
-            except Exception:
+            except Exception as exc:  # poison page → error row, not a drop
+                n_navs.append(0)
+                n_headers.append(0)
+                main_nav.append("")
+                has_main.append(False)
+                has_footer.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}"[:200])
                 continue
-            urls.append(url)
             n_navs.append(len(s.navigations))
             n_headers.append(len(s.headers))
             main_nav.append(s.main_navigation.type
                             if s.main_navigation else "")
             has_main.append(s.main_content is not None)
             has_footer.append(s.footer is not None)
+            errs.append("")
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "n_navigations": pa.array(n_navs, pa.int32()),
@@ -261,6 +276,7 @@ def _q_page_structure(sf_dir: str):
             "main_nav_type": pa.array(main_nav, pa.string()),
             "has_main_content": pa.array(has_main, pa.bool_()),
             "has_footer": pa.array(has_footer, pa.bool_()),
+            "error": pa.array(errs, pa.string()),
         })
 
     return _pages_ds(sf_dir).map_batches(analyze, batch_format="pyarrow",
@@ -274,23 +290,30 @@ def _q_classify_pages(sf_dir: str):
     def classify(batch: pa.Table) -> pa.Table:
         from readability_ray.classify import classify_snapshot
         from readability_ray.extract import extract
+        from readability_ray.vdom import ensure_recursion_headroom
         import numpy as np
-        urls, kinds, possibilities = [], [], []
+        ensure_recursion_headroom()
+        urls, kinds, possibilities, errs = [], [], [], []
         for url, html in zip(batch.column("url").to_pylist(),
                              batch.column("html").to_pylist()):
             html = bytes(html).decode("utf-8", errors="replace")
+            urls.append(url)
             try:
                 results = classify_snapshot(extract(html))
-            except Exception:
+            except Exception as exc:  # poison page → error row, not a drop
+                kinds.append("error")
+                possibilities.append(0.0)
+                errs.append(f"{type(exc).__name__}: {exc}"[:200])
                 continue
-            urls.append(url)
             kinds.append(results[0].page_type)
             possibilities.append(
                 float(np.floor(results[0].possibility * 1e6) / 1e6))
+            errs.append("")
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "top_page_type": pa.array(kinds, pa.string()),
             "possibility": pa.array(possibilities, pa.float64()),
+            "error": pa.array(errs, pa.string()),
         })
 
     return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
@@ -308,6 +331,20 @@ def _q_lsh_ann(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
+    # small_side=True: the exact all-pairs path, matching the DuckDB
+    # oracle (itself a cross-product).  The library DEFAULT is the
+    # LSH-banded scale path — exercised by embedding_dup_pairs_lsh.
+    from readability_ray.functions import embedding_dup_pairs
+    return embedding_dup_pairs(_embs(sf_dir), threshold=0.35,
+                               small_side=True)
+
+
+def _q_embedding_dups_lsh(sf_dir: str):
+    """The 100 TB default path: LSH-banded pairs.  Same threshold as
+    the exact query so the output is a verifiable SUBSET of the
+    oracle-green ``embedding_dup_pairs`` rows (per-bucket verification
+    is exact cosine; banding only bounds recall — ~0.7 at this low
+    threshold, →1.0 at real near-dup thresholds).  Rows-only check."""
     from readability_ray.functions import embedding_dup_pairs
     return embedding_dup_pairs(_embs(sf_dir), threshold=0.35)
 
@@ -357,6 +394,14 @@ def _q_events_hourly(sf_dir: str):
     import pyarrow as _pa
 
     def rename(batch: _pa.Table) -> _pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return _pa.table({
+                "event_type": _pa.array([], _pa.string()),
+                "hour": _pa.array([], _pa.int64()),
+                "n": _pa.array([], _pa.int64()),
+                "min_value": _pa.array([], _pa.float64()),
+                "max_value": _pa.array([], _pa.float64()),
+            })
         return _pa.table({
             "event_type": batch.column("event_type"),
             "hour": batch.column("hour"),
@@ -406,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn,
         "lsh_ann_top5": _q_lsh_ann,
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "events_hourly": _q_events_hourly,
         "token_frequency_top50": _q_token_frequency,
         "events_sessionize": _q_events_sessions,

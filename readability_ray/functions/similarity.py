@@ -92,16 +92,28 @@ def knn_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
 
     import pandas as pd
 
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.sort_values(
-            ["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
-        top = top.reset_index(drop=True)
-        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-        return top
+    def merge_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int64")})
+        out = []
+        for _qid, group in batch.groupby("query_id", sort=True):
+            top = group.sort_values(
+                ["cos_sim", "neighbor_id"],
+                ascending=[False, True]).head(k).reset_index(drop=True)
+            top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+            out.append(top)
+        return pd.concat(out, ignore_index=True)
 
+    # Per-batch local top-k shrinks the data to queries×k×n_batches
+    # rows, so the global merge is one tiny single-block pass — no
+    # grouped shuffle needed (and no per-group pandas calls).
     local = ds.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas")
+    return local.repartition(1).map_batches(
+        merge_topk, batch_format="pandas", batch_size=None)
 
 
 def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
@@ -165,20 +177,54 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
                                            "cos_sim"])
 
+    def search_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64")})
+        return pd.concat([search_bucket(g)
+                          for _b, g in batch.groupby("bucket", sort=True)],
+                         ignore_index=True)
+
+    # The bucketize filter keeps only the queries' buckets (a
+    # 1/2^n_planes fraction of the corpus), so the search side is one
+    # small single-block pass; at larger query sets swap this for a
+    # repartition(keys=["bucket"]) co-location.
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(
-        search_bucket, batch_format="pandas")
+    return bucketed.repartition(1).map_batches(
+        search_buckets, batch_format="pandas", batch_size=None)
 
 
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
-                        id_col: str = "vec_id") -> ray.data.Dataset:
+                        id_col: str = "vec_id", *,
+                        small_side: bool = False,
+                        n_bands: int = 8, planes_per_band: int = 4,
+                        seed: int = 23,
+                        n_partitions: int | None = None
+                        ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
-    The full normalized matrix is broadcast once (``ray.put``); each
-    batch multiplies against it.  O(N·B) FLOPs distributed over
-    batches; at true scale swap the broadcast side for LSH buckets
-    (see lsh_ann_topk) — the batch-side code is unchanged.
+    Default path (the 100 TB shape): random-hyperplane LSH banding —
+    each vector lands in ``n_bands`` (band, band_sig) buckets; a hash
+    shuffle co-locates equal buckets; within each bucket an exact
+    vectorized cosine verify emits pairs ≥ threshold.  No driver
+    materialization, no all-pairs scan.  Recall is probabilistic but
+    high for near-dup thresholds: P(hit) = 1−(1−p^r)^b with
+    p = 1−θ/π (≈ 0.9998 for cos ≥ 0.95 at r=4, b=8); it degrades for
+    LOW thresholds, where near-dup semantics don't apply anyway.
+
+    ``small_side=True`` is the exact all-pairs path for corpora that
+    fit on one node (and for the DuckDB oracle, which is itself a
+    cross-product): the full normalized matrix is collected once and
+    broadcast via ``ray.put``; each batch multiplies against it.
+    O(N·B) FLOPs distributed over batches.
     """
+    if not small_side:
+        return _embedding_dup_pairs_lsh(
+            ds, threshold, id_col, n_bands=n_bands,
+            planes_per_band=planes_per_band, seed=seed,
+            n_partitions=n_partitions)
     all_rows = ds.select_columns([id_col, "embedding"]).take_all()
     all_rows.sort(key=lambda r: r[id_col])
     all_ids = np.asarray([r[id_col] for r in all_rows], dtype=np.int64)
@@ -205,6 +251,98 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         })
 
     return ds.map_batches(find_pairs, batch_format="pyarrow")
+
+
+def _embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float,
+                             id_col: str, *, n_bands: int,
+                             planes_per_band: int, seed: int,
+                             n_partitions: int | None) -> ray.data.Dataset:
+    """LSH-banded near-dup pairs: explode each vector into n_bands
+    (band, band_sig) rows carrying the embedding, hash-co-locate equal
+    buckets, verify exactly (vectorized matmul per bucket), dedupe
+    pairs found in several bands with a Min aggregate.
+
+    Shuffle volume: n_bands × the embedding column — the price of
+    replacing the O(N²) scan with O(Σ bucket²) verification.
+    Partitioning assumption: each (band, band_sig) bucket fits in one
+    partition; raise planes_per_band if templated corpora make a
+    bucket hot."""
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_bands * planes_per_band))
+    planes_ref = ray.put(planes)
+    shifts = np.arange(planes_per_band, dtype=np.uint32)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _matrix(batch)
+        bits = (mat @ p > 0).astype(np.uint32)  # (rows, bands*r)
+        n = len(ids)
+        out_id = np.repeat(ids, n_bands)
+        out_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        sigs = np.empty((n, n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            chunk = bits[:, band * planes_per_band:
+                         (band + 1) * planes_per_band]
+            sigs[:, band] = (chunk << shifts).sum(axis=1)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_sig": pa.array(sigs.reshape(-1), pa.int64()),
+            "embedding": batch.column("embedding").take(
+                pa.array(np.repeat(np.arange(n), n_bands))),
+        })
+
+    import pandas as pd
+
+    def verify_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        if len(batch) == 0 or "band" not in batch.columns:
+            batch = pd.DataFrame({"band": [], "band_sig": [],
+                                  id_col: [], "embedding": []})
+        for _, sub in batch.groupby(["band", "band_sig"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = _normalize(np.asarray(list(sub["embedding"]),
+                                        dtype=np.float64)[order])
+            sims = _floor6(mat @ mat.T)
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.extend(ids[ai])
+            out_b.extend(ids[bi])
+            out_s.extend(sims[ai, bi])
+        return pd.DataFrame({
+            "vec_a": pd.Series(out_a, dtype="int64"),
+            "vec_b": pd.Series(out_b, dtype="int64"),
+            "cos_sim": pd.Series(out_s, dtype="float64"),
+        })
+
+    from ray.data.aggregate import Min
+    pairs = ds.map_batches(explode, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["band", "band_sig"]) \
+        .map_batches(verify_bucket, batch_format="pandas", batch_size=None)
+    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_sim"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        return pa.table({
+            "vec_a": batch.column("vec_a"),
+            "vec_b": batch.column("vec_b"),
+            "cos_sim": batch.column("min(cos_sim)"),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def kmeans_assign(ds: ray.data.Dataset, k: int = 8, n_iter: int = 5,

@@ -135,9 +135,19 @@ def doc_lang_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     then a small groupby over the partials (shuffle moves only
     langs×batches rows)."""
     partials = ds.map_batches(_lang_partials, batch_format="pyarrow")
-    return partials.groupby("lang").sum(
-        ["n_docs", "total_chars", "total_tokens"]) \
-        .rename_columns(["lang", "n_docs", "total_chars", "total_tokens"])
+    agg = partials.groupby("lang").sum(
+        ["n_docs", "total_chars", "total_tokens"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "total_chars": pa.array([], pa.int64()),
+                             "total_tokens": pa.array([], pa.int64())})
+        return batch.rename_columns(
+            ["lang", "n_docs", "total_chars", "total_tokens"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
@@ -170,6 +180,9 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
         .groupby("token").aggregate(Sum("n"))
 
     def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         return pa.table({
             "token": batch.column("token"),
             "n": batch.column("sum(n)").cast(pa.int64()),
@@ -180,6 +193,9 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
     import pandas as pd
 
     def global_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
         return batch.sort_values(["n", "token"],
                                  ascending=[False, True]).head(k)
 
@@ -190,40 +206,68 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
     return merged
 
 
-def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30
+def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
+                      n_partitions: int | None = None
                       ) -> ray.data.Dataset:
     """Session windows per user: a gap > gap_minutes starts a new
-    session (streaming-shaped op per ray_guide: partition by key, sort
-    by ts inside the group, windowing in pandas).
+    session.  Output: user_id, n_events, n_sessions,
+    longest_session_events.
 
-    Output: user_id, n_events, n_sessions, longest_session_events.
-    Ordering assumption: each user's events fit in one group (holds by
-    construction of the groupby).
+    Scale shape (VERDICT.md #9 — no per-user ``map_groups``, which
+    costs one pandas call per user): ONE hash shuffle co-locates each
+    user's events in one of O(cores×4) partitions
+    (``repartition(keys=["user_id"])``); within a partition a single
+    vectorized pass sorts by (user, ts), marks session starts where
+    the user changes or the gap exceeds the threshold, and reduces
+    per-user stats with groupby aggregates over the whole partition.
+    Partitioning assumption: one user's events fit in one partition —
+    the key must be fine-grained enough that no single user approaches
+    a block (holds for any real user-activity distribution; salt by
+    time-range for adversarial single-key streams).
     """
     import pandas as pd
 
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(group["ts"].to_numpy(dtype="datetime64[us]")
-                     .astype("int64"))
-        if len(ts) == 0:
-            return pd.DataFrame()
-        gaps = np.diff(ts)
-        new_session = (gaps > gap_us)
-        n_sessions = 1 + int(new_session.sum())
-        # longest run of events within one session
-        session_ids = np.concatenate([[0], np.cumsum(new_session)])
-        longest = int(np.bincount(session_ids).max())
-        return pd.DataFrame({
-            "user_id": [int(group["user_id"].iloc[0])],
-            "n_events": [len(ts)],
-            "n_sessions": [n_sessions],
-            "longest_session_events": [longest],
+    def sessionize_partition(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "longest_session_events": pd.Series([], dtype="int64"),
+            })
+        users = batch["user_id"].to_numpy(dtype=np.int64)
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        user_change = np.empty(len(users), dtype=bool)
+        user_change[0] = True
+        user_change[1:] = users[1:] != users[:-1]
+        gap_break = np.empty(len(ts), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = user_change | gap_break
+        session_id = np.cumsum(new_session) - 1  # global over partition
+        session_len = np.bincount(session_id)
+        frame = pd.DataFrame({
+            "user_id": users[new_session],
+            "session_len": session_len,
         })
+        per_user = frame.groupby("user_id", sort=True)["session_len"] \
+            .agg(n_events="sum", n_sessions="count",
+                 longest_session_events="max").reset_index()
+        return per_user.astype({
+            "user_id": "int64", "n_events": "int64",
+            "n_sessions": "int64", "longest_session_events": "int64"})
 
     return ds.select_columns(["user_id", "ts"]) \
-        .groupby("user_id").map_groups(sessionize, batch_format="pandas")
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(sessionize_partition, batch_format="pandas",
+                     batch_size=None)
 
 
 def quality_filter(ds: ray.data.Dataset, min_tokens: int = 20,

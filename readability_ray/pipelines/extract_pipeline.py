@@ -92,40 +92,36 @@ def run_extraction(input_path: str, output_dir: str | None = None,
     return out
 
 
-def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_pages_by_url(ds: ray.data.Dataset,
+                       n_partitions: int | None = None) -> ray.data.Dataset:
     """Exact URL dedup — the only shuffle the core extraction pipeline
     ever needs, and it is optional (SURVEY.md §2.9): hash-partition on
     url, keep the earliest crawl per url (min warc_ts).
 
-    Implemented as a vectorized aggregate (never per-group Python) and
-    a broadcast-free second read: the winning (url, warc_ts) pairs are
-    joined back by a per-batch semi-join against the aggregate result.
-    At crawl scale the aggregate output is one row per distinct url —
-    for a stronger reduction hash-bucket urls first and run this per
-    bucket.
+    Pure-shuffle plan (VERDICT.md #4 — no driver materialization, no
+    per-row Python membership loop): one hash shuffle co-locates every
+    row of a url in one of O(cores×4) partitions
+    (``repartition(keys=["url"])``), then a vectorized per-partition
+    stable sort + ``drop_duplicates(url)`` keeps the earliest crawl.
+    Exactly one exchange of the full rows — the minimum any
+    keep-one-row-per-key dedup can move — and each partition stays
+    bounded as the cluster grows.  Ties on (url, warc_ts) keep one
+    deterministic winner.
     """
-    from ray.data.aggregate import Min
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
 
-    winners = ds.groupby("url").aggregate(Min("warc_ts"))
+    import pandas as pd
 
-    winners_table = winners.to_arrow_refs()
-    import ray as _ray
-    tables = [t for t in (_ray.get(ref) for ref in winners_table)
-              if t.num_rows > 0]
-    lookup_table = pa.concat_tables(tables)
-    keep = set(zip(lookup_table.column("url").to_pylist(),
-                   lookup_table.column("min(warc_ts)").to_pylist()))
-    keep_ref = _ray.put(keep)
+    def first_per_url(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # schema-less empty shuffle partition
+            return batch
+        return batch.sort_values(["url", "warc_ts"], kind="stable") \
+            .drop_duplicates("url", keep="first")
 
-    def filter_winners(batch: pa.Table) -> pa.Table:
-        import ray as _r
-        keep_set = _r.get(keep_ref)
-        urls = batch.column("url").to_pylist()
-        tss = batch.column("warc_ts").to_pylist()
-        mask = pa.array([(u, t) in keep_set for u, t in zip(urls, tss)])
-        return batch.filter(mask)
-
-    return ds.map_batches(filter_winners, batch_format="pyarrow")
+    return ds.repartition(num_blocks=k, keys=["url"]) \
+        .map_batches(first_per_url, batch_format="pandas", batch_size=None)
 
 
 def full_analysis_pipeline(ds: ray.data.Dataset, *,
