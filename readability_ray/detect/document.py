@@ -32,10 +32,21 @@ class DocumentStructure(PageStructure):
 
 def analyze_document_structure(html: str, **options) -> DocumentStructure:
     """reference src/detect/document.ts:61-86."""
-    base = analyze_page_structure(html, doc_mode=True, **options)
+    from .structure import raw_aria_tree
+    return analyze_document_structure_from_tree(raw_aria_tree(html),
+                                                **options)
+
+
+def analyze_document_structure_from_tree(aria_tree: dict, **options
+                                         ) -> DocumentStructure:
+    """Tree-based core: one raw parse/ARIA build serves the page
+    structure, the section outline, and pagination."""
+    from .structure import analyze_page_structure_from_tree
+    base = analyze_page_structure_from_tree(aria_tree, doc_mode=True,
+                                            **options)
     sidebar_navigation = next(
         (n for n in base.navigations if n.location == "sidebar"), None)
-    sections = extract_sections(html)
+    sections = extract_sections_from_tree(aria_tree)
     pagination = _extract_pagination(base)
     return DocumentStructure(
         headers=base.headers, navigations=base.navigations,
@@ -51,6 +62,10 @@ def extract_sections(html: str) -> list[SectionInfo]:
     (reference src/detect/document.ts:91-141)."""
     doc = parse_html(html)
     aria_tree = build_aria_tree(doc, compress=False)
+    return extract_sections_from_tree(aria_tree)
+
+
+def extract_sections_from_tree(aria_tree: dict) -> list[SectionInfo]:
     sections: list[SectionInfo] = []
     stack: list[tuple[SectionInfo, int]] = []
 
@@ -105,7 +120,12 @@ class DocumentContent:
 
 def extract_document_content(html: str) -> DocumentContent:
     """reference src/detect/document.ts:204-236."""
-    structure = analyze_document_structure(html)
+    from .structure import raw_aria_tree
+    return extract_document_content_from_tree(raw_aria_tree(html))
+
+
+def extract_document_content_from_tree(aria_tree: dict) -> DocumentContent:
+    structure = analyze_document_structure_from_tree(aria_tree)
     result = DocumentContent()
     if structure.main_content is not None:
         result.content = extract_text_from_aria_node(

@@ -37,10 +37,33 @@ def analyze_page_structure(html: str, extract_content: bool = False,
     NOTE two-phase rule: re-parses the ORIGINAL html (no preprocessing),
     uncompressed ARIA tree.
     """
+    return analyze_page_structure_from_tree(
+        raw_aria_tree(html), extract_content=extract_content,
+        max_navigations=max_navigations,
+        header_navigation_only=header_navigation_only, doc_mode=doc_mode)
+
+
+def raw_aria_tree(html: str) -> dict:
+    """Parse the ORIGINAL html (no preprocessing) and build the
+    uncompressed ARIA tree the detect/ analyses operate on.  Exposed so
+    batch stages can parse once and feed every analysis
+    (analyze_page_structure / analyze_document_structure /
+    extract_document_content) from the same tree — the detect passes
+    only read the tree."""
     from ..vdom import ensure_recursion_headroom
     ensure_recursion_headroom()
     doc = parse_html(html)
-    aria_tree = build_aria_tree(doc, compress=False)
+    return build_aria_tree(doc, compress=False)
+
+
+def analyze_page_structure_from_tree(aria_tree: dict,
+                                     extract_content: bool = False,
+                                     max_navigations: int = 10,
+                                     header_navigation_only: bool = False,
+                                     doc_mode: bool = False
+                                     ) -> PageStructure:
+    """Tree-based core of analyze_page_structure (read-only over the
+    uncompressed ARIA tree from raw_aria_tree)."""
     root = aria_tree["root"]
 
     headers = detect_headers(root)

@@ -233,9 +233,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
                                 shingle_k=shingle_k, bands=bands)
     band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
 
-    def scan(batch: pd.DataFrame) -> pd.DataFrame:
-        return _scan_bucket_pairs(batch, ["band", "band_hash"],
-                                  {"doc": doc_id_col})
+    from .util import arrow_out
+
+    def scan(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(_scan_bucket_pairs(batch, ["band", "band_hash"],
+                                            {"doc": doc_id_col}))
 
     candidates = band_rows \
         .repartition(num_blocks=k, keys=["band", "band_hash"]) \
@@ -264,8 +266,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
     # Acero ("no match for key field") — merging blocks drops the
     # empties.  Candidate pairs are tiny relative to the corpus, so the
     # rebalance is cheap.
+    from .util import strip_schema_metadata
     scrub = max(2, k // 8)
-    docs = ds.select_columns([doc_id_col, "text"])
+    docs = strip_schema_metadata(ds.select_columns([doc_id_col, "text"]))
     with_a = candidates.repartition(scrub) \
         .join(docs, "inner", num_partitions=k,
               on=("doc_a",), right_on=(doc_id_col,))
@@ -375,13 +378,16 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
             "simhash": pa.array(out_sig, pa.uint64()),
         })
 
-    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+    from .util import arrow_out
+
+    def scan(batch: pd.DataFrame) -> pa.Table:
         pairs = _scan_bucket_pairs(batch, ["band", "band_value"],
                                    {"doc": "doc_id", "sig": "simhash"})
         if len(pairs) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
+            return arrow_out(
+                pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")}))
         sig_x = (pairs["sig_a"].to_numpy(dtype=np.uint64)
                  ^ pairs["sig_b"].to_numpy(dtype=np.uint64))
         # vectorized popcount via 8-bit lookup over the raw bytes
@@ -392,7 +398,8 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
         out = pd.DataFrame({"doc_a": pairs["doc_a"],
                             "doc_b": pairs["doc_b"],
                             "hamming": hamming})
-        return out[out["hamming"] <= max_hamming]
+        return arrow_out(out[out["hamming"] <= max_hamming]
+                         .reset_index(drop=True))
 
     from ray.data.aggregate import Min
     pairs = signatures.map_batches(explode_bands, batch_format="pyarrow") \

@@ -92,13 +92,15 @@ def knn_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
 
     import pandas as pd
 
-    def merge_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    from .util import arrow_out
+
+    def merge_topk(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
-            return pd.DataFrame({
+            return arrow_out(pd.DataFrame({
                 "query_id": pd.Series([], dtype="int64"),
                 "neighbor_id": pd.Series([], dtype="int64"),
                 "cos_sim": pd.Series([], dtype="float64"),
-                "rank": pd.Series([], dtype="int64")})
+                "rank": pd.Series([], dtype="int64")}))
         out = []
         for _qid, group in batch.groupby("query_id", sort=True):
             top = group.sort_values(
@@ -106,7 +108,7 @@ def knn_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                 ascending=[False, True]).head(k).reset_index(drop=True)
             top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
             out.append(top)
-        return pd.concat(out, ignore_index=True)
+        return arrow_out(pd.concat(out, ignore_index=True))
 
     # Per-batch local top-k shrinks the data to queries×k×n_batches
     # rows, so the global merge is one tiny single-block pass — no
@@ -177,15 +179,18 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id",
                                            "cos_sim"])
 
-    def search_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+    from .util import arrow_out
+
+    def search_buckets(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
-            return pd.DataFrame({
+            return arrow_out(pd.DataFrame({
                 "query_id": pd.Series([], dtype="int64"),
                 "neighbor_id": pd.Series([], dtype="int64"),
-                "cos_sim": pd.Series([], dtype="float64")})
-        return pd.concat([search_bucket(g)
-                          for _b, g in batch.groupby("bucket", sort=True)],
-                         ignore_index=True)
+                "cos_sim": pd.Series([], dtype="float64")}))
+        return arrow_out(
+            pd.concat([search_bucket(g)
+                       for _b, g in batch.groupby("bucket", sort=True)],
+                      ignore_index=True))
 
     # The bucketize filter keeps only the queries' buckets (a
     # 1/2^n_planes fraction of the corpus), so the search side is one
@@ -319,11 +324,12 @@ def _embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float,
             out_a.extend(ids[ai])
             out_b.extend(ids[bi])
             out_s.extend(sims[ai, bi])
-        return pd.DataFrame({
+        from .util import arrow_out
+        return arrow_out(pd.DataFrame({
             "vec_a": pd.Series(out_a, dtype="int64"),
             "vec_b": pd.Series(out_b, dtype="int64"),
             "cos_sim": pd.Series(out_s, dtype="float64"),
-        })
+        }))
 
     from ray.data.aggregate import Min
     pairs = ds.map_batches(explode, batch_format="pyarrow") \

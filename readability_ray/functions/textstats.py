@@ -192,12 +192,16 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
     # deterministic top-k: (count desc, token asc)
     import pandas as pd
 
-    def global_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    from .util import arrow_out
+
+    def global_topk(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
-            return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        return batch.sort_values(["n", "token"],
-                                 ascending=[False, True]).head(k)
+            return arrow_out(pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}))
+        return arrow_out(batch.sort_values(
+            ["n", "token"], ascending=[False, True]).head(k)
+            .reset_index(drop=True))
 
     # local top-k per block, then a single small merge
     local = renamed.map_batches(global_topk, batch_format="pandas")
@@ -232,14 +236,15 @@ def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
     k = n_partitions or default_partitions()
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessionize_partition(batch: pd.DataFrame) -> pd.DataFrame:
+    def sessionize_partition(batch: pd.DataFrame):
+        from .util import arrow_out
         if len(batch) == 0:
-            return pd.DataFrame({
+            return arrow_out(pd.DataFrame({
                 "user_id": pd.Series([], dtype="int64"),
                 "n_events": pd.Series([], dtype="int64"),
                 "n_sessions": pd.Series([], dtype="int64"),
                 "longest_session_events": pd.Series([], dtype="int64"),
-            })
+            }))
         users = batch["user_id"].to_numpy(dtype=np.int64)
         ts = batch["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         order = np.lexsort((ts, users))
@@ -260,11 +265,13 @@ def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
         per_user = frame.groupby("user_id", sort=True)["session_len"] \
             .agg(n_events="sum", n_sessions="count",
                  longest_session_events="max").reset_index()
-        return per_user.astype({
+        from .util import arrow_out
+        return arrow_out(per_user.astype({
             "user_id": "int64", "n_events": "int64",
-            "n_sessions": "int64", "longest_session_events": "int64"})
+            "n_sessions": "int64", "longest_session_events": "int64"}))
 
-    return ds.select_columns(["user_id", "ts"]) \
+    from .util import strip_schema_metadata
+    return strip_schema_metadata(ds.select_columns(["user_id", "ts"])) \
         .repartition(num_blocks=k, keys=["user_id"]) \
         .map_batches(sessionize_partition, batch_format="pandas",
                      batch_size=None)

@@ -114,13 +114,17 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
 
     import pandas as pd
 
-    def first_per_url(batch: pd.DataFrame) -> pd.DataFrame:
+    def first_per_url(batch: pd.DataFrame):
         if len(batch) == 0:  # schema-less empty shuffle partition
             return batch
-        return batch.sort_values(["url", "warc_ts"], kind="stable") \
-            .drop_duplicates("url", keep="first")
+        from ..functions.util import arrow_out
+        return arrow_out(batch.sort_values(["url", "warc_ts"], kind="stable")
+                         .drop_duplicates("url", keep="first")
+                         .reset_index(drop=True))
 
-    return ds.repartition(num_blocks=k, keys=["url"]) \
+    from ..functions.util import strip_schema_metadata
+    return strip_schema_metadata(ds) \
+        .repartition(num_blocks=k, keys=["url"]) \
         .map_batches(first_per_url, batch_format="pandas", batch_size=None)
 
 

@@ -21,7 +21,6 @@ import os
 import time
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -46,93 +45,161 @@ def completed_shards(out_dir: str) -> dict[str, dict]:
     return done
 
 
+def _shard_stats(tmp_dir: str) -> tuple[int, dict[str, int], int]:
+    """Lineage counts for the manifest from a tiny pruned re-read of
+    the just-written shard: only (page_type, error) leave disk, each
+    block pre-aggregates to a few partial rows, and the driver reduces
+    partials — never rows (VERDICT.md #5: the sink no longer streams
+    the whole shard through the driver)."""
+    stats = ray.data.read_parquet(tmp_dir, columns=["page_type", "error"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        grouped = pa.table({
+            "page_type": batch.column("page_type"),
+        }).group_by("page_type").aggregate([("page_type", "count")])
+        n_err = pc.sum(pc.not_equal(batch.column("error"), "")).as_py() or 0
+        return pa.table({
+            "page_type": grouped.column("page_type"),
+            "n": grouped.column("page_type_count").cast(pa.int64()),
+            "errors": pa.array(
+                [n_err] + [0] * (grouped.num_rows - 1) if grouped.num_rows
+                else [], pa.int64()),
+        })
+
+    rows = 0
+    page_types: dict[str, int] = {}
+    errors = 0
+    for row in stats.map_batches(partial, batch_format="pyarrow").take_all():
+        page_types[row["page_type"]] = \
+            page_types.get(row["page_type"], 0) + row["n"]
+        rows += row["n"]
+        errors += row["errors"]
+    return rows, page_types, errors
+
+
+def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
+                   concurrency, batch_size: int) -> tuple[str, int]:
+    from .extract_pipeline import extract_pipeline
+
+    shard = _shard_key(input_file)
+    t0 = time.time()
+    shard_dir = os.path.join(out_dir, f"shard={shard}")
+    tmp_dir = shard_dir + ".tmp"
+    import shutil
+    if os.path.isdir(tmp_dir):  # stale partial output from a crash
+        shutil.rmtree(tmp_dir)
+    if os.path.isdir(shard_dir):  # dir without manifest = incomplete
+        shutil.rmtree(shard_dir)
+
+    ds = ray.data.read_parquet(input_file, columns=["url", "html"])
+    out = extract_pipeline(ds, concurrency=concurrency,
+                           batch_size=batch_size, **extract_kwargs)
+    # Distributed sink: write tasks stream blocks straight to parquet —
+    # the driver never sees a row.
+    out.write_parquet(tmp_dir)
+    rows, page_types, errors = _shard_stats(tmp_dir)
+
+    manifest = {
+        "shard": shard,
+        "input_file": os.path.abspath(input_file),
+        "rows": rows,
+        "page_types": page_types,
+        "errors": errors,
+        "wall_time_sec": round(time.time() - t0, 3),
+        "engine_version": _engine_version(),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(os.path.join(tmp_dir, MANIFEST_NAME), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp_dir, shard_dir)  # atomic completion marker
+    return shard, rows
+
+
 def run_resumable_extraction(input_files: list[str], out_dir: str,
                              extract_kwargs: dict | None = None,
                              concurrency=(1, 8),
-                             batch_size: int = 64) -> dict:
+                             batch_size: int = 64,
+                             shard_parallelism: int = 1) -> dict:
     """Process input parquet shards, skipping ones already completed.
 
     Returns a summary {processed: [...], skipped: [...], total_rows: n}.
-    Each shard is one Ray Data pipeline (read → extract → write), so a
-    failure loses at most one shard's work; completed shards are
-    immutable.  On a multi-node cluster the per-shard pipelines can be
-    submitted concurrently; ordering is irrelevant (row-independent).
+    Each shard is one Ray Data pipeline (read → extract → distributed
+    parquet write), so a failure loses at most one shard's work;
+    completed shards are immutable.  ``shard_parallelism > 1`` submits
+    that many shard pipelines concurrently (driver threads — ordering
+    is irrelevant, rows are independent); Ray's streaming executor
+    time-shares the cluster between them.
     """
-    from .extract_pipeline import extract_pipeline
-
     extract_kwargs = extract_kwargs or {}
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir)
     processed, skipped = [], []
-    total_rows = 0
-
+    todo = []
     for input_file in input_files:
         shard = _shard_key(input_file)
         if shard in done:
             skipped.append(shard)
-            continue
-        t0 = time.time()
-        shard_dir = os.path.join(out_dir, f"shard={shard}")
-        tmp_dir = shard_dir + ".tmp"
-        import shutil
-        if os.path.isdir(tmp_dir):  # stale partial output from a crash
-            shutil.rmtree(tmp_dir)
-        if os.path.isdir(shard_dir):  # dir without manifest = incomplete
-            shutil.rmtree(shard_dir)
-        os.makedirs(tmp_dir, exist_ok=True)
+        else:
+            todo.append(input_file)
 
-        ds = ray.data.read_parquet(input_file, columns=["url", "html"])
-        out = extract_pipeline(ds, concurrency=concurrency,
-                               batch_size=batch_size, **extract_kwargs)
+    results: dict[str, int] = {}
+    if shard_parallelism > 1 and len(todo) > 1:
+        _shim_fsspec_http()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=shard_parallelism) as pool:
+            for shard, rows in pool.map(
+                    lambda f: _process_shard(f, out_dir, extract_kwargs,
+                                             concurrency, batch_size), todo):
+                results[shard] = rows
+    else:
+        for input_file in todo:
+            shard, rows = _process_shard(input_file, out_dir,
+                                         extract_kwargs, concurrency,
+                                         batch_size)
+            results[shard] = rows
 
-        rows = 0
-        page_types: dict[str, int] = {}
-        errors = 0
-        part = 0
-        writer_schema = None
-        buffer: list[pa.Table] = []
-        buffered = 0
-        for batch in out.iter_batches(batch_format="pyarrow",
-                                      batch_size=4096):
-            rows += batch.num_rows
-            for value in batch.column("page_type").to_pylist():
-                page_types[value] = page_types.get(value, 0) + 1
-            errors += sum(1 for e in batch.column("error").to_pylist() if e)
-            buffer.append(batch)
-            buffered += batch.num_rows
-            writer_schema = batch.schema
-            if buffered >= 50_000:
-                pq.write_table(pa.concat_tables(buffer),
-                               os.path.join(tmp_dir, f"part-{part:05d}.parquet"))
-                part += 1
-                buffer, buffered = [], 0
-        if buffer:
-            pq.write_table(pa.concat_tables(buffer),
-                           os.path.join(tmp_dir, f"part-{part:05d}.parquet"))
-        elif part == 0 and writer_schema is not None:
-            pq.write_table(writer_schema.empty_table(),
-                           os.path.join(tmp_dir, "part-00000.parquet"))
-
-        manifest = {
-            "shard": shard,
-            "input_file": os.path.abspath(input_file),
-            "rows": rows,
-            "page_types": page_types,
-            "errors": errors,
-            "wall_time_sec": round(time.time() - t0, 3),
-            "engine_version": _engine_version(),
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                          time.gmtime()),
-        }
-        with open(os.path.join(tmp_dir, MANIFEST_NAME), "w",
-                  encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp_dir, shard_dir)  # atomic completion marker
-        processed.append(shard)
-        total_rows += rows
-
+    # report in input order
+    for input_file in todo:
+        processed.append(_shard_key(input_file))
+    total_rows = sum(results.values())
     return {"processed": processed, "skipped": skipped,
             "total_rows": total_rows, "out_dir": out_dir}
+
+
+def _shim_fsspec_http() -> None:
+    """Make Ray's per-read fsspec-HTTP probe thread-safe in this
+    environment.  aiohttp is absent, so ``fsspec.implementations.http``
+    fails to import; Ray catches that (ModuleNotFoundError) — but when
+    several reader THREADS hit the probe at once, the losing thread
+    sees a partially-initialized module and gets a bare ImportError
+    instead, which Ray does not catch.  Installing an inert module with
+    a placeholder HTTPFileSystem (used only in isinstance checks that a
+    local filesystem never reaches) removes the race."""
+    import sys
+    import types
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+        return  # real module importable — nothing to shim
+    except ImportError:
+        pass
+
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # placeholder: isinstance()-checked only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+    try:
+        import fsspec.implementations as _impl
+        _impl.http = mod
+    except ImportError:
+        pass
 
 
 def _engine_version() -> str:

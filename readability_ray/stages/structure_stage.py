@@ -37,15 +37,23 @@ class FullAnalysisStage:
         self.char_threshold = char_threshold
 
     def _analyze_row(self, url: str, html: str) -> dict:
-        from readability_ray.detect import (
-            analyze_page_structure, extract_document_content)
+        from readability_ray.detect.document import (
+            extract_document_content_from_tree)
+        from readability_ray.detect.structure import (
+            analyze_page_structure_from_tree, raw_aria_tree)
         from readability_ray.extract import extract
         from readability_ray.format import format_document, stringify
         from readability_ray.markdown import to_markdown
 
         snap = extract(html, char_threshold=self.char_threshold)
-        structure = analyze_page_structure(html)
-        doc_content = extract_document_content(html)
+        # One raw parse + uncompressed ARIA build feeds BOTH structure
+        # analyses (they are read-only over the tree) — two parses per
+        # row total (preprocessed for content, raw for structure),
+        # the minimum the reference's two-phase design admits
+        # (reference docs/architecture-decision.md:37-52; VERDICT.md #7).
+        tree = raw_aria_tree(html)
+        structure = analyze_page_structure_from_tree(tree)
+        doc_content = extract_document_content_from_tree(tree)
         return {
             "url": url,
             "page_type": snap.page_type,

@@ -62,3 +62,18 @@ def test_resume_recovers_incomplete_shard(ray_session, tmp_path):
     assert summary["processed"] == ["shard1"]
     assert summary["skipped"] == ["shard0"]
     assert set(completed_shards(out_dir)) == {"shard0", "shard1"}
+
+
+def test_resume_concurrent_shards(ray_session, tmp_path):
+    """shard_parallelism > 1 submits shard pipelines concurrently and
+    produces the same manifests/layout as the serial path."""
+    from readability_ray.pipelines.resume import (
+        completed_shards, run_resumable_extraction)
+    files = _make_shards(tmp_path, n_shards=3, pages_per_shard=15)
+    out_dir = str(tmp_path / "out_par")
+    summary = run_resumable_extraction(files, out_dir, concurrency=(1, 2),
+                                       batch_size=16, shard_parallelism=3)
+    assert summary["processed"] == ["shard0", "shard1", "shard2"]
+    assert summary["total_rows"] == 45
+    manifests = completed_shards(out_dir)
+    assert all(manifests[s]["rows"] == 15 for s in manifests)
