@@ -86,44 +86,46 @@ def _q_aria_trees(sf_dir: str):
     return out.select_columns(["url", "aria_yaml", "page_type"])
 
 
+def _link_hierarchy_batch(batch):
+    """Batch UDF for the link_hierarchy query (module-level so the
+    poison-page tests can drive it directly)."""
+    import pyarrow as pa
+    from readability_ray.extract import PageMetadata, extract
+    from readability_ray.hierarchy import analyze_link_hierarchy
+    from readability_ray.vdom import ensure_recursion_headroom
+    ensure_recursion_headroom()
+    urls_out, hrefs_out, rels_out, errs_out = [], [], [], []
+    for url, html in zip(batch.column("url").to_pylist(),
+                         batch.column("html").to_pylist()):
+        html = bytes(html).decode("utf-8", errors="replace")
+        try:
+            snap = extract(html)
+            meta = PageMetadata(url=url)
+            analysis = analyze_link_hierarchy(snap.links, meta)
+        except Exception as exc:  # poison page → error row, not a drop
+            urls_out.append(url)
+            hrefs_out.append("")
+            rels_out.append("")
+            errs_out.append(f"{type(exc).__name__}: {exc}"[:200])
+            continue
+        for rel in ("parent", "sibling", "child", "external"):
+            for link in getattr(analysis, rel):
+                urls_out.append(url)
+                hrefs_out.append(link.href or "")
+                rels_out.append(rel)
+                errs_out.append("")
+    return pa.table({
+        "url": pa.array(urls_out, pa.string()),
+        "href": pa.array(hrefs_out, pa.string()),
+        "relation": pa.array(rels_out, pa.string()),
+        "error": pa.array(errs_out, pa.string()),
+    })
+
+
 def _q_link_hierarchy(sf_dir: str):
     """Per-page link classification vs the page's own URL."""
-    import pyarrow as pa
-
-    def classify(batch: pa.Table) -> pa.Table:
-        from readability_ray.extract import PageMetadata, extract
-        from readability_ray.hierarchy import analyze_link_hierarchy
-        from readability_ray.vdom import ensure_recursion_headroom
-        ensure_recursion_headroom()
-        urls_out, hrefs_out, rels_out, errs_out = [], [], [], []
-        for url, html in zip(batch.column("url").to_pylist(),
-                             batch.column("html").to_pylist()):
-            html = bytes(html).decode("utf-8", errors="replace")
-            try:
-                snap = extract(html)
-                meta = PageMetadata(url=url)
-                analysis = analyze_link_hierarchy(snap.links, meta)
-            except Exception as exc:  # poison page → error row, not a drop
-                urls_out.append(url)
-                hrefs_out.append("")
-                rels_out.append("")
-                errs_out.append(f"{type(exc).__name__}: {exc}"[:200])
-                continue
-            for rel in ("parent", "sibling", "child", "external"):
-                for link in getattr(analysis, rel):
-                    urls_out.append(url)
-                    hrefs_out.append(link.href or "")
-                    rels_out.append(rel)
-                    errs_out.append("")
-        return pa.table({
-            "url": pa.array(urls_out, pa.string()),
-            "href": pa.array(hrefs_out, pa.string()),
-            "relation": pa.array(rels_out, pa.string()),
-            "error": pa.array(errs_out, pa.string()),
-        })
-
-    return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
-                                         batch_size=64)
+    return _pages_ds(sf_dir).map_batches(
+        _link_hierarchy_batch, batch_format="pyarrow", batch_size=64)
 
 
 def _q_extract_fixture_corpus(sf_dir: str):
@@ -238,86 +240,90 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(_docs(sf_dir), max_hamming=8)
 
 
+def _page_structure_batch(batch):
+    """Batch UDF for the page_structure query (module-level so the
+    poison-page tests can drive it directly)."""
+    import pyarrow as pa
+    from readability_ray.detect import analyze_page_structure
+    from readability_ray.vdom import ensure_recursion_headroom
+    ensure_recursion_headroom()
+    urls, n_navs, n_headers, main_nav, has_main, has_footer, errs = \
+        [], [], [], [], [], [], []
+    for url, html in zip(batch.column("url").to_pylist(),
+                         batch.column("html").to_pylist()):
+        html = bytes(html).decode("utf-8", errors="replace")
+        urls.append(url)
+        try:
+            s = analyze_page_structure(html)
+        except Exception as exc:  # poison page → error row, not a drop
+            n_navs.append(0)
+            n_headers.append(0)
+            main_nav.append("")
+            has_main.append(False)
+            has_footer.append(False)
+            errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            continue
+        n_navs.append(len(s.navigations))
+        n_headers.append(len(s.headers))
+        main_nav.append(s.main_navigation.type
+                        if s.main_navigation else "")
+        has_main.append(s.main_content is not None)
+        has_footer.append(s.footer is not None)
+        errs.append("")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "n_navigations": pa.array(n_navs, pa.int32()),
+        "n_headers": pa.array(n_headers, pa.int32()),
+        "main_nav_type": pa.array(main_nav, pa.string()),
+        "has_main_content": pa.array(has_main, pa.bool_()),
+        "has_footer": pa.array(has_footer, pa.bool_()),
+        "error": pa.array(errs, pa.string()),
+    })
+
+
 def _q_page_structure(sf_dir: str):
     """Corpus-level page-structure detection (detect/ package)."""
+    return _pages_ds(sf_dir).map_batches(
+        _page_structure_batch, batch_format="pyarrow", batch_size=128)
+
+
+def _classify_pages_batch(batch):
+    """Batch UDF for the classify_pages query (module-level so the
+    poison-page tests can drive it directly)."""
+    import numpy as np
     import pyarrow as pa
-
-    def analyze(batch: pa.Table) -> pa.Table:
-        from readability_ray.detect import analyze_page_structure
-        from readability_ray.vdom import ensure_recursion_headroom
-        ensure_recursion_headroom()
-        urls, n_navs, n_headers, main_nav, has_main, has_footer, errs = \
-            [], [], [], [], [], [], []
-        for url, html in zip(batch.column("url").to_pylist(),
-                             batch.column("html").to_pylist()):
-            html = bytes(html).decode("utf-8", errors="replace")
-            urls.append(url)
-            try:
-                s = analyze_page_structure(html)
-            except Exception as exc:  # poison page → error row, not a drop
-                n_navs.append(0)
-                n_headers.append(0)
-                main_nav.append("")
-                has_main.append(False)
-                has_footer.append(False)
-                errs.append(f"{type(exc).__name__}: {exc}"[:200])
-                continue
-            n_navs.append(len(s.navigations))
-            n_headers.append(len(s.headers))
-            main_nav.append(s.main_navigation.type
-                            if s.main_navigation else "")
-            has_main.append(s.main_content is not None)
-            has_footer.append(s.footer is not None)
-            errs.append("")
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "n_navigations": pa.array(n_navs, pa.int32()),
-            "n_headers": pa.array(n_headers, pa.int32()),
-            "main_nav_type": pa.array(main_nav, pa.string()),
-            "has_main_content": pa.array(has_main, pa.bool_()),
-            "has_footer": pa.array(has_footer, pa.bool_()),
-            "error": pa.array(errs, pa.string()),
-        })
-
-    return _pages_ds(sf_dir).map_batches(analyze, batch_format="pyarrow",
-                                         batch_size=128)
+    from readability_ray.classify import classify_snapshot
+    from readability_ray.extract import extract
+    from readability_ray.vdom import ensure_recursion_headroom
+    ensure_recursion_headroom()
+    urls, kinds, possibilities, errs = [], [], [], []
+    for url, html in zip(batch.column("url").to_pylist(),
+                         batch.column("html").to_pylist()):
+        html = bytes(html).decode("utf-8", errors="replace")
+        urls.append(url)
+        try:
+            results = classify_snapshot(extract(html))
+        except Exception as exc:  # poison page → error row, not a drop
+            kinds.append("error")
+            possibilities.append(0.0)
+            errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            continue
+        kinds.append(results[0].page_type)
+        possibilities.append(
+            float(np.floor(results[0].possibility * 1e6) / 1e6))
+        errs.append("")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "top_page_type": pa.array(kinds, pa.string()),
+        "possibility": pa.array(possibilities, pa.float64()),
+        "error": pa.array(errs, pa.string()),
+    })
 
 
 def _q_classify_pages(sf_dir: str):
     """Possibility-scored classification (classify_snapshot) per page."""
-    import pyarrow as pa
-
-    def classify(batch: pa.Table) -> pa.Table:
-        from readability_ray.classify import classify_snapshot
-        from readability_ray.extract import extract
-        from readability_ray.vdom import ensure_recursion_headroom
-        import numpy as np
-        ensure_recursion_headroom()
-        urls, kinds, possibilities, errs = [], [], [], []
-        for url, html in zip(batch.column("url").to_pylist(),
-                             batch.column("html").to_pylist()):
-            html = bytes(html).decode("utf-8", errors="replace")
-            urls.append(url)
-            try:
-                results = classify_snapshot(extract(html))
-            except Exception as exc:  # poison page → error row, not a drop
-                kinds.append("error")
-                possibilities.append(0.0)
-                errs.append(f"{type(exc).__name__}: {exc}"[:200])
-                continue
-            kinds.append(results[0].page_type)
-            possibilities.append(
-                float(np.floor(results[0].possibility * 1e6) / 1e6))
-            errs.append("")
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "top_page_type": pa.array(kinds, pa.string()),
-            "possibility": pa.array(possibilities, pa.float64()),
-            "error": pa.array(errs, pa.string()),
-        })
-
-    return _pages_ds(sf_dir).map_batches(classify, batch_format="pyarrow",
-                                         batch_size=128)
+    return _pages_ds(sf_dir).map_batches(
+        _classify_pages_batch, batch_format="pyarrow", batch_size=128)
 
 
 def _q_knn(sf_dir: str):
