@@ -47,24 +47,26 @@ def _run_benchmarks() -> None:
 
     import pyarrow.parquet as pq
 
-    # headline: end-to-end extraction (read → actor pool → write)
-    # fixed pool at 3/4 of the CPUs: an all-CPU pool deadlocks, cpus-2
-    # starves the read stage at higher core counts, and an autoscaling
-    # pool ramps too slowly for a short run.  Sink is a distributed
-    # parquet write (driver-side consumption would serialize).  The run
+    # headline: end-to-end extraction (read → stateless-task transform
+    # with per-worker-memoized stage state → distributed parquet write).
+    # Task mode beats the actor pool on BOTH absolute throughput and
+    # scaling: it is elastic to every CPU (a fixed pool must stay below
+    # the CPU count or the streaming executor deadlocks, capping it at
+    # 3/4 of cores) and has no pool spin-up/ramp (~3 s per dataset for a
+    # 24-actor pool).  Measured at 16x corpus: actors 5.9k→13.6k
+    # pages/s (eff 0.58), tasks 5.4k→17.6k (eff 0.81).  The run
     # executes twice and reports the second (warm worker processes):
     # steady-state throughput is what a long-running crawl job sees —
     # one-time interpreter startup is not the quantity the N-vs-4N
     # scaling criterion measures.
     import shutil
     import tempfile
-    pool = max(1, num_cpus * 3 // 4)
     n_pages = 0
     extract_sec = None
     for attempt in range(2):
         t0 = time.time()
         ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
-        out = extract_pipeline(ds, concurrency=pool, batch_size=128)
+        out = extract_pipeline(ds, use_actors=False, batch_size=128)
         sink = tempfile.mkdtemp(prefix="bench_extract_")
         out.write_parquet(sink)
         extract_sec = time.time() - t0
@@ -73,6 +75,19 @@ def _run_benchmarks() -> None:
             for f in os.listdir(sink))
         shutil.rmtree(sink, ignore_errors=True)
     queries["extract"] = round(extract_sec, 3)
+
+    if os.environ.get("GRAFT_EXTRACT_ONLY"):
+        # scaling mode: the headline extraction IS the measured job;
+        # skip the corpus queries to keep each sample short and clean
+        print(json.dumps({
+            "metric": "extraction pages/sec",
+            "value": queries["extract"], "unit": "sec",
+            "queries": queries, "sf": sf_dir, "num_cpus": num_cpus,
+            "pages": n_pages,
+            "pages_per_sec": round(n_pages / extract_sec, 1),
+        }))
+        ray.shutdown()
+        return
 
     import __ray_entry__ as entrymod
     bench_queries = ["token_stats", "exact_dedup", "minhash_dedup_pairs",
@@ -118,7 +133,7 @@ def _run_scaling() -> None:
         # 16x corpus so the 32-CPU run is long enough to amortize pool
         # startup (the ratio, not the absolute, is what's measured)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_PAGES_MULT="16")
+                   GRAFT_PAGES_MULT="16", GRAFT_EXTRACT_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True).stdout

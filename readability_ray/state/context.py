@@ -19,10 +19,13 @@ import os
 
 
 def ensure_hash_shuffle(ds=None) -> None:
-    """Idempotently select the hash-shuffle strategy for this session
-    AND for ``ds``'s captured context (a Dataset snapshots the
-    DataContext at creation, so flipping only the global one is too
-    late for inputs built before the operator was called).
+    """Idempotently select the hash-shuffle strategy for ``ds``'s
+    pipeline.  A Dataset SNAPSHOTS the DataContext at creation, so
+    mutating the snapshot scopes the strategy to that pipeline (and
+    everything derived from it) without contaminating unrelated
+    queries in the same session — plain aggregates elsewhere keep
+    Ray's default sort shuffle and its lighter small-data startup.
+    Without ``ds`` (no pipeline in hand) the global context is flipped.
 
     Set ``RAY_GRAFT_SORT_SHUFFLE=1`` to keep Ray's default sort-based
     strategy (the key-based dedup/join operators will then raise a clear
@@ -35,10 +38,10 @@ def ensure_hash_shuffle(ds=None) -> None:
 
     partitions = default_partitions()
     cores = _cluster_cpus()
-    for ctx in (ray.data.DataContext.get_current(),
-                getattr(ds, "context", None)):
-        if ctx is None:
-            continue
+    ctxs = [getattr(ds, "context", None)]
+    if ctxs[0] is None:
+        ctxs = [ray.data.DataContext.get_current()]
+    for ctx in ctxs:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         # Ray's stock knobs assume a big cluster (200 partitions / up to
         # 64 aggregator actors); on a small CPU budget that actor storm
@@ -46,7 +49,7 @@ def ensure_hash_shuffle(ds=None) -> None:
         # executor (same failure mode as a fixed-size actor pool —
         # CLAUDE.md gotcha #1).  Scale everything to the actual budget:
         ctx.default_hash_shuffle_parallelism = partitions
-        ctx.max_hash_shuffle_aggregators = max(2, cores // 2)
+        ctx.max_hash_shuffle_aggregators = max(2, min(8, cores // 2))
         # Aggregators are concat/spill-bound, not compute-bound; keep
         # their CPU reservation nominal so several concurrent shuffle
         # ops (repartition + groupby + joins in one plan) always fit.
@@ -64,11 +67,16 @@ def _cluster_cpus() -> int:
         return 8
 
 
-def default_partitions(per_core: int = 4, floor: int = 16,
+def default_partitions(per_core: int = 1, floor: int = 8,
                        ceiling: int = 512) -> int:
-    """Partition count for key-based co-location shuffles: scales with
-    the cluster's CPU budget (O(cores × per_core)) so per-partition
-    blocks stay bounded as the cluster grows, clamped so tiny test
-    sessions don't fan out absurdly and giant ones don't create
-    confetti blocks."""
+    """Partition count for key-based co-location shuffles.
+
+    Default scales with the cluster's CPU budget (≈ one partition per
+    core).  Empirically the hash-shuffle aggregator machinery on this
+    Ray version stalls when partitions exceed ~4× the CPU budget in a
+    multi-shuffle plan, and each partition adds actor spin-up latency,
+    so MORE partitions than cores buys nothing locally.  At true 100 TB
+    scale the per-partition FINALIZE memory is the binding constraint —
+    callers there should pass ``n_partitions ≈ shuffled_bytes /
+    256 MB`` explicitly (every keyed operator takes the override)."""
     return max(floor, min(ceiling, _cluster_cpus() * per_core))
