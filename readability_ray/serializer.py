@@ -42,15 +42,19 @@ def _serialize_tree(root) -> tuple[int, dict]:
     def serialize_node(node, parent_id=None) -> int:
         nid = assign_id(node)
         if nid in nodes:
-            if nodes[nid].get("parentId") is None and parent_id is not None:
+            if "parentId" not in nodes[nid] and parent_id is not None:
                 nodes[nid]["parentId"] = parent_id
             return nid
         if node.nodeType == ELEMENT:
             entry = {
                 "id": nid, "type": "element", "tagName": node.tag,
                 "attributes": dict(node.attrs), "childrenIds": [],
-                "parentId": parent_id,
             }
+            # JS emits `parentId: undefined` for the root, which
+            # JSON.stringify DROPS — mirror by omitting the key
+            # (oracle-pinned, tests/test_oracle_node_extended.py)
+            if parent_id is not None:
+                entry["parentId"] = parent_id
             if node.score is not None:
                 entry["readabilityScore"] = node.score
             nodes[nid] = entry
@@ -59,8 +63,9 @@ def _serialize_tree(root) -> tuple[int, dict]:
         else:
             nodes[nid] = {
                 "id": nid, "type": "text", "textContent": node.text,
-                "parentId": parent_id,
             }
+            if parent_id is not None:
+                nodes[nid]["parentId"] = parent_id
         return nid
 
     root_id = serialize_node(root)
@@ -73,8 +78,38 @@ def _aria_to_jsonable(node: dict | None):
     out = {k: v for k, v in node.items() if k not in ("el", "children")}
     out["originalElement"] = {}  # WeakRef collapses to {} in the TS JSON
     children = node.get("children")
-    if children:
+    # key-presence mirrors the TS AriaNode: `children` survives even
+    # when the filter left it empty (oracle-pinned)
+    if children is not None:
         out["children"] = [_aria_to_jsonable(c) for c in children]
+    return out
+
+
+def _vnode_to_jsonable(node):
+    """A VNode as JSON.stringify renders the reference's in-memory
+    object (htmlparser2 shape + extract() mutations): WeakRef parents
+    collapse to ``{}``, id/className accessors exist only when truthy,
+    ``readability`` only once scored (oracle-pinned via the raw
+    ``links`` payload in the serialized snapshot)."""
+    if node.nodeType != ELEMENT:
+        out = {"nodeType": "text", "textContent": node.text}
+        if node.parent is not None:
+            out["parent"] = {}
+        return out
+    out = {
+        "nodeType": "element",
+        "tagName": node.tag,
+        "attributes": dict(node.attrs),
+        "children": [_vnode_to_jsonable(c) for c in node.children],
+    }
+    if node.attrs.get("id"):
+        out["id"] = node.attrs["id"]
+    if node.attrs.get("class"):
+        out["className"] = node.attrs["class"]
+    if node.parent is not None:
+        out["parent"] = {}
+    if node.score is not None:
+        out["readability"] = {"contentScore": node.score}
     return out
 
 
@@ -108,14 +143,22 @@ def serialize(snapshot: ExtractedSnapshot, page_type: str) -> str:
     data = {
         "rootId": root_id,
         "nodes": nodes,
+        # metadata/links mirror `JSON.stringify(snapshot.metadata)` /
+        # `...(snapshot.links)`: undefined-valued fields drop out, and
+        # each LinkInfo carries its full element subtree (serializer.ts
+        # comments call links "simple data" — they are not; the raw
+        # object graph is the REAL behavior, quirks included)
         "metadata": {
-            "title": snapshot.metadata.title,
-            "lang": snapshot.metadata.lang,
-            "siteName": snapshot.metadata.site_name,
-            "url": snapshot.metadata.url,
+            key: value for key, value in (
+                ("title", snapshot.metadata.title),
+                ("lang", snapshot.metadata.lang),
+                ("siteName", snapshot.metadata.site_name),
+                ("url", snapshot.metadata.url),
+            ) if value is not None
         },
-        "links": [{"score": link.score, "text": link.text,
-                   "href": link.href} for link in snapshot.links],
+        "links": [{"element": _vnode_to_jsonable(link.element),
+                   "href": link.href, "text": link.text,
+                   "score": link.score} for link in snapshot.links],
         "mainCandidates": candidates,
         "ariaTree": ({"root": _aria_to_jsonable(aria["root"]),
                       "nodeCount": aria["nodeCount"]}

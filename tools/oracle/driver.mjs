@@ -2,15 +2,19 @@
 // to ESM by strip_ts.py) on pre-parsed VDOM shipped from the Python side.
 //
 // stdin:  NDJSON  {"id": ..., "doc": {...vdom_json.py encoding...},
-//                  "options": {charThreshold?, nbTopCandidates?}}
-// stdout: NDJSON  {"id", "title", "lang", "site_name", "node_count",
-//                  "text", "markdown", "html", "aria", "links",
-//                  "candidate_scores", "error"}
+//                  "options": {charThreshold?, nbTopCandidates?},
+//                  "ops": ["extract" | "structure" | "doccontent" |
+//                          "classify" | "hierarchy" | "serialize" |
+//                          "readable", ...]}   (default ["extract"])
+// stdout: NDJSON  {"id", ...op results..., "error"}
 //
 // The parser is injected via options.parser (the reference's own
-// extension surface, src/types.ts:48), so everything downstream —
-// preprocess, scoring, classification, ARIA build, formatters — is the
-// reference's real code.
+// extension surface, src/types.ts:48) where the entry point supports
+// it; entry points that call parseHTML internally (analyzePageStructure,
+// extractDocumentContent, Readable.fromHTML) get the pre-parsed doc via
+// the parser stub's globalThis.__oracle_parsed hook.  The reference
+// pipeline MUTATES the tree (preprocess), so every op rebuilds a fresh
+// doc from the JSON.
 //
 // Usage: node driver.mjs <mjs_dir>
 
@@ -24,6 +28,12 @@ const { extract } = await import(u("extract"));
 const { stringify, formatDocument, toHTML, countNodes } = await import(u("format"));
 const { toMarkdown } = await import(u("markdown"));
 const { ariaTreeToString } = await import(u("readableAria"));
+const { analyzePageStructure } = await import(u("detect_index"));
+const { extractDocumentContent } = await import(u("detect_document"));
+const { classifySnapshot } = await import(u("classify"));
+const { analyzeLinkHierarchy } = await import(u("hierarchy"));
+const { serialize } = await import(u("serializer"));
+const { Readable } = await import(u("readable"));
 
 function buildNode(json, parent) {
   if ("x" in json) {
@@ -63,17 +73,49 @@ function buildDocument(json) {
   return doc;
 }
 
-function processLine(line) {
-  const req = JSON.parse(line);
-  try {
-    const doc = buildDocument(req.doc);
-    const options = Object.assign({}, req.options || {}, {
+function navItemSummary(item) {
+  return {
+    label: item.label,
+    href: item.href ?? null,
+    level: item.level,
+    is_current: item.isCurrent ?? null,
+    is_active: item.isActive ?? null,
+    children: (item.children ?? []).map(navItemSummary),
+  };
+}
+
+function navSummary(nav) {
+  if (!nav) return null;
+  return {
+    type: nav.type,
+    location: nav.location,
+    structure: nav.structure,
+    label: nav.label ?? null,
+    items: nav.items.map(navItemSummary),
+  };
+}
+
+function headerSummary(h) {
+  if (!h) return null;
+  return {
+    type: h.type,
+    is_sticky: h.isSticky,
+    depth: h.depth,
+    has_logo: h.contains.logo !== undefined,
+    has_site_title: h.contains.siteTitle !== undefined,
+    site_title_text: h.contains.siteTitle?.text ?? null,
+    n_nav: h.contains.navigation?.length ?? 0,
+    has_search: h.contains.search !== undefined,
+  };
+}
+
+const OPS = {
+  extract(doc, _docJson, options) {
+    const snapshot = extract("", Object.assign({}, options, {
       parser: () => doc,
-    });
-    const snapshot = extract("", options);
+    }));
     const root = snapshot.root;
     return {
-      id: req.id,
       title: snapshot.metadata.title,
       lang: snapshot.metadata.lang ?? null,
       site_name: snapshot.metadata.siteName ?? null,
@@ -86,11 +128,124 @@ function processLine(line) {
       links: snapshot.links.map((l) => [l.href ?? null, l.text]),
       candidate_scores: snapshot.mainCandidates.map((c) => c.score),
       root_tag: root ? root.tagName : null,
-      error: null,
     };
+  },
+
+  structure(doc) {
+    globalThis.__oracle_parsed = doc;
+    try {
+      const s = analyzePageStructure("");
+      return {
+        headers: s.headers.map(headerSummary),
+        navigations: s.navigations.map(navSummary),
+        main_header: headerSummary(s.mainHeader ?? null),
+        main_navigation: navSummary(s.mainNavigation ?? null),
+        breadcrumb: navSummary(s.breadcrumb ?? null),
+        toc: navSummary(s.toc ?? null),
+        has_main_content: s.mainContent !== undefined,
+        has_sidebar: s.sidebar !== undefined,
+        has_footer: s.footer !== undefined,
+      };
+    } finally {
+      delete globalThis.__oracle_parsed;
+    }
+  },
+
+  doccontent(doc) {
+    globalThis.__oracle_parsed = doc;
+    try {
+      const c = extractDocumentContent("");
+      return {
+        content: c.content,
+        sidebar_nav: c.sidebarNav ?? null,
+        toc: c.toc ?? null,
+        breadcrumb: c.breadcrumb ?? null,
+        outline: c.outline ?? null,
+      };
+    } finally {
+      delete globalThis.__oracle_parsed;
+    }
+  },
+
+  classify(doc, _docJson, options) {
+    const snapshot = extract("", Object.assign({}, options, {
+      parser: () => doc,
+    }));
+    const results = classifySnapshot(snapshot);
+    return {
+      results: results.map((r) => ({
+        page_type: r.pageType,
+        possibility: r.possibility,
+        title: r.title ?? null,
+        byline: r.byline ?? null,
+      })),
+    };
+  },
+
+  hierarchy(doc, _docJson, options) {
+    const snapshot = extract("", Object.assign({}, options, {
+      parser: () => doc,
+    }));
+    const a = analyzeLinkHierarchy(snapshot.links, snapshot.metadata);
+    const rel = (links) => links.map((l) => [l.href ?? null, l.text]);
+    return {
+      parent: rel(a.parent),
+      sibling: rel(a.sibling),
+      child: rel(a.child),
+      external: rel(a.external),
+      scores: [...a.scores.entries()].sort(),
+    };
+  },
+
+  serialize(doc, _docJson, options) {
+    // via Readable so the serialized record carries the pageType,
+    // matching the Python side's Readable.serialize()
+    globalThis.__oracle_parsed = doc;
+    try {
+      const r = Readable.fromHTML("", options);
+      return { serialized: r.serialize() };
+    } finally {
+      delete globalThis.__oracle_parsed;
+    }
+  },
+
+  readable(doc, _docJson, options) {
+    globalThis.__oracle_parsed = doc;
+    try {
+      const r = Readable.fromHTML("", options);
+      return {
+        page_type: r.pageType,
+        inferred: r.inferPageType(),
+        markdown: r.toMarkdown(),
+        title: r.snapshot.metadata.title,
+        node_count: r.snapshot.nodeCount,
+        n_links: r.snapshot.links.length,
+      };
+    } finally {
+      delete globalThis.__oracle_parsed;
+    }
+  },
+};
+
+function processLine(line) {
+  const req = JSON.parse(line);
+  const out = { id: req.id, error: null };
+  try {
+    const ops = req.ops ?? ["extract"];
+    for (const op of ops) {
+      // fresh tree per op — the reference pipeline mutates it
+      const doc = buildDocument(req.doc);
+      const result = OPS[op](doc, req.doc, req.options || {});
+      if (ops.length === 1 && op === "extract") {
+        Object.assign(out, result); // back-compat flat shape
+      } else {
+        out[op] = result;
+      }
+    }
   } catch (err) {
-    return { id: req.id, error: `${err.name}: ${err.message}` };
+    out.error = `${err.name}: ${err.message}`;
   }
+  return out;
 }
 
 const rl = createInterface({ input: process.stdin, crlfDelay: Infinity });

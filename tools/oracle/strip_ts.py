@@ -48,6 +48,17 @@ ORACLE_FILES = {
     "nav/readableAria.ts": "readableAria",
     "nav/links.ts": "links",
     "nav/types.ts": "nav_types",
+    "serializer.ts": "serializer",
+    "readable.ts": "readable",
+    "classify/classify.ts": "classify",
+    "classify/constants.ts": "classify_constants",
+    "classify/types.ts": "classify_types",
+    "nav/hierarchy.ts": "hierarchy",
+    "detect/index.ts": "detect_index",
+    "detect/header.ts": "detect_header",
+    "detect/navigation.ts": "detect_navigation",
+    "detect/document.ts": "detect_document",
+    "aria/utils.ts": "aria_utils",
 }
 
 # import-specifier (as written in each file) -> flat module name.
@@ -220,6 +231,10 @@ class Stripper:
         self.toks = toks
         self.file_rel = file_rel
         self.keep = [True] * len(toks)
+        # exported type/interface names erased from this module; they
+        # get `export var NAME;` stubs so VALUE-style imports of type
+        # names in other files (TS allows them) still resolve
+        self.erased_exports: list[str] = []
 
     # -- token helpers ------------------------------------------------------
     def sig_next(self, i: int) -> int:
@@ -263,7 +278,8 @@ class Stripper:
                 # `{` continues the type after `&`/`|` (intersection /
                 # union with an object type); otherwise after a consumed
                 # atom it begins the function body
-                if depth == 0 and consumed and prev not in ("&", "|"):
+                if depth == 0 and consumed and \
+                        prev not in ("&", "|", "is"):
                     return i
                 depth += 1
             elif txt in ("(", "[", "<"):
@@ -307,6 +323,8 @@ class Stripper:
                 if k < n and toks[k].kind == "ident" and \
                         self.sig_next(k + 1) < n and \
                         toks[self.sig_next(k + 1)].text == "=":
+                    if t.text == "export":
+                        self.erased_exports.append(toks[k].text)
                     # type alias: scan to ; at depth 0
                     k = self.sig_next(k + 1) + 1
                     k = self._scan_to_semicolon(k)
@@ -349,6 +367,10 @@ class Stripper:
             if t.text in ("interface",) or (
                     t.text == "export" and j < n and
                     toks[j].text == "interface"):
+                if t.text == "export":
+                    name_i = self.sig_next(j + 1)
+                    if name_i < n and toks[name_i].kind == "ident":
+                        self.erased_exports.append(toks[name_i].text)
                 start = i
                 # find opening brace, then balance
                 k = i
@@ -415,6 +437,119 @@ class Stripper:
                         elif txt == "=" and depth == 1:
                             toks[k] = Tok("punct", ":")
                         k += 1
+
+    # -- class support ------------------------------------------------------
+    MODIFIERS = ("public", "private", "protected", "readonly", "override",
+                 "abstract")
+    KEYWORDS_NOT_FN = {"if", "for", "while", "switch", "catch", "return",
+                       "new", "typeof", "else", "do", "await", "yield",
+                       "in", "of", "delete", "void", "case", "function"}
+
+    def strip_class_syntax(self):
+        """Erase TS class-only syntax: access modifiers, field type
+        annotations, method parameter/return annotations.  Fields and
+        methods are only recognized INSIDE class bodies (depth 1 of a
+        ``class X { ... }`` span), so object literals elsewhere are
+        never touched."""
+        toks = self.toks
+        n = len(toks)
+        # modifiers anywhere (interfaces already removed): drop when the
+        # next significant token continues a declaration
+        for i in range(n):
+            if not self.keep[i] or toks[i].kind != "ident":
+                continue
+            if toks[i].text in self.MODIFIERS:
+                j = self.sig_next(i + 1)
+                if j < n and (toks[j].kind == "ident" or
+                              toks[j].text in ("[", "*")):
+                    self.drop(i, i + 1)
+                    # drop one following ws run so indentation stays sane
+                    if i + 1 < n and toks[i + 1].kind == "ws" and                             "\n" not in toks[i + 1].text:
+                        self.drop(i + 1, i + 2)
+        # non-null assertions: `expr!` — a `!` whose left neighbour is a
+        # VALUE (non-keyword ident / ) / ] / string); unary `!x` has an
+        # operator or keyword (`return !x`) on the left, and `!=`/`!==`
+        # are single tokens
+        value_breakers = {"return", "typeof", "case", "do", "else",
+                          "void", "delete", "new", "await", "yield",
+                          "in", "of", "instanceof", "throw"}
+        for i in range(n):
+            if self.keep[i] and toks[i].kind == "punct" and \
+                    toks[i].text == "!":
+                p = self.sig_prev(i - 1)
+                if p >= 0 and (
+                        (toks[p].kind == "ident"
+                         and toks[p].text not in value_breakers)
+                        or toks[p].kind == "str"
+                        or toks[p].text in (")", "]")):
+                    self.drop(i, i + 1)
+        # class bodies: field annotations + method signatures
+        i = 0
+        while i < n:
+            if self.keep[i] and toks[i].kind == "ident" and \
+                    toks[i].text == "class":
+                # `class X implements A, B {` — drop the implements list
+                k = i
+                while k < n and toks[k].text != "{":
+                    if toks[k].kind == "ident" and \
+                            toks[k].text == "implements":
+                        m = k
+                        while m < n and toks[m].text != "{" and \
+                                toks[m].text != "extends":
+                            m += 1
+                        self.drop(k, m)
+                        k = m
+                        continue
+                    k += 1
+                end = self._match_brace(k)
+                self._strip_class_body(k + 1, end)
+                i = end
+            i += 1
+
+    def _match_brace(self, i: int) -> int:
+        depth = 0
+        n = len(self.toks)
+        while i < n:
+            if self.toks[i].text == "{":
+                depth += 1
+            elif self.toks[i].text == "}":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return n - 1
+
+    def _strip_class_body(self, start: int, end: int):
+        toks = self.toks
+        i = start
+        depth = 0
+        while i < end:
+            if not self.keep[i]:
+                i += 1
+                continue
+            txt = toks[i].text
+            if txt in ("{", "(", "["):
+                depth += 1
+            elif txt in ("}", ")", "]"):
+                depth -= 1
+            elif depth == 0 and toks[i].kind == "ident" and                     txt not in self.KEYWORDS_NOT_FN:
+                j = self.sig_next(i + 1)
+                if j < end and toks[j].text == "(":
+                    # method signature — param list + return type
+                    i = self._strip_param_list(j, arrow=False)
+                    continue
+                if j < end and toks[j].text == "?":
+                    j2 = self.sig_next(j + 1)
+                    if j2 < end and toks[j2].text == ":":
+                        self.drop(j, j + 1)
+                        j = j2
+                if j < end and toks[j].text == ":":
+                    t_end = self.skip_type(j + 1)
+                    if t_end < end and toks[t_end].text in (";", "="):
+                        self.drop(j, t_end)
+                        i = t_end
+                        continue
+            i += 1
 
     # -- annotation removal -------------------------------------------------
     def strip_annotations(self):
@@ -573,7 +708,16 @@ class Stripper:
                     toks[j] = Tok("str", f'"./{target}.mjs"')
 
     def render(self) -> str:
-        return "".join(t.text for t, k in zip(self.toks, self.keep) if k)
+        out = "".join(t.text for t, k in zip(self.toks, self.keep) if k)
+        stubs = []
+        for name in dict.fromkeys(self.erased_exports):
+            # only stub names with no surviving value declaration
+            if (f"function {name}" in out or f"const {name}" in out
+                    or f"class {name}" in out or f"var {name}" in out):
+                continue
+            stubs.append(f"export var {name};"
+                         f"  // erased type — value-import stub\n")
+        return out + ("\n" + "".join(stubs) if stubs else "")
 
 
 def strip_file(file_rel: str) -> str:
@@ -584,6 +728,7 @@ def strip_file(file_rel: str) -> str:
     s = Stripper(toks, file_rel)
     s.remove_type_imports_and_aliases()
     s.convert_const_enum()
+    s.strip_class_syntax()
     s.strip_annotations()
     s.rewrite_imports()
     return s.render()
@@ -591,8 +736,14 @@ def strip_file(file_rel: str) -> str:
 
 PARSER_STUB = """\
 // Oracle stub: the real parser (htmlparser2) is not available in the
-// sandbox; the oracle injects pre-parsed VDOM via options.parser.
+// sandbox.  The oracle driver either injects pre-parsed VDOM via
+// options.parser or, for entry points that call parseHTML internally
+// (analyzePageStructure / extractDocumentContent / Readable.fromHTML),
+// sets globalThis.__oracle_parsed before the call.
 export function parseHTML() {
+  if (globalThis.__oracle_parsed !== undefined) {
+    return globalThis.__oracle_parsed;
+  }
   throw new Error("oracle parser stub: pass options.parser");
 }
 export function serializeToHTML() {
