@@ -180,6 +180,58 @@ def _q_image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio feature extraction (RMS/ZCR/spectral centroid+rolloff on
+    the decoded waveform; decode itself is the documented stub
+    boundary).  Rows-only check (floor-3 sums for stability)."""
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        audio_features, make_fake_media_table)
+    n = 200 if "0.1" in sf_dir else 60
+    ds = ray.data.from_arrow(make_fake_media_table(n)) \
+        .filter(expr="media_type == 'audio'")
+    feats = audio_features(ds, fake_decode=True)
+
+    import pyarrow as pa
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        sums = [float(np.floor(np.sum(f) * 1e3) / 1e3)
+                for f in batch.column("feature").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "feature_sum": pa.array(sums, pa.float64()),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_video_frames(sf_dir: str):
+    """Video frame sampling: (media_id, frame_index, frame md5) rows —
+    the Ray-side plumbing for frame-level pipelines (decode stubbed)."""
+    import hashlib
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        frame_samples, make_fake_media_table)
+    n = 200 if "0.1" in sf_dir else 60
+    ds = ray.data.from_arrow(make_fake_media_table(n)) \
+        .filter(expr="media_type == 'video'")
+    frames = frame_samples(ds, every_n_ms=1000, fake_decode=True)
+
+    import pyarrow as pa
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(bytes(p)).hexdigest()
+                  for p in batch.column("frame_payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_index": batch.column("frame_index"),
+            "frame_md5": pa.array(hashes, pa.string()),
+        })
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # training-data ops (SQL-checked unless noted)
 # --------------------------------------------------------------------------
@@ -440,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fixture_corpus": _q_extract_fixture_corpus,
         "dedup_pages_by_url": _q_dedup_pages,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frame_samples": _q_video_frames,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

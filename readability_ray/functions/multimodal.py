@@ -116,6 +116,76 @@ class FrameSampleStage:
         })
 
 
+def _decode_audio_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Real decode path — requires an audio library.
+
+    STUB: this container ships no codecs; on a real cluster replace
+    with soundfile.read(BytesIO(payload)) / torchaudio.load."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/ffmpeg; not available in "
+        "this environment — use fake_decode=True for the stub")
+
+
+def _decode_audio_fake(payload: bytes, duration_ms: int,
+                       sample_rate: int) -> np.ndarray:
+    """Deterministic fake decode: payload bytes → seeded waveform of
+    the declared duration.  Same payload → same samples."""
+    seed = struct.unpack("<I", hashlib.md5(payload).digest()[4:8])[0]
+    rng = np.random.RandomState(seed)
+    n = max(1, int(sample_rate * max(duration_ms, 1) / 1000))
+    # a couple of seeded sinusoids + noise so spectral features vary
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    f1, f2 = rng.uniform(80, 400), rng.uniform(400, 4000)
+    return (np.sin(2 * np.pi * f1 * t) * 0.6
+            + np.sin(2 * np.pi * f2 * t) * 0.3
+            + rng.standard_normal(n) * 0.05)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode → vectorized DSP features (RMS,
+    zero-crossing rate, spectral centroid/rolloff via numpy rFFT).
+
+    The decode is the stub boundary; the feature math runs on whatever
+    the decoder returns, so swapping in a real decoder changes nothing
+    downstream.  Same batch-sizing rule as images: large blobs ⇒ small
+    batches."""
+
+    def __init__(self, sample_rate: int = 16_000,
+                 fake_decode: bool = True):
+        self.sample_rate = sample_rate
+        self.fake_decode = fake_decode
+
+    def _decode(self, payload: bytes, duration_ms: int) -> np.ndarray:
+        if self.fake_decode:
+            return _decode_audio_fake(payload, duration_ms,
+                                      self.sample_rate)
+        return _decode_audio_real(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durations = batch.column("duration_ms").to_pylist()
+        feats = []
+        for payload, duration in zip(payloads, durations):
+            wave = self._decode(bytes(payload), int(duration or 1000))
+            rms = float(np.sqrt(np.mean(wave ** 2)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(wave)))))
+            spectrum = np.abs(np.fft.rfft(wave[:1 << 14]))
+            freqs = np.fft.rfftfreq(min(len(wave), 1 << 14),
+                                    1 / self.sample_rate)
+            power = spectrum.sum() or 1.0
+            centroid = float((freqs * spectrum).sum() / power)
+            cumulative = np.cumsum(spectrum)
+            rolloff_idx = int(np.searchsorted(
+                cumulative, 0.85 * cumulative[-1]))
+            rolloff = float(freqs[min(rolloff_idx, len(freqs) - 1)])
+            feats.append([rms, zcr, centroid, rolloff])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
 def image_features(ds: ray.data.Dataset, *, out_hw=(32, 32),
                    fake_decode: bool = True,
                    concurrency=(1, 2), batch_size: int = 16) -> ray.data.Dataset:
@@ -123,6 +193,32 @@ def image_features(ds: ray.data.Dataset, *, out_hw=(32, 32),
         ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs=dict(out_hw=out_hw, fake_decode=fake_decode))
+
+
+def audio_features(ds: ray.data.Dataset, *, sample_rate: int = 16_000,
+                   fake_decode: bool = True, concurrency=(1, 2),
+                   batch_size: int = 16) -> ray.data.Dataset:
+    """Audio feature extraction over the opaque payload column
+    (``media_type == "audio"`` rows; filter upstream with
+    ``ds.filter(expr="media_type == 'audio'")``)."""
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(sample_rate=sample_rate,
+                                   fake_decode=fake_decode))
+
+
+def frame_samples(ds: ray.data.Dataset, *, every_n_ms: int = 1000,
+                  fake_decode: bool = True, concurrency=(1, 2),
+                  batch_size: int = 8) -> ray.data.Dataset:
+    """Video frame sampling: one output row per sampled frame.  Frames
+    multiply the payload bytes, so the batch size is the smallest of
+    the media stages."""
+    return ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(every_n_ms=every_n_ms,
+                                   fake_decode=fake_decode))
 
 
 def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:

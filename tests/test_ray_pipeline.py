@@ -271,3 +271,35 @@ def test_task_mode_extraction(ray_session, pages_path):
     df = extract_pipeline(ds, use_actors=False, batch_size=32).to_pandas()
     assert len(df) == 120
     assert (df.error == "").all()
+
+
+def test_audio_features_deterministic(ray_session):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        audio_features, make_fake_media_table)
+    ds = ray.data.from_arrow(make_fake_media_table(18)) \
+        .filter(expr="media_type == 'audio'")
+    a = audio_features(ds, fake_decode=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    b = audio_features(ds, fake_decode=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(a) == 6  # one third of the media table is audio
+    assert all(len(f) == 4 for f in a.feature)  # rms/zcr/centroid/rolloff
+    for fa, fb in zip(a.feature, b.feature):
+        assert list(fa) == list(fb)  # same payload -> same features
+    # features must actually vary across payloads
+    sums = [sum(f) for f in a.feature]
+    assert len(set(round(s, 6) for s in sums)) > 1
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        frame_samples, make_fake_media_table)
+    ds = ray.data.from_arrow(make_fake_media_table(9)) \
+        .filter(expr="media_type == 'video'")
+    df = frame_samples(ds, every_n_ms=1000, fake_decode=True).to_pandas()
+    # 3 videos x 3000ms / 1000ms = 3 frames each
+    assert len(df) == 9
+    assert set(df.groupby("media_id").frame_index.count()) == {3}
+    assert (df.frame_payload.str.len() == 16).all()  # md5-sized stub
