@@ -91,10 +91,11 @@ def _run_benchmarks() -> None:
 
     import __ray_entry__ as entrymod
     bench_queries = ["token_stats", "exact_dedup", "minhash_dedup_pairs",
+                     "simhash_near_pairs", "dedup_pages_by_url",
                      "knn_cosine_top5", "embedding_dup_pairs",
                      "doc_lang_stats", "events_hourly",
                      "token_frequency_top50", "events_sessionize",
-                     "page_structure"]
+                     "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
         t0 = time.time()

@@ -26,7 +26,7 @@ from tests.test_oracle_node import (  # noqa: E402
 from tools.oracle.vdom_json import document_to_json  # noqa: E402
 
 ALL_OPS = ["structure", "doccontent", "classify", "hierarchy",
-           "serialize", "readable"]
+           "serialize", "readable", "serialize_html"]
 
 
 def _nav_summary(nav):
@@ -70,6 +70,8 @@ def _header_summary(h):
 
 
 def _ours(html: str, url: str, doc) -> dict:
+    from readability_ray.parser import parse_html as _ph
+    doc_for_serialize = _ph(html)
     from readability_ray.classify import classify_snapshot
     from readability_ray.detect.document import (
         extract_document_content_from_tree)
@@ -123,6 +125,10 @@ def _ours(html: str, url: str, doc) -> dict:
         "child": rel(a.child), "external": rel(a.external),
         "scores": sorted([k, v] for k, v in a.scores.items()),
     }
+
+    out["serialize_html"] = {
+        "html": __import__("readability_ray.parser", fromlist=["x"])
+        .serialize_to_html(doc_for_serialize.document_element)}
 
     raw_doc2 = parse_html(html)
     raw_doc2.document_uri = url

@@ -34,6 +34,7 @@ const { classifySnapshot } = await import(u("classify"));
 const { analyzeLinkHierarchy } = await import(u("hierarchy"));
 const { serialize } = await import(u("serializer"));
 const { Readable } = await import(u("readable"));
+const { serializeToHTML } = await import(u("htmlparser2_impl"));
 
 function buildNode(json, parent) {
   if ("x" in json) {
@@ -207,6 +208,11 @@ const OPS = {
     } finally {
       delete globalThis.__oracle_parsed;
     }
+  },
+
+  serialize_html(doc) {
+    // raw VDOM -> HTML text (htmlparser2.ts:140-181)
+    return { html: serializeToHTML(doc.documentElement) };
   },
 
   readable(doc, _docJson, options) {

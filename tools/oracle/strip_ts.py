@@ -59,6 +59,7 @@ ORACLE_FILES = {
     "detect/navigation.ts": "detect_navigation",
     "detect/document.ts": "detect_document",
     "aria/utils.ts": "aria_utils",
+    "parsers/htmlparser2.ts": "htmlparser2_impl",
 }
 
 # import-specifier (as written in each file) -> flat module name.
@@ -72,8 +73,7 @@ def _resolve_spec(file_rel: str, spec: str) -> str | None:
         cand = path + suffix
         if cand in ORACLE_FILES:
             return ORACLE_FILES[cand]
-    if path in ("parsers/parser", "parsers/parser.ts",
-                "parsers/htmlparser2", "parsers/htmlparser2.ts"):
+    if path in ("parsers/parser", "parsers/parser.ts"):
         return "parser_stub"
     raise KeyError(f"unmapped import {spec!r} from {file_rel!r}")
 
@@ -704,7 +704,7 @@ class Stripper:
                     spec = toks[j].text[1:-1]
                     target = _resolve_spec(self.file_rel, spec)
                     if target is None:
-                        target = "parser_stub"  # bare htmlparser2 import
+                        target = "npm_stub"  # bare htmlparser2 import
                     toks[j] = Tok("str", f'"./{target}.mjs"')
 
     def render(self) -> str:
@@ -734,6 +734,17 @@ def strip_file(file_rel: str) -> str:
     return s.render()
 
 
+NPM_STUB = """\
+// Oracle stub for the bare `htmlparser2` npm import: only the Parser
+// symbol is referenced at module scope; constructing one (i.e. calling
+// the real parseHTML) is unsupported in the oracle.
+export class Parser {
+  constructor() {
+    throw new Error("oracle npm stub: htmlparser2 is not available");
+  }
+}
+"""
+
 PARSER_STUB = """\
 // Oracle stub: the real parser (htmlparser2) is not available in the
 // sandbox.  The oracle driver either injects pre-parsed VDOM via
@@ -762,6 +773,9 @@ def generate(outdir: str = "/tmp/readability_oracle_mjs") -> str:
     with open(os.path.join(outdir, "parser_stub.mjs"), "w",
               encoding="utf-8") as f:
         f.write(PARSER_STUB)
+    with open(os.path.join(outdir, "npm_stub.mjs"), "w",
+              encoding="utf-8") as f:
+        f.write(NPM_STUB)
     return outdir
 
 
