@@ -282,6 +282,15 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4)
 
 
+def _q_minhash_pairs_estimate(sf_dir: str):
+    """The zero-join scale path: Jaccard from signature agreement (the
+    standard MinHash estimator) — the corpus text never moves.
+    Rows-only (estimator is approximate by design)."""
+    from readability_ray.functions import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4,
+                             verify="estimate")
+
+
 def _q_simhash(sf_dir: str):
     from readability_ray.functions import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -504,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_hashes": _q_content_hashes,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "simhash_signatures": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "page_structure": _q_page_structure,

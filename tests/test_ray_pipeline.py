@@ -303,3 +303,29 @@ def test_video_frame_sampling(ray_session):
     assert len(df) == 9
     assert set(df.groupby("media_id").frame_index.count()) == {3}
     assert (df.frame_payload.str.len() == 16).all()  # md5-sized stub
+
+
+def test_minhash_estimate_verify(ray_session):
+    """verify='estimate' (the zero-join 100 TB path) finds the planted
+    near-dup with an estimator value close to the exact n-gram Jaccard,
+    and keeps unrelated docs apart."""
+    import ray.data
+    from readability_ray.functions import minhash_lsh_pairs
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight without a sound")
+    near = base.replace("lazy", "sleepy")
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": "completely unrelated text about ray "
+                                  "data pipelines and arrow batches here"}]
+    ds = ray.data.from_items(rows)
+    est = minhash_lsh_pairs(ds, jaccard_threshold=0.3,
+                            verify="estimate").to_pandas()
+    exact = minhash_lsh_pairs(ds, jaccard_threshold=0.3,
+                              verify="exact").to_pandas()
+    est_pairs = dict(zip(zip(est.doc_a, est.doc_b), est.jaccard))
+    exact_pairs = dict(zip(zip(exact.doc_a, exact.doc_b), exact.jaccard))
+    assert (1, 2) in est_pairs and (1, 2) in exact_pairs
+    assert (1, 3) not in est_pairs and (2, 3) not in est_pairs
+    # estimator error ~1/sqrt(64) = 0.125
+    assert abs(est_pairs[(1, 2)] - exact_pairs[(1, 2)]) < 0.2
