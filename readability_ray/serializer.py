@@ -85,6 +85,20 @@ def _aria_to_jsonable(node: dict | None):
     return out
 
 
+def _link_jsonable(link):
+    """LinkInfo → the raw JS object graph.  After ``load`` the element
+    is the dict parsed from JSON (the reference keeps loaded links as
+    plain objects and re-serializes them unchanged, serializer.ts:274);
+    fresh links carry a live VElement."""
+    element = link.element
+    if isinstance(element, dict) or element is None:
+        element_json = element
+    else:
+        element_json = _vnode_to_jsonable(element)
+    return {"element": element_json, "href": link.href,
+            "text": link.text, "score": link.score}
+
+
 def _vnode_to_jsonable(node):
     """A VNode as JSON.stringify renders the reference's in-memory
     object (htmlparser2 shape + extract() mutations): WeakRef parents
@@ -156,9 +170,7 @@ def serialize(snapshot: ExtractedSnapshot, page_type: str) -> str:
                 ("url", snapshot.metadata.url),
             ) if value is not None
         },
-        "links": [{"element": _vnode_to_jsonable(link.element),
-                   "href": link.href, "text": link.text,
-                   "score": link.score} for link in snapshot.links],
+        "links": [_link_jsonable(link) for link in snapshot.links],
         "mainCandidates": candidates,
         "ariaTree": ({"root": _aria_to_jsonable(aria["root"]),
                       "nodeCount": aria["nodeCount"]}
@@ -208,7 +220,10 @@ def deserialize(json_string: str) -> tuple[ExtractedSnapshot, str]:
         out = {k: v for k, v in node.items()
                if k not in ("children", "originalElement")}
         out["el"] = None
-        if node.get("children"):
+        # key-presence is part of the serialized form: an empty
+        # children ARRAY must survive the round trip (the reference
+        # keeps the loaded tree raw, so re-serializing is byte-stable)
+        if node.get("children") is not None:
             out["children"] = [aria_from_jsonable(c)
                                for c in node["children"]]
         return out
@@ -222,7 +237,11 @@ def deserialize(json_string: str) -> tuple[ExtractedSnapshot, str]:
     snapshot = ExtractedSnapshot(
         root=root,
         node_count=data.get("nodeCount", 0),
-        links=[LinkInfo(None, link["score"], link["text"], link["href"])
+        # keep the serialized element graph (a plain dict) so a
+        # re-serialize round-trips byte-for-byte, as the reference does
+        # (its loaded links stay raw objects, serializer.ts:274)
+        links=[LinkInfo(link.get("element"), link["score"], link["text"],
+                        link["href"])
                for link in data.get("links", [])],
         metadata=PageMetadata(
             title=metadata_data.get("title", ""),

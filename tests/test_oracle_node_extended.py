@@ -26,7 +26,8 @@ from tests.test_oracle_node import (  # noqa: E402
 from tools.oracle.vdom_json import document_to_json  # noqa: E402
 
 ALL_OPS = ["structure", "doccontent", "classify", "hierarchy",
-           "serialize", "readable", "serialize_html"]
+           "serialize", "readable", "serialize_html", "aria_raw",
+           "readable_load"]
 
 
 def _nav_summary(nav):
@@ -124,6 +125,35 @@ def _ours(html: str, url: str, doc) -> dict:
         "parent": rel(a.parent), "sibling": rel(a.sibling),
         "child": rel(a.child), "external": rel(a.external),
         "scores": sorted([k, v] for k, v in a.scores.items()),
+    }
+
+    from readability_ray.aria import build_aria_node
+    from readability_ray.preprocess import preprocess_document
+    from readability_ray.vdom import text_cache_clear
+    aria_doc = _ph(html)
+    preprocess_document(aria_doc)
+    text_cache_clear()
+
+    def _aria_clean(n):
+        out2 = {k: v for k, v in n.items() if k not in ("el", "children")}
+        ch = n.get("children")
+        if ch is not None:
+            out2["children"] = [_aria_clean(c) for c in ch]
+        return out2
+
+    out["aria_raw"] = _aria_clean(build_aria_node(aria_doc.body))
+
+    load_doc = _ph(html)
+    load_doc.document_uri = url
+    first = Readable.from_html(html, parser=lambda _h: load_doc, url=url)
+    loaded = Readable.load(first.serialize())
+    out["readable_load"] = {
+        "page_type": loaded.page_type,
+        "markdown": loaded.to_markdown(),
+        "title": loaded.snapshot.metadata.title,
+        "node_count": loaded.snapshot.node_count,
+        "n_links": len(loaded.snapshot.links),
+        "reserialized_equal": loaded.serialize() == first.serialize(),
     }
 
     out["serialize_html"] = {

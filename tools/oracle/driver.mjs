@@ -35,6 +35,8 @@ const { analyzeLinkHierarchy } = await import(u("hierarchy"));
 const { serialize } = await import(u("serializer"));
 const { Readable } = await import(u("readable"));
 const { serializeToHTML } = await import(u("htmlparser2_impl"));
+const { buildAriaNode } = await import(u("aria"));
+const { preprocessDocument } = await import(u("preprocess"));
 
 function buildNode(json, parent) {
   if ("x" in json) {
@@ -205,6 +207,35 @@ const OPS = {
     try {
       const r = Readable.fromHTML("", options);
       return { serialized: r.serialize() };
+    } finally {
+      delete globalThis.__oracle_parsed;
+    }
+  },
+
+  aria_raw(doc) {
+    // uncompressed ARIA tree over the PREPROCESSED doc (the
+    // extractAriaTree compress:false path, extract.ts:759-771)
+    preprocessDocument(doc);
+    const tree = buildAriaNode(doc.body);
+    return JSON.parse(JSON.stringify(
+      tree, (k, v) => (k === "originalElement" ? undefined : v)));
+  },
+
+  readable_load(doc, _docJson, options) {
+    // serialize -> load round trip through the reference's own
+    // deserializer (serializer.ts:209-284; parents unrecoverable)
+    globalThis.__oracle_parsed = doc;
+    try {
+      const first = Readable.fromHTML("", options);
+      const loaded = Readable.load(first.serialize(), options);
+      return {
+        page_type: loaded.pageType,
+        markdown: loaded.toMarkdown(),
+        title: loaded.snapshot.metadata.title,
+        node_count: loaded.snapshot.nodeCount,
+        n_links: loaded.snapshot.links.length,
+        reserialized_equal: loaded.serialize() === first.serialize(),
+      };
     } finally {
       delete globalThis.__oracle_parsed;
     }
