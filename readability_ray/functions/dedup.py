@@ -1,16 +1,20 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash.
 
-Scale shapes (ray_guide patterns):
+Scale shapes (all hash-shuffle, no driver materialization anywhere):
 - exact: vectorized content-hash column → ``groupby(hash)`` (the one
-  hash shuffle) → first-per-group.  At 100 TB the hash column is 16
-  bytes/row, so the shuffle moves hashes + ids, never the text.
+  hash shuffle) → vectorized Min/Count aggregate.  At 100 TB the hash
+  column is 16 bytes/row, so the shuffle moves hashes + ids, never the
+  text.
 - MinHash+LSH: shingle→minhash per batch (numpy, vectorized per doc),
-  explode to (band, band_hash, doc_id) rows, groupby band bucket →
-  candidate pairs → exact n-gram Jaccard verification.  Signatures are
-  64 bytes/doc; buckets are tiny relative to the corpus.
+  explode to (band, band_hash, doc_id) rows,
+  ``repartition(keys=[band, band_hash])`` co-location → vectorized
+  per-partition pair scan → verification: exact n-gram Jaccard via two
+  text hash-joins, or the zero-join signature-agreement estimator
+  (``verify="estimate"``, the lightest 100 TB plan).
 - SimHash: 64-bit signature per doc; near-dup = hamming ≤ k via
-  band-exact-match buckets (4 bands of 16 bits → hamming ≤ 3
-  candidates).
+  band-exact-match co-location (4 bands of 16 bits → hamming ≤ 3
+  complete by pigeonhole); signatures ride the band rows so the
+  vectorized popcount verify needs no second pass over the corpus.
 
 All hashing is seeded md5 (stable across processes/machines — never
 Python's randomized ``hash``).
