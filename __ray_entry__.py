@@ -397,6 +397,14 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_ann_topk(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def _q_ivf_ann(sf_dir: str):
+    """IVF ANN: coarse k-means quantizer + n_probe cluster search —
+    the clustered-corpus scale path beside LSH.  Rows-only check."""
+    from readability_ray.functions import ivf_ann_topk
+    return ivf_ann_topk(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
+                        n_clusters=16, n_probe=4)
+
+
 def _q_embedding_dups(sf_dir: str):
     # small_side=True: the exact all-pairs path, matching the DuckDB
     # oracle (itself a cross-product).  The library DEFAULT is the
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_pages": _q_classify_pages,
         "knn_cosine_top5": _q_knn,
         "lsh_ann_top5": _q_lsh_ann,
+        "ivf_ann_top5": _q_ivf_ann,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "events_hourly": _q_events_hourly,

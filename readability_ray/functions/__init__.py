@@ -16,7 +16,7 @@ from .dedup import (
     simhash_signatures,
 )
 from .similarity import (
-    embedding_dup_pairs, kmeans_assign, knn_topk, lsh_ann_topk,
+    embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
 )
 
 __all__ = [
@@ -25,5 +25,5 @@ __all__ = [
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
-    "knn_topk", "lsh_ann_topk",
+    "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
 ]

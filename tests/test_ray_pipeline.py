@@ -329,3 +329,27 @@ def test_minhash_estimate_verify(ray_session):
     assert (1, 3) not in est_pairs and (2, 3) not in est_pairs
     # estimator error ~1/sqrt(64) = 0.125
     assert abs(est_pairs[(1, 2)] - exact_pairs[(1, 2)]) < 0.2
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF ANN on clustered blobs recovers most exact-knn neighbors
+    (coarse quantizer routes queries to the right clusters)."""
+    import numpy as np
+    import ray.data
+    from readability_ray.functions import ivf_ann_topk, knn_topk
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((6, 16)) * 8
+    vecs = np.concatenate([
+        centers[i % 6] + rng.standard_normal(16) * 0.4
+        for i in range(240)]).reshape(240, 16).astype(np.float32)
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(240)])
+    exact = knn_topk(ds, query_ids=[0, 1, 2], k=5).to_pandas()
+    approx = ivf_ann_topk(ds, query_ids=[0, 1, 2], k=5,
+                          n_clusters=6, n_probe=2).to_pandas()
+    hits = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+    assert hits >= 12  # >= 80% recall over 15 exact neighbors
