@@ -49,7 +49,7 @@ def _pages_ds(sf_dir: str):
 def _q_extract_articles(sf_dir: str):
     from readability_ray.pipelines import extract_pipeline
     ds = _pages_ds(sf_dir)
-    out = extract_pipeline(ds, concurrency=(1, 8), batch_size=64)
+    out = extract_pipeline(ds, use_actors=False, batch_size=64)
     return out.select_columns([
         "url", "page_type", "title", "byline", "lang", "site_name",
         "node_count", "n_candidates", "n_links", "html_bytes", "error"])
@@ -73,7 +73,7 @@ def _q_extract_text(sf_dir: str):
             "text_len": pa.array([len(t) for t in texts], pa.int64()),
         })
 
-    out = extract_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
+    out = extract_pipeline(_pages_ds(sf_dir), use_actors=False,
                            batch_size=64)
     return out.map_batches(hash_cols, batch_format="pyarrow")
 
@@ -82,7 +82,7 @@ def _q_aria_trees(sf_dir: str):
     from readability_ray.pipelines import extract_pipeline
     out = extract_pipeline(_pages_ds(sf_dir), emit_aria=True,
                            emit_html=False, emit_markdown=False,
-                           concurrency=(1, 8), batch_size=64)
+                           use_actors=False, batch_size=64)
     return out.select_columns(["url", "aria_yaml", "page_type"])
 
 
@@ -136,7 +136,7 @@ def _q_extract_fixture_corpus(sf_dir: str):
     from readability_ray.sources import pages_path_for_sf
     path = pages_path_for_sf(sf_dir, include_reference_fixtures=True)
     ds = ray.data.read_parquet(path, columns=["url", "html"])
-    out = extract_pipeline(ds, concurrency=(1, 8), batch_size=32)
+    out = extract_pipeline(ds, use_actors=False, batch_size=32)
     return out.select_columns(
         ["url", "page_type", "title", "node_count", "n_links", "error"])
 
