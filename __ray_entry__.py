@@ -291,6 +291,16 @@ def _q_minhash_pairs_estimate(sf_dir: str):
                              verify="estimate")
 
 
+def _q_minhash_keepers(sf_dir: str):
+    """Pairs → per-document keeper assignments (connected components
+    via distributed min-label propagation) — the drop-duplicates step
+    a training pipeline runs after near-dup pair generation."""
+    from readability_ray.functions import minhash_lsh_pairs, near_dup_keepers
+    pairs = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4,
+                              verify="estimate")
+    return near_dup_keepers(pairs, n_iter=3)
+
+
 def _q_simhash(sf_dir: str):
     from readability_ray.functions import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
+        "minhash_dedup_keepers": _q_minhash_keepers,
         "simhash_signatures": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "page_structure": _q_page_structure,

@@ -12,8 +12,8 @@ from .textstats import (
     quality_scores, token_frequency_topk, token_stats,
 )
 from .dedup import (
-    content_hashes, exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
-    simhash_signatures,
+    content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
+    simhash_near_pairs, simhash_signatures,
 )
 from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
@@ -24,6 +24,7 @@ __all__ = [
     "quality_scores", "kmeans_assign",
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
+    "near_dup_keepers",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
 ]

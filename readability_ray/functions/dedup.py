@@ -492,3 +492,103 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---- near-dup clusters → keepers -------------------------------------------
+
+def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 4,
+                     n_partitions: int | None = None) -> ray.data.Dataset:
+    """Resolve near-duplicate PAIRS into per-document keeper
+    assignments: connected components by iterative min-label
+    propagation, keeper = smallest doc_id in each component.
+
+    This is the step a training-data pipeline actually needs after
+    minhash/simhash/embedding pair generation — "drop every doc whose
+    keeper isn't itself".  Distributed shape: labels and (undirected)
+    edges are tiny relative to the corpus (ids only); each iteration is
+    one hash join (attach the source's current label to each edge) and
+    one min-aggregate per destination.  Near-dup components have small
+    diameter (dup clusters are cliques-ish through shared buckets), so
+    ``n_iter`` ≈ 4 converges in practice; raise it for pathological
+    chains.  Output: (doc_id, keeper_doc_id) for every doc appearing
+    in some pair — docs with no pair keep themselves by definition and
+    are not emitted.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(pairs)
+    k = n_partitions or default_partitions()
+    scrub = max(2, k // 8)
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        a = batch.column("doc_a").cast(pa.int64())
+        b = batch.column("doc_b").cast(pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(),
+                                     a.combine_chunks()]),
+        })
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]) \
+        .map_batches(both_directions, batch_format="pyarrow") \
+        .repartition(scrub)
+
+    from ray.data.aggregate import Min
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"doc_id": batch.column("src"),
+                         "label": batch.column("src")})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Min("label"))
+
+    def tidy(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "label": batch.column("min(label)")})
+
+    # Iterative algorithm on a DAG engine: each round MATERIALIZES the
+    # label table (distributed, object store — ids only, 16 B/row;
+    # never the driver) so the plan stays a bounded 2-3 shuffle ops per
+    # round instead of accreting 3×n_iter concurrent shuffle operators,
+    # which starves small CPU budgets.  Edges are materialized once for
+    # the same reason (reused every round).
+    edges = edges.materialize()
+    labels = labels.map_batches(tidy, batch_format="pyarrow") \
+        .repartition(scrub).materialize()
+
+    for _ in range(n_iter):
+        # attach src's label to each edge, propose it to dst, take min
+        proposals = edges.join(labels, "inner", num_partitions=k,
+                               on=("src",), right_on=("doc_id",))
+
+        def to_proposal(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            return pa.table({"doc_id": batch.column("dst"),
+                             "label": batch.column("label")})
+
+        merged = proposals.map_batches(to_proposal,
+                                       batch_format="pyarrow") \
+            .union(labels) \
+            .groupby("doc_id").aggregate(Min("label"))
+        labels = merged.map_batches(tidy, batch_format="pyarrow") \
+            .repartition(scrub).materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "keeper_doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "keeper_doc_id": batch.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -353,3 +353,19 @@ def test_ivf_ann_recall(ray_session):
         a = set(approx[approx.query_id == qid].neighbor_id)
         hits += len(e & a)
     assert hits >= 12  # >= 80% recall over 15 exact neighbors
+
+
+def test_near_dup_keepers_chain(ray_session):
+    """Pairs (1,2),(2,3) and (10,11) resolve into components {1,2,3}
+    keeper 1 and {10,11} keeper 10 — including the transitive 3->1
+    link that no single pair states."""
+    import ray.data
+    from readability_ray.functions import near_dup_keepers
+    pairs = ray.data.from_items([
+        {"doc_a": 1, "doc_b": 2},
+        {"doc_a": 2, "doc_b": 3},
+        {"doc_a": 10, "doc_b": 11},
+    ])
+    df = near_dup_keepers(pairs, n_iter=3).to_pandas()
+    keepers = dict(zip(df.doc_id, df.keeper_doc_id))
+    assert keepers == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
