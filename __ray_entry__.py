@@ -257,6 +257,12 @@ def _q_quality_filter(sf_dir: str):
                           max_stop_ratio=0.3, max_punct_ratio=0.08)
 
 
+def _q_corpus_clean(sf_dir: str):
+    from readability_ray.functions import corpus_clean
+    return corpus_clean(_docs(sf_dir), min_tokens=30, max_stop_ratio=0.3,
+                        max_punct_ratio=0.08, langs=("en", "de"))
+
+
 def _q_kmeans(sf_dir: str):
     from readability_ray.functions import kmeans_assign
     return kmeans_assign(_embs(sf_dir), k=8, n_iter=4)
@@ -525,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "quality_filter": _q_quality_filter,
+        "corpus_clean": _q_corpus_clean,
         "kmeans_clusters": _q_kmeans,
         "lang_id": _q_lang_id,
         "doc_lang_stats": _q_doc_lang_stats,
@@ -605,6 +612,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM scored
             WHERE n_tokens >= 30 AND stop_ratio <= 0.3
               AND punct_ratio <= 0.08
+        """,
+        "corpus_clean": f"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       length(text)::BIGINT AS n_chars,
+                       len(regexp_extract_all(text, '{tok}'))::BIGINT
+                           AS n_tokens,
+                       floor(len(regexp_extract_all(text, '{stop}'))::DOUBLE
+                             / greatest(len(regexp_extract_all(
+                                   text, '{tok}')), 1)
+                             * 1000000) / 1000000 AS stop_ratio,
+                       floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+                             / greatest(length(text), 1) * 1000000) / 1000000
+                           AS punct_ratio,
+                       floor(length(text)::DOUBLE
+                             / greatest(len(regexp_extract_all(
+                                   text, '{tok}')), 1)
+                             * 1000000) / 1000000 AS mean_token_len
+                FROM documents
+            ), keepers AS (
+                SELECT min(doc_id) AS keep_id FROM documents
+                GROUP BY md5(text)
+            )
+            SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.stop_ratio,
+                   s.punct_ratio, s.mean_token_len
+            FROM scored s JOIN keepers k ON s.doc_id = k.keep_id
+            WHERE s.n_tokens >= 30 AND s.stop_ratio <= 0.3
+              AND s.punct_ratio <= 0.08 AND s.lang IN ('en', 'de')
         """,
         "lang_id": f"""
             WITH counts AS (SELECT doc_id, {lang_counts} FROM documents)

@@ -8,8 +8,8 @@ SQL oracle exists.
 """
 
 from .textstats import (
-    doc_lang_stats, events_sessionize, lang_id, quality_filter,
-    quality_scores, token_frequency_topk, token_stats,
+    corpus_clean, doc_lang_stats, events_sessionize, lang_id,
+    quality_filter, quality_scores, token_frequency_topk, token_stats,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
@@ -20,7 +20,8 @@ from .similarity import (
 )
 
 __all__ = [
-    "doc_lang_stats", "events_sessionize", "lang_id", "quality_filter",
+    "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
+    "quality_filter",
     "quality_scores", "kmeans_assign",
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",

@@ -295,3 +295,81 @@ def quality_filter(ds: ray.data.Dataset, min_tokens: int = 20,
         return batch.filter(mask)
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_clean(ds: ray.data.Dataset, *, min_tokens: int = 30,
+                 max_stop_ratio: float = 0.3,
+                 max_punct_ratio: float = 0.08,
+                 langs: tuple = ("en",),
+                 n_partitions: int | None = None) -> ray.data.Dataset:
+    """The composed training-corpus cleaning pass, end to end:
+    quality gate ∘ exact-dedup keep-first ∘ language filter.
+
+    Shape: one vectorized scoring map (quality_scores) and a map-side
+    language/quality filter; the only shuffle is the exact-dedup
+    keeper selection (md5 groupby → Min(doc_id)) joined back as a
+    semi-join on doc_id (hash join on ids — text never moves).  Fully
+    SQL-expressible, so the whole composition is oracle-checked.
+    Output: the surviving documents' quality rows + lang.
+    """
+    import pyarrow.compute as pc2
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .dedup import content_hashes
+    from .util import strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    from ray.data.aggregate import Min
+    keepers = content_hashes(ds).groupby("text_hash") \
+        .aggregate(Min("doc_id"))
+
+    def keeper_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty shuffle partition
+            return pa.table({"keep_id": pa.array([], pa.int64())})
+        return pa.table({"keep_id": batch.column("min(doc_id)")
+                        .cast(pa.int64())})
+
+    keep = keepers.map_batches(keeper_ids, batch_format="pyarrow") \
+        .repartition(max(2, k // 8))  # scrub schema-less empties pre-join
+
+    scored = quality_scores(ds)
+    lang_col = strip_schema_metadata(ds.select_columns(["doc_id", "lang"]))
+    scored = scored.join(lang_col, "inner", num_partitions=k,
+                         on=("doc_id",), right_on=("doc_id",))
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
+        mask = pc2.and_(
+            pc2.and_(
+                pc2.greater_equal(batch.column("n_tokens"), min_tokens),
+                pc2.less_equal(batch.column("stop_ratio"), max_stop_ratio)),
+            pc2.and_(
+                pc2.less_equal(batch.column("punct_ratio"),
+                               max_punct_ratio),
+                pc2.is_in(batch.column("lang"),
+                          value_set=pa.array(list(langs)))))
+        return batch.filter(mask)
+
+    filtered = scored.map_batches(keep_quality, batch_format="pyarrow")
+    # semi-join against the keeper ids (ids only cross the exchange)
+    out = filtered.join(keep, "inner", num_partitions=k,
+                        on=("doc_id",), right_on=("keep_id",))
+
+    def tidy(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "lang", "n_chars", "n_tokens", "stop_ratio",
+                "punct_ratio", "mean_token_len"]
+        if batch.num_columns == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "stop_ratio": pa.array([], pa.float64()),
+                "punct_ratio": pa.array([], pa.float64()),
+                "mean_token_len": pa.array([], pa.float64()),
+            })
+        return batch.select(cols)
+
+    return out.map_batches(tidy, batch_format="pyarrow")
