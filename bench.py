@@ -96,6 +96,7 @@ def _run_benchmarks() -> None:
                      "knn_cosine_top5", "embedding_dup_pairs",
                      "doc_lang_stats", "events_hourly",
                      "token_frequency_top50", "events_sessionize",
+                     "corpus_clean",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
