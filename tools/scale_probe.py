@@ -1,0 +1,130 @@
+"""Scale probe: run the round-2 shuffle shapes on inputs 10-20x the
+sf0.1 tables to evidence that wall-time scales with data, not with the
+fixed spin-up that dominates at bench size.
+
+Synthesizes enlarged tables in /tmp by replicating the driver's sf0.1
+parquet with fresh ids (deterministic), then times:
+  - minhash_lsh_pairs verify="estimate"   (50k docs, 10x)
+  - simhash_near_pairs                    (50k docs, 10x)
+  - dedup_pages_by_url                    (120k pages, 10x)
+  - events_sessionize                     (2M events, 20x)
+  - corpus_clean                          (50k docs, 10x)
+
+Usage: python tools/scale_probe.py [num_cpus]
+Prints one JSON line; numbers land in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def replicate(src: str, dst: str, times: int, id_col: str | None,
+              text_col: str | None = None) -> int:
+    """Replicate a parquet table `times`x with disjoint ids and (for
+    near-dup realism) a per-copy text perturbation so copies are
+    near- but not exact duplicates."""
+    table = pq.read_table(src)
+    n = table.num_rows
+    parts = []
+    for i in range(times):
+        part = table
+        if id_col is not None:
+            ids = part.column(id_col)
+            part = part.set_column(
+                part.schema.get_field_index(id_col), id_col,
+                pa.compute.add(ids.cast(pa.int64()), i * n))
+        if text_col is not None and i > 0:
+            texts = [f"{t} copyvariant{i}"
+                     for t in part.column(text_col).to_pylist()]
+            part = part.set_column(
+                part.schema.get_field_index(text_col), text_col,
+                pa.array(texts, part.schema.field(text_col).type))
+        parts.append(part)
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
+def main() -> None:
+    num_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    from readability_ray.functions import (
+        corpus_clean, minhash_lsh_pairs, simhash_near_pairs)
+    from readability_ray.functions.textstats import events_sessionize
+    from readability_ray.pipelines import dedup_pages_by_url
+    from readability_ray.sources import pages_path_for_sf
+
+    sf = "/root/testdata/sf0.1"
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    results: dict = {"num_cpus": num_cpus}
+
+    docs10 = os.path.join(tmp, "documents10.parquet")
+    n_docs = replicate(os.path.join(sf, "documents.parquet"), docs10,
+                       10, "doc_id", "text")
+    events20 = os.path.join(tmp, "events20.parquet")
+    n_events = replicate(os.path.join(sf, "events.parquet"), events20,
+                         20, None)
+
+    def timed(name, fn):
+        t0 = time.time()
+        n_rows = 0
+        for batch in fn().iter_batches(batch_format="pyarrow",
+                                       batch_size=8192):
+            n_rows += batch.num_rows
+        results[name] = {"sec": round(time.time() - t0, 1),
+                         "rows": n_rows}
+
+    timed("minhash_estimate_50k", lambda: minhash_lsh_pairs(
+        ray.data.read_parquet(docs10), jaccard_threshold=0.4,
+        verify="estimate"))
+    timed("simhash_50k", lambda: simhash_near_pairs(
+        ray.data.read_parquet(docs10), max_hamming=8))
+    timed("corpus_clean_50k", lambda: corpus_clean(
+        ray.data.read_parquet(docs10), langs=("en", "de")))
+    timed("sessionize_2m", lambda: events_sessionize(
+        ray.data.read_parquet(events20), gap_minutes=30))
+
+    # pages 10x: replicate the generated sf0.1 pages dir
+    pages = pages_path_for_sf(sf)
+    tables = [pq.read_table(os.path.join(pages, f))
+              for f in sorted(os.listdir(pages))
+              if f.endswith(".parquet")]
+    base = pa.concat_tables(tables)
+    parts = []
+    for i in range(10):
+        urls = [f"{u}?copy={i}" if i else u
+                for u in base.column("url").to_pylist()]
+        parts.append(base.set_column(
+            base.schema.get_field_index("url"), "url",
+            pa.array(urls, pa.string())))
+    pages10 = os.path.join(tmp, "pages10.parquet")
+    pq.write_table(pa.concat_tables(parts), pages10)
+    timed("dedup_pages_120k", lambda: dedup_pages_by_url(
+        ray.data.read_parquet(pages10)))
+
+    results["n_docs"] = n_docs
+    results["n_events"] = n_events
+    print(json.dumps(results))
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
