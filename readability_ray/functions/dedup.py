@@ -177,29 +177,35 @@ def _scan_bucket_pairs(batch: pd.DataFrame, key_cols: list[str],
     ``out_cols`` maps output column name → source column (or None for
     the id itself); pair order is (a < b) by doc id."""
     names = list(out_cols.keys())
+    src_cols = list(out_cols.values())
+    id_src = src_cols[0]
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({f"{n}_{s}": pd.Series([], dtype="int64")
+                             for s in ("a", "b") for n in names})
+
     if len(batch) == 0 or not set(key_cols) <= set(batch.columns):
         # hash-shuffle empty partitions arrive as schema-less blocks
-        return pd.DataFrame({f"{n}_{s}": pd.Series([], dtype="int64")
-                             for s in ("a", "b") for n in names})
+        return empty()
     dup = batch[batch.duplicated(key_cols, keep=False)]
-    rows: list[tuple] = []
-    seen: set[tuple] = set()
-    for _, sub in dup.groupby(key_cols, sort=False):
-        entries = sorted(set(
-            tuple(rec) for rec in
-            sub[list(out_cols.values())].itertuples(index=False)))
-        for i, a in enumerate(entries):
-            for b in entries[i + 1:]:
-                if (a[0], b[0]) not in seen:
-                    seen.add((a[0], b[0]))
-                    rows.append((a, b))
-    if not rows:
-        return pd.DataFrame({f"{n}_{s}": pd.Series([], dtype="int64")
-                             for s in ("a", "b") for n in names})
-    data: dict[str, list] = {}
-    for side, idx in (("a", 0), ("b", 1)):
-        for col_i, name in enumerate(names):
-            data[f"{name}_{side}"] = [r[idx][col_i] for r in rows]
+    if len(dup) == 0:
+        return empty()
+    # One row per (bucket, doc) so a doc never pairs with itself; then a
+    # C-speed self-merge on the bucket key explodes each bucket into its
+    # pair set, upper triangle kept (a < b by id).  A pair colliding in
+    # several bands of the same partition is emitted per band — the
+    # caller's downstream (doc_a, doc_b) aggregate dedupes, so no
+    # in-partition seen-set is needed (round-2 hotspot: the itertuples
+    # nested loop here was the 50 k-doc probe's ceiling).
+    entries = dup.drop_duplicates(key_cols + [id_src])[key_cols + src_cols]
+    merged = entries.merge(entries, on=key_cols, suffixes=("_l", "_r"))
+    merged = merged[merged[id_src + "_l"] < merged[id_src + "_r"]]
+    if len(merged) == 0:
+        return empty()
+    data: dict[str, np.ndarray] = {}
+    for name, src in zip(names, src_cols):
+        data[f"{name}_a"] = merged[src + "_l"].to_numpy()
+        data[f"{name}_b"] = merged[src + "_r"].to_numpy()
     return pd.DataFrame(data)
 
 
@@ -253,6 +259,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
     # pair-dedupe groupby, two joins) whose aggregator pools must all
     # fit beside the map stages on a small CPU budget.
     import functools
+    if verify == "estimate":
+        # Zero-join path: the full signature rides each band row so the
+        # MinHash estimator runs at the pair site — the corpus text
+        # never crosses an exchange.
+        band_fn = functools.partial(
+            _minhash_band_rows, num_perm=num_perm, shingle_k=shingle_k,
+            bands=bands, carry_signature=True)
+        band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
+        return _minhash_estimate_pairs(
+            band_rows, num_perm=num_perm, threshold=jaccard_threshold,
+            n_partitions=k, doc_id_col=doc_id_col)
     band_fn = functools.partial(_minhash_band_rows, num_perm=num_perm,
                                 shingle_k=shingle_k, bands=bands)
     band_rows = ds.map_batches(band_fn, batch_format="pyarrow")
@@ -496,7 +513,7 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
 
 # ---- near-dup clusters → keepers -------------------------------------------
 
-def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 4,
+def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
                      n_partitions: int | None = None) -> ray.data.Dataset:
     """Resolve near-duplicate PAIRS into per-document keeper
     assignments: connected components by iterative min-label
@@ -507,12 +524,18 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 4,
     keeper isn't itself".  Distributed shape: labels and (undirected)
     edges are tiny relative to the corpus (ids only); each iteration is
     one hash join (attach the source's current label to each edge) and
-    one min-aggregate per destination.  Near-dup components have small
-    diameter (dup clusters are cliques-ish through shared buckets), so
-    ``n_iter`` ≈ 4 converges in practice; raise it for pathological
-    chains.  Output: (doc_id, keeper_doc_id) for every doc appearing
-    in some pair — docs with no pair keep themselves by definition and
-    are not emitted.
+    one min-aggregate per destination.  Output: (doc_id, keeper_doc_id)
+    for every doc appearing in some pair — docs with no pair keep
+    themselves by definition and are not emitted.
+
+    Convergence: min-propagation is MONOTONE (labels only ever
+    decrease), so the label-sum — one tiny aggregate on the
+    already-materialized id-only label table — is an exact signal:
+    unchanged sum ⟺ no label changed.  Rounds stop early at the first
+    unchanged sum; ``n_iter`` is the hard cap (a chain of diameter d
+    needs ~d rounds), and hitting the cap while labels are still
+    moving emits a ``RuntimeWarning`` — the keepers returned would be
+    non-minimal for the unconverged components.
     """
     from ..state import default_partitions, ensure_hash_shuffle
     ensure_hash_shuffle(pairs)
@@ -564,8 +587,12 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 4,
     edges = edges.materialize()
     labels = labels.map_batches(tidy, batch_format="pyarrow") \
         .repartition(scrub).materialize()
+    prev_sum = labels.sum("label", ignore_nulls=True)
+    converged = prev_sum is None  # no pairs at all
 
     for _ in range(n_iter):
+        if converged:
+            break
         # attach src's label to each edge, propose it to dst, take min
         proposals = edges.join(labels, "inner", num_partitions=k,
                                on=("src",), right_on=("doc_id",))
@@ -583,6 +610,17 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 4,
             .groupby("doc_id").aggregate(Min("label"))
         labels = merged.map_batches(tidy, batch_format="pyarrow") \
             .repartition(scrub).materialize()
+        new_sum = labels.sum("label", ignore_nulls=True)
+        converged = new_sum == prev_sum  # monotone → exact signal
+        prev_sum = new_sum
+
+    if not converged:
+        import warnings
+        warnings.warn(
+            f"near_dup_keepers hit the round cap n_iter={n_iter} while "
+            "labels were still propagating — a component with diameter "
+            "> n_iter is unconverged and its keepers are non-minimal; "
+            "raise n_iter.", RuntimeWarning, stacklevel=2)
 
     def rename(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:

@@ -329,6 +329,12 @@ def test_minhash_estimate_verify(ray_session):
     assert (1, 3) not in est_pairs and (2, 3) not in est_pairs
     # estimator error ~1/sqrt(64) = 0.125
     assert abs(est_pairs[(1, 2)] - exact_pairs[(1, 2)]) < 0.2
+    # non-vacuity guard (the round-2 dispatch bug ran exact twice):
+    # the estimator at 64 perms sits on the k/64 grid; the exact n-gram
+    # Jaccard of the planted pair does not.
+    assert abs(est_pairs[(1, 2)] * 64 - round(est_pairs[(1, 2)] * 64)) < 1e-3
+    assert abs(exact_pairs[(1, 2)] * 64
+               - round(exact_pairs[(1, 2)] * 64)) > 1e-3
 
 
 def test_ivf_ann_recall(ray_session):
@@ -369,3 +375,34 @@ def test_near_dup_keepers_chain(ray_session):
     df = near_dup_keepers(pairs, n_iter=3).to_pandas()
     keepers = dict(zip(df.doc_id, df.keeper_doc_id))
     assert keepers == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_keepers_long_chain(ray_session):
+    """A chain of diameter 8 — longer than the pre-round-3 fixed
+    n_iter=4 — still resolves fully: the early-stop loop keeps
+    propagating until the label-sum convergence signal fires."""
+    import ray.data
+    from readability_ray.functions import near_dup_keepers
+    chain = [{"doc_a": i, "doc_b": i + 1} for i in range(1, 9)]
+    df = near_dup_keepers(ray.data.from_items(chain)).to_pandas()
+    assert set(df.keeper_doc_id) == {1}
+    assert set(df.doc_id) == set(range(1, 10))
+
+
+def test_near_dup_keepers_cap_warns(ray_session):
+    """Hitting the round cap while labels still move warns instead of
+    silently returning non-minimal keepers."""
+    import warnings
+
+    import ray.data
+    from readability_ray.functions import near_dup_keepers
+    chain = [{"doc_a": i, "doc_b": i + 1} for i in range(1, 7)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = near_dup_keepers(ray.data.from_items(chain),
+                              n_iter=2).to_pandas()
+    assert any("n_iter" in str(w.message) for w in caught
+               if issubclass(w.category, RuntimeWarning))
+    # partial labels exist, but the far end has not reached keeper 1
+    keepers = dict(zip(df.doc_id, df.keeper_doc_id))
+    assert keepers[7] != 1
