@@ -120,14 +120,28 @@ def knn_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
 
 def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                  n_planes: int = 8, seed: int = 11,
-                 id_col: str = "vec_id") -> ray.data.Dataset:
+                 id_col: str = "vec_id",
+                 co_locate: bool | None = None,
+                 n_partitions: int | None = None) -> ray.data.Dataset:
     """Approximate top-k: random-hyperplane signature buckets.
 
     Scale path: each vector lands in one of 2^n_planes buckets; search
-    touches only the query's bucket.  Recall is tested against
-    ``knn_topk`` in the unit suite; at 100 TB the bucket column becomes
-    the partition key so each bucket co-locates.
+    touches only the queries' buckets.  Two search layouts, both exact
+    within the bucket:
+
+    - small query sets (default below 32 queries): the bucketize filter
+      keeps a 1/2^n_planes fraction of the corpus, merged into ONE
+      block for a single vectorized pass;
+    - large query sets (``co_locate=True``, auto above 32): a
+      ``repartition(keys=["bucket"])`` hash shuffle co-locates each
+      bucket, and every partition searches its buckets independently —
+      a query lives in exactly one bucket, so per-bucket top-k IS its
+      global top-k and no merge stage is needed.
+
+    Recall is tested against ``knn_topk`` in the unit suite.
     """
+    if co_locate is None:
+        co_locate = len(query_ids) > 32
     # dimension probe from one row
     first = ds.take(1)[0]
     dim = len(first["embedding"])
@@ -139,7 +153,7 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     q_mat = np.asarray([r["embedding"] for r in queries], dtype=np.float64)
     q_sig = (q_mat @ planes > 0).astype(np.uint32)
     q_buckets = (q_sig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-    wanted = set(int(b) for b in q_buckets)
+    wanted = np.unique(q_buckets.astype(np.int64))
     q_by_bucket = {}
     for r, bucket in zip(queries, q_buckets):
         q_by_bucket.setdefault(int(bucket), []).append(
@@ -150,10 +164,10 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
         p = ray.get(planes_ref)
         mat = _matrix(batch)
         sig = (mat @ p > 0).astype(np.uint32)
-        buckets = (sig << np.arange(p.shape[1], dtype=np.uint32)).sum(axis=1)
+        buckets = (sig << np.arange(p.shape[1], dtype=np.uint32)) \
+            .sum(axis=1).astype(np.int64)
         out = batch.append_column("bucket", pa.array(buckets, pa.int64()))
-        mask = pa.array([int(b) in wanted for b in buckets])
-        return out.filter(mask)
+        return out.filter(pa.array(np.isin(buckets, wanted)))
 
     import pandas as pd
 
@@ -182,7 +196,8 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
     from .util import arrow_out
 
     def search_buckets(batch: pd.DataFrame) -> pa.Table:
-        if len(batch) == 0:
+        if len(batch) == 0 or "bucket" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
             return arrow_out(pd.DataFrame({
                 "query_id": pd.Series([], dtype="int64"),
                 "neighbor_id": pd.Series([], dtype="int64"),
@@ -192,12 +207,15 @@ def lsh_ann_topk(ds: ray.data.Dataset, query_ids: list[int], k: int = 5,
                        for _b, g in batch.groupby("bucket", sort=True)],
                       ignore_index=True))
 
-    # The bucketize filter keeps only the queries' buckets (a
-    # 1/2^n_planes fraction of the corpus), so the search side is one
-    # small single-block pass; at larger query sets swap this for a
-    # repartition(keys=["bucket"]) co-location.
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.repartition(1).map_batches(
+    if co_locate:
+        from ..state import default_partitions, ensure_hash_shuffle
+        ensure_hash_shuffle(ds)
+        n = n_partitions or default_partitions()
+        bucketed = bucketed.repartition(num_blocks=n, keys=["bucket"])
+    else:
+        bucketed = bucketed.repartition(1)
+    return bucketed.map_batches(
         search_buckets, batch_format="pandas", batch_size=None)
 
 
@@ -430,9 +448,26 @@ def _train_centroids(ds: ray.data.Dataset, k: int, n_iter: int,
                      id_col: str = "vec_id") -> np.ndarray:
     """Lloyd's k-means centroid training: per-batch partial sums per
     centroid (vectorized), driver reduces only the k×dim partials and
-    broadcasts the update.  Deterministic init from the k smallest ids."""
-    first_rows = _take_by_ids(ds, id_col, list(range(0, 10_000)))[:k]
-    centroids = np.asarray([r["embedding"] for r in first_rows],
+    broadcasts the update.
+
+    Deterministic init = the embeddings of the k globally smallest ids,
+    found distributed: each batch emits its local k smallest (a
+    vectorized argsort prefix), so the driver merges only
+    n_batches × k candidate rows — no bulk id-range fetch."""
+
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids)[:min(k, len(ids))]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "embedding": batch.column("embedding").take(pa.array(order)),
+        })
+
+    cand = (ds.select_columns([id_col, "embedding"])
+            .map_batches(local_min_ids, batch_format="pyarrow").take_all())
+    cand.sort(key=lambda r: r[id_col])
+    centroids = np.asarray([r["embedding"] for r in cand[:k]],
                            dtype=np.float64)
 
     for _ in range(n_iter):

@@ -361,6 +361,32 @@ def test_ivf_ann_recall(ray_session):
     assert hits >= 12  # >= 80% recall over 15 exact neighbors
 
 
+def test_lsh_ann_co_located_matches_single_block(ray_session):
+    """At ~200 queries the keyed (repartition by bucket) search path
+    kicks in automatically and returns exactly the same rows as the
+    small-set single-block layout — both are exact within the bucket."""
+    import numpy as np
+    import ray.data
+    from readability_ray.functions import lsh_ann_topk
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)])
+    qids = list(range(200))
+    keyed = lsh_ann_topk(ds, query_ids=qids, k=3, co_locate=True) \
+        .to_pandas().sort_values(["query_id", "neighbor_id"]) \
+        .reset_index(drop=True)
+    single = lsh_ann_topk(ds, query_ids=qids, k=3, co_locate=False) \
+        .to_pandas().sort_values(["query_id", "neighbor_id"]) \
+        .reset_index(drop=True)
+    assert len(keyed) > 0
+    assert keyed.equals(single)
+    # the auto threshold picks the keyed path for 200 queries
+    auto = lsh_ann_topk(ds, query_ids=qids, k=3).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    assert auto.equals(keyed)
+
+
 def test_near_dup_keepers_chain(ray_session):
     """Pairs (1,2),(2,3) and (10,11) resolve into components {1,2,3}
     keeper 1 and {10,11} keeper 10 — including the transitive 3->1
