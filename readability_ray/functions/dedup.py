@@ -436,7 +436,9 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
     keyed on the EXACT (band, band_value); candidates are verified by
     exact hamming.  For max_hamming > 3 the band guarantee no longer
     covers every pair (recall < 1); results are the band-colliding
-    subset.
+    subset.  The output self-describes this: a constant ``complete``
+    column is true iff ``max_hamming <= 3`` (the pigeonhole-complete
+    regime), so a consumer can't mistake the subset for full recall.
 
     Scale shape (cf. VERDICT.md #3 — the round-1 64-coarse-bucket
     ``map_groups`` is gone): band rows are co-located by
@@ -497,15 +499,19 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
     # distinct pairs (a pair can collide in several bands)
     agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
 
+    complete = max_hamming <= 3  # pigeonhole guarantee regime
+
     def rename(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:  # schema-less empty shuffle partition
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
+                             "hamming": pa.array([], pa.int64()),
+                             "complete": pa.array([], pa.bool_())})
         return pa.table({
             "doc_a": batch.column("doc_a"),
             "doc_b": batch.column("doc_b"),
             "hamming": batch.column("min(hamming)").cast(pa.int64()),
+            "complete": pa.array([complete] * batch.num_rows, pa.bool_()),
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")

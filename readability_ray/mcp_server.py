@@ -51,6 +51,31 @@ TOOLS = [
         },
     },
     {
+        # Parity shim: the reference's one tool name (mcp-server.ts:21)
+        # is registered so clients that hard-code it get a clear
+        # no-network error pointing at the working tools instead of
+        # "Unknown tool".
+        "name": "read_url_content_as_markdown",
+        "description": "Fetch a URL, extract readable content and "
+                       "convert it to markdown (reference parity name; "
+                       "this sandboxed server has NO network access — "
+                       "calls always fail with a pointer to "
+                       "read_html_as_markdown / "
+                       "read_file_content_as_markdown)",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "url": {"type": "string",
+                        "description": "URL of the web page"},
+                "charThreshold": {
+                    "type": "number", "default": DEFAULT_CHAR_THRESHOLD,
+                    "description": "Character threshold for content "
+                                   "extraction"},
+            },
+            "required": ["url"],
+        },
+    },
+    {
         "name": "read_file_content_as_markdown",
         "description": "Read a local HTML file, extract readable "
                        "content and convert it to markdown (no-network "
@@ -79,6 +104,8 @@ readability reference; same extraction pipeline, charThreshold 100).
 Available tools:
 - read_html_as_markdown: Extract readable content from an HTML string
 - read_file_content_as_markdown: Same, reading a local HTML file
+- read_url_content_as_markdown: Reference parity name; always errors
+  (no network in this environment) with a pointer to the tools above
 """
 
 
@@ -109,6 +136,12 @@ def call_tool(name: str, arguments: dict) -> dict:
             return _tool_result(_extract_markdown(
                 arguments["html"], arguments.get("url"),
                 arguments.get("charThreshold")))
+        if name == "read_url_content_as_markdown":
+            raise RuntimeError(
+                "network access is unavailable in this environment; "
+                "fetch the page yourself and pass its HTML to "
+                "read_html_as_markdown, or a saved copy to "
+                "read_file_content_as_markdown")
         if name == "read_file_content_as_markdown":
             path = arguments["path"]
             try:

@@ -29,7 +29,8 @@ def test_initialize_and_tools_list():
     tools = _call("tools/list")["result"]["tools"]
     names = {t["name"] for t in tools}
     assert names == {"read_html_as_markdown",
-                     "read_file_content_as_markdown"}
+                     "read_file_content_as_markdown",
+                     "read_url_content_as_markdown"}
     # initialized notification gets no response
     assert handle_request({"jsonrpc": "2.0",
                            "method": "notifications/initialized"}) is None
@@ -71,6 +72,14 @@ def test_read_file_tool_and_errors(tmp_path):
     # unknown tool → same contract
     resp = _call("tools/call", {"name": "nope", "arguments": {}})
     assert resp["result"]["isError"] is True
+    # reference's URL tool name resolves but errors with a pointer to
+    # the no-network alternatives (parity shim, mcp-server.ts:21)
+    resp = _call("tools/call", {"name": "read_url_content_as_markdown",
+                                "arguments": {"url": "https://x.test/"}})
+    assert resp["result"]["isError"] is True
+    msg = resp["result"]["content"][0]["text"]
+    assert "read_html_as_markdown" in msg
+    assert "read_file_content_as_markdown" in msg
     # unknown method → JSON-RPC error
     resp = _call("definitely/not")
     assert resp["error"]["code"] == -32601

@@ -361,6 +361,27 @@ def test_ivf_ann_recall(ray_session):
     assert hits >= 12  # >= 80% recall over 15 exact neighbors
 
 
+def test_simhash_near_pairs_complete_marker(ray_session):
+    """The output self-describes its recall: complete=True in the
+    pigeonhole regime (max_hamming <= 3), False beyond it; a planted
+    near-identical pair is found either way."""
+    import ray.data
+    from readability_ray.functions import simhash_near_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 4
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},  # hamming 0
+            {"doc_id": 3, "text": "entirely different words about ray "
+                                  "data streaming execution backends"}]
+    ds = ray.data.from_items(rows)
+    tight = simhash_near_pairs(ds, max_hamming=3).to_pandas()
+    loose = simhash_near_pairs(ds, max_hamming=8).to_pandas()
+    assert {(1, 2)} <= set(zip(tight.doc_a, tight.doc_b))
+    assert {(1, 2)} <= set(zip(loose.doc_a, loose.doc_b))
+    assert tight.complete.all()
+    assert not loose.complete.any()
+
+
 def test_lsh_ann_co_located_matches_single_block(ray_session):
     """At ~200 queries the keyed (repartition by bucket) search path
     kicks in automatically and returns exactly the same rows as the
