@@ -105,8 +105,13 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
     stable sort + ``drop_duplicates(url)`` keeps the earliest crawl.
     Exactly one exchange of the full rows — the minimum any
     keep-one-row-per-key dedup can move — and each partition stays
-    bounded as the cluster grows.  Ties on (url, warc_ts) keep one
-    deterministic winner.
+    bounded as the cluster grows.
+
+    Ties on (url, warc_ts) are broken by a content hash (md5 of the
+    html column, falling back to text) computed ONLY for the tied rows
+    — ties are rare, so the hot path stays one vectorized sort — which
+    makes the winner stable across runs and input orders; rows tied on
+    (url, warc_ts, content) are interchangeable by definition.
     """
     from ..state import default_partitions, ensure_hash_shuffle
     ensure_hash_shuffle(ds)
@@ -118,8 +123,23 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
         if len(batch) == 0:  # schema-less empty shuffle partition
             return batch
         from ..functions.util import arrow_out
-        return arrow_out(batch.sort_values(["url", "warc_ts"], kind="stable")
-                         .drop_duplicates("url", keep="first")
+        b = batch.sort_values(["url", "warc_ts"], kind="stable")
+        tied = b.duplicated(["url", "warc_ts"], keep=False)
+        if tied.any():
+            import hashlib
+            content = next((c for c in ("html", "text")
+                            if c in b.columns), None)
+            if content is not None:
+                tb = pd.Series("", index=b.index, dtype=object)
+                tb[tied] = [
+                    hashlib.md5(v if isinstance(v, bytes)
+                                else str(v).encode("utf-8")).hexdigest()
+                    for v in b.loc[tied, content]]
+                b = b.assign(_tiebreak=tb) \
+                    .sort_values(["url", "warc_ts", "_tiebreak"],
+                                 kind="stable") \
+                    .drop(columns="_tiebreak")
+        return arrow_out(b.drop_duplicates("url", keep="first")
                          .reset_index(drop=True))
 
     from ..functions.util import strip_schema_metadata

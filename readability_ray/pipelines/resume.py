@@ -98,7 +98,17 @@ def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
     # Distributed sink: write tasks stream blocks straight to parquet —
     # the driver never sees a row.
     out.write_parquet(tmp_dir)
-    rows, page_types, errors = _shard_stats(tmp_dir)
+    # A zero-row shard may leave no parquet parts — or no directory at
+    # all — behind; guard the stats re-read (read_parquet on a
+    # part-less dir fails) and commit an honest rows=0 manifest over
+    # the empty shard dir instead.
+    os.makedirs(tmp_dir, exist_ok=True)
+    has_parts = any(name.endswith(".parquet")
+                    for name in os.listdir(tmp_dir))
+    if has_parts:
+        rows, page_types, errors = _shard_stats(tmp_dir)
+    else:
+        rows, page_types, errors = 0, {}, 0
 
     manifest = {
         "shard": shard,

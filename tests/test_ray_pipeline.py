@@ -219,6 +219,27 @@ def test_dedup_pages_by_url(ray_session):
     assert bytes(kept.html) == b"<p>first crawl</p>"  # earliest wins
 
 
+def test_dedup_pages_by_url_tie_is_order_independent(ray_session):
+    """Rows tied on (url, warc_ts) keep the same winner regardless of
+    input order: the content-hash tiebreak, not shuffle arrival order,
+    decides."""
+    import datetime
+    import ray.data
+    from readability_ray.pipelines import dedup_pages_by_url
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": "https://t.test/p", "warc_ts": epoch, "html": b"<p>A</p>"},
+        {"url": "https://t.test/p", "warc_ts": epoch, "html": b"<p>B</p>"},
+        {"url": "https://t.test/p", "warc_ts": epoch, "html": b"<p>C</p>"},
+    ]
+    winners = set()
+    for order in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        df = dedup_pages_by_url(ray.data.from_items(order)).to_pandas()
+        assert len(df) == 1
+        winners.add(bytes(df.iloc[0].html))
+    assert len(winners) == 1
+
+
 def test_full_analysis_pipeline(ray_session, pages_path):
     import ray.data
     from readability_ray.pipelines import full_analysis_pipeline

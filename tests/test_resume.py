@@ -64,6 +64,31 @@ def test_resume_recovers_incomplete_shard(ray_session, tmp_path):
     assert set(completed_shards(out_dir)) == {"shard0", "shard1"}
 
 
+def test_resume_zero_row_shard(ray_session, tmp_path):
+    """A shard whose pipeline yields zero rows still commits a manifest
+    (rows=0) and is skipped on rerun — the stats re-read must not choke
+    on a part-less shard dir."""
+    import pyarrow as pa
+
+    from readability_ray.pipelines.resume import (
+        completed_shards, run_resumable_extraction)
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"url": pa.array([], pa.string()),
+                             "html": pa.array([], pa.string())}), empty)
+    out_dir = str(tmp_path / "out_empty")
+    summary = run_resumable_extraction([empty], out_dir,
+                                       concurrency=(1, 2))
+    assert summary["processed"] == ["empty"]
+    assert summary["total_rows"] == 0
+    manifests = completed_shards(out_dir)
+    assert manifests["empty"]["rows"] == 0
+    assert manifests["empty"]["errors"] == 0
+
+    summary2 = run_resumable_extraction([empty], out_dir,
+                                        concurrency=(1, 2))
+    assert summary2["skipped"] == ["empty"]
+
+
 def test_resume_concurrent_shards(ray_session, tmp_path):
     """shard_parallelism > 1 submits shard pipelines concurrently and
     produces the same manifests/layout as the serial path."""

@@ -763,7 +763,48 @@ export function serializeToHTML() {
 """
 
 
+PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "reference.sha256")
+
+
+def reference_digest() -> str:
+    """sha256 over the exact reference sources the oracle executes
+    (sorted relpath + content), so a modified checkout can't silently
+    feed new code to node."""
+    import hashlib
+    h = hashlib.sha256()
+    for file_rel in sorted(ORACLE_FILES):
+        path = os.path.join(REFERENCE_SRC, file_rel)
+        h.update(file_rel.encode("utf-8") + b"\0")
+        with open(path, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def check_reference_pin() -> None:
+    """Refuse to strip an unpinned/drifted reference tree (the oracle
+    runs its code under node at test time).  Set
+    READABILITY_ORACLE_ALLOW_DRIFT=1 to bypass after reviewing the
+    checkout, or delete the pin file to re-pin."""
+    digest = reference_digest()
+    if not os.path.isfile(PIN_FILE):
+        with open(PIN_FILE, "w", encoding="utf-8") as f:
+            f.write(digest + "\n")
+        return
+    with open(PIN_FILE, encoding="utf-8") as f:
+        pinned = f.read().strip()
+    if digest != pinned and not os.environ.get(
+            "READABILITY_ORACLE_ALLOW_DRIFT"):
+        raise RuntimeError(
+            f"reference tree at {REFERENCE_SRC} does not match the "
+            f"pinned digest in {PIN_FILE} (got {digest}, pinned "
+            f"{pinned}); review the checkout, then either delete the "
+            "pin file to re-pin or set READABILITY_ORACLE_ALLOW_DRIFT=1")
+
+
 def generate(outdir: str = "/tmp/readability_oracle_mjs") -> str:
+    check_reference_pin()
     os.makedirs(outdir, exist_ok=True)
     for file_rel, mod in ORACLE_FILES.items():
         out = strip_file(file_rel)
