@@ -143,8 +143,8 @@ def _q_extract_fixture_corpus(sf_dir: str):
 
 def _q_full_analysis(sf_dir: str):
     from readability_ray.pipelines import full_analysis_pipeline
-    out = full_analysis_pipeline(_pages_ds(sf_dir), concurrency=(1, 8),
-                                 batch_size=64)
+    out = full_analysis_pipeline(_pages_ds(sf_dir), batch_size=64,
+                                 use_actors=False)
     return out.select_columns([
         "url", "page_type", "title", "n_navigations", "n_headers",
         "main_nav_type", "breadcrumb", "error"])

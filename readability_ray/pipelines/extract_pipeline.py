@@ -151,9 +151,22 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
 def full_analysis_pipeline(ds: ray.data.Dataset, *,
                            char_threshold: int = 500,
                            concurrency=None,
-                           batch_size: int = 64) -> ray.data.Dataset:
+                           batch_size: int = 64,
+                           use_actors: bool = True) -> ray.data.Dataset:
     """Extraction + structure detection in one pass (two-phase per row:
-    preprocessed DOM for content, raw re-parse for structure)."""
+    preprocessed DOM for content, raw re-parse for structure).
+
+    ``use_actors=False`` runs the stateless-task twin (per-worker memo,
+    elastic, no pool spin-up or actor-restart bookkeeping) — the same
+    trade as the extraction headline."""
+    if not use_actors:
+        import functools
+
+        from ..stages.structure_stage import full_analysis_batch_task
+        fn = functools.partial(full_analysis_batch_task,
+                               char_threshold=char_threshold)
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
     from ..stages.structure_stage import FullAnalysisStage
     kwargs = dict(batch_format="pyarrow", num_cpus=1, zero_copy_batch=True,
                   fn_constructor_kwargs=dict(char_threshold=char_threshold))

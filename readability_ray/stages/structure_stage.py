@@ -28,6 +28,22 @@ FULL_SCHEMA = pa.schema([
 ])
 
 
+_TASK_STAGE_CACHE: dict = {}
+
+
+def full_analysis_batch_task(batch: pa.Table, **stage_kwargs) -> pa.Table:
+    """Stateless-task twin of FullAnalysisStage (same pattern as
+    extract_batch_task): one stage instance memoized per (kwargs,
+    worker process), so setup amortizes like an actor's without the
+    pool — and without actor-restart bookkeeping (the Ray
+    "constructor arguments in the object store" warning)."""
+    key = tuple(sorted(stage_kwargs.items()))
+    stage = _TASK_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _TASK_STAGE_CACHE[key] = FullAnalysisStage(**stage_kwargs)
+    return stage(batch)
+
+
 class FullAnalysisStage:
     """``map_batches`` actor stage mirroring the CLI's --full-analysis
     composite: extraction output + navigation/structure context."""
