@@ -93,6 +93,9 @@ def main() -> None:
     timed("minhash_estimate_50k", lambda: minhash_lsh_pairs(
         ray.data.read_parquet(docs10), jaccard_threshold=0.4,
         verify="estimate"))
+    timed("minhash_exact_50k", lambda: minhash_lsh_pairs(
+        ray.data.read_parquet(docs10), jaccard_threshold=0.4,
+        verify="exact"))
     timed("simhash_50k", lambda: simhash_near_pairs(
         ray.data.read_parquet(docs10), max_hamming=8))
     timed("corpus_clean_50k", lambda: corpus_clean(
