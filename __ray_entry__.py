@@ -232,6 +232,43 @@ def _q_video_frames(sf_dir: str):
     return frames.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_pdf_text(sf_dir: str):
+    """PDF/layout-parse clause (north rule): render each document's
+    text into a deterministic FlateDecode PDF (distributed map), then
+    extract it back with the stdlib content-stream parser —
+    rows-only (binary round trip is not SQL-expressible); the
+    round-trip equality itself is pinned in tests/test_pdftext.py."""
+    import pyarrow as pa
+    from readability_ray.functions.pdftext import make_pdf, pdf_text
+
+    def render(batch: pa.Table) -> pa.Table:
+        import textwrap
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pdfs = []
+        for t in texts:
+            lines = textwrap.wrap(t or "", width=80) or [""]
+            pages = [lines[i:i + 40] for i in range(0, len(lines), 40)]
+            pdfs.append(make_pdf(pages))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pdf": pa.array(pdfs, pa.large_binary())})
+
+    rendered = _docs(sf_dir).map_batches(render, batch_format="pyarrow")
+    out = pdf_text(rendered)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_pages": batch.column("n_pages"),
+            "text_chars": pc.utf8_length(
+                batch.column("text")).cast(pa.int64()),
+            "error": batch.column("error"),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # training-data ops (SQL-checked unless noted)
 # --------------------------------------------------------------------------
@@ -527,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frame_samples": _q_video_frames,
+        "pdf_text_extract": _q_pdf_text,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

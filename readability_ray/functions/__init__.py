@@ -18,6 +18,7 @@ from .dedup import (
 from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
 )
+from .pdftext import extract_pdf_text, make_pdf, pdf_text
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -28,4 +29,5 @@ __all__ = [
     "near_dup_keepers",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
+    "extract_pdf_text", "make_pdf", "pdf_text",
 ]
