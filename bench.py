@@ -123,14 +123,43 @@ def _run_benchmarks() -> None:
     ray.shutdown()
 
 
+def _cpu_probe_worker(n_iter: int) -> str:
+    import hashlib
+    buf = b"x" * (1 << 20)
+    h = hashlib.md5()
+    for _ in range(n_iter):
+        h.update(buf)
+    return h.hexdigest()
+
+
+def _cpu_probe(procs: int = 32, n_iter: int = 400) -> float:
+    """Host-capacity control: fixed CPU work (md5 over a cache-resident
+    buffer) across `procs` processes; returns MB/s.  ~1-2 s.  The probe
+    runs at FULL width (32 procs) because a narrow probe can find its 8
+    free cores while a co-tenant starves the 32-CPU measurement — only
+    a full-width probe sees whole-box capacity."""
+    from concurrent.futures import ProcessPoolExecutor
+    t0 = time.time()
+    with ProcessPoolExecutor(procs) as ex:
+        list(ex.map(_cpu_probe_worker, [n_iter] * procs))
+    return procs * n_iter / (time.time() - t0)
+
+
 def _run_scaling() -> None:
     """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N).
 
-    The sandbox's available compute fluctuates +-30-40% over minutes,
-    so a single (8, 32) pair measures host noise as much as scaling;
-    we alternate three rounds per level and report the MEDIAN
-    throughput of each."""
+    Round-3 protocol (VERDICT r2 #1): the sandbox's available compute
+    fluctuates ±30-40% over minutes, and the round-2 pooled number
+    (0.66) was dominated by 8-CPU samples taken in different host
+    windows than their 32-CPU partners.  Each PAIR is now pinned
+    back-to-back (8-CPU run immediately followed by the 32-CPU run)
+    and bracketed by a no-Ray CPU control probe; a pair whose
+    before/after control throughputs disagree by more than 10% saw the
+    host's capacity move mid-window and is REJECTED.  The pooled
+    number is median(32-CPU)/median(8-CPU)/4 over accepted pairs."""
     import statistics
+
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "5"))
 
     def one(ncpu):
         # 16x corpus so the 32-CPU run is long enough to amortize pool
@@ -142,21 +171,41 @@ def _run_scaling() -> None:
             capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])["pages_per_sec"]
 
-    lo_runs, hi_runs = [], []
-    for _ in range(3):
-        lo_runs.append(one(8))
-        hi_runs.append(one(32))
-    pps_lo = statistics.median(lo_runs)
-    pps_hi = statistics.median(hi_runs)
-    eff = (pps_hi / pps_lo) / (32 / 8)
+    accepted, rejected = [], []
+    for i in range(n_pairs):
+        ctrl = [_cpu_probe()]
+        pps_lo = one(8)
+        ctrl.append(_cpu_probe())  # mid-pair: between the two levels
+        pps_hi = one(32)
+        ctrl.append(_cpu_probe())
+        drift = max(abs(b - a) / ((a + b) / 2)
+                    for a, b in zip(ctrl, ctrl[1:]))
+        rec = {"pages_per_sec_8": pps_lo, "pages_per_sec_32": pps_hi,
+               "pair_efficiency": round((pps_hi / pps_lo) / 4, 3),
+               "control_drift": round(drift, 3),
+               "control_mbps": [round(c, 0) for c in ctrl]}
+        (accepted if drift <= 0.10 else rejected).append(rec)
+
+    if accepted:
+        pooled_lo = statistics.median(
+            r["pages_per_sec_8"] for r in accepted)
+        pooled_hi = statistics.median(
+            r["pages_per_sec_32"] for r in accepted)
+        eff = (pooled_hi / pooled_lo) / 4
+    else:  # every window was noisy — report the least-bad pair
+        best = min(rejected, key=lambda r: r["control_drift"])
+        pooled_lo = best["pages_per_sec_8"]
+        pooled_hi = best["pages_per_sec_32"]
+        eff = best["pair_efficiency"]
     print(json.dumps({
-        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, "
-                  "median of 3 alternating rounds)",
-        "pages_per_sec_8": pps_lo,
-        "pages_per_sec_32": pps_hi,
-        "runs_8": lo_runs,
-        "runs_32": hi_runs,
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32; "
+                  "back-to-back pairs, CPU-control rejection >10% "
+                  "drift, pooled medians over accepted pairs)",
+        "pages_per_sec_8": pooled_lo,
+        "pages_per_sec_32": pooled_hi,
         "scaling_efficiency": round(eff, 3),
+        "pairs_accepted": accepted,
+        "pairs_rejected": rejected,
     }))
 
 

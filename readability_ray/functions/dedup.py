@@ -236,12 +236,17 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
            corpus text crosses the exchange once per join, never the
            driver (round-1 ``take_all`` broadcast removed per
            VERDICT.md #2);
-         - ``verify="estimate"`` (the lightest 100 TB plan): the full
-           minhash signature (num_perm×8 B) rides the band rows, and
-           Jaccard is the standard MinHash estimator — the fraction of
-           agreeing permutations — computed at the pair site.  ZERO
-           joins, the corpus text never moves at all; expected
-           estimator error is ~1/sqrt(num_perm) (±0.125 at 64 perms).
+         - ``verify="estimate"``: the full minhash signature
+           (num_perm×8 B) rides the band rows, and Jaccard is the
+           standard MinHash estimator — the fraction of agreeing
+           permutations — computed at the pair site.  ZERO joins, the
+           corpus text never moves; the price is num_perm×8 B × bands
+           of signature payload per doc crossing the band shuffle.
+           Wins over exact when pair-volume × doc-size outgrows
+           corpus × that payload (dup-heavy corpora, large docs);
+           loses on dup-light corpora where candidate pairs are rare
+           (BASELINE.md round-3 probe).  Expected estimator error is
+           ~1/sqrt(num_perm) (±0.125 at 64 perms).
          ``verify=False`` returns raw candidate pairs.
 
     Partitioning assumption: each (band, band_hash) bucket fits in one
