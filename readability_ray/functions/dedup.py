@@ -209,6 +209,46 @@ def _scan_bucket_pairs(batch: pd.DataFrame, key_cols: list[str],
     return pd.DataFrame(data)
 
 
+def _dedupe_pair_rows(pairs: ray.data.Dataset, agg_col: str | None,
+                      how: str, k: int,
+                      out_type: pa.DataType = pa.int64(),
+                      a_col: str = "doc_a", b_col: str = "doc_b"
+                      ) -> ray.data.Dataset:
+    """Global (doc_a, doc_b) pair dedupe as a keyed repartition + ONE
+    vectorized pandas pass per partition.
+
+    Ray's HashAggregate operator was the measured wall for the pair
+    paths (50 k-doc probe: 378 s remote wall in the aggregate vs 18 s
+    in every other stage combined); the equivalent hash-shuffle
+    repartition plus a per-partition ``groupby(...).agg`` costs the
+    same single exchange and runs at pandas speed.  ``agg_col`` None
+    means plain distinct."""
+    import pandas as pd
+
+    from .util import arrow_out
+
+    def dedupe(batch: pd.DataFrame) -> pa.Table:
+        cols = {a_col: pd.Series([], dtype="int64"),
+                b_col: pd.Series([], dtype="int64")}
+        if agg_col is not None:
+            cols[agg_col] = pd.Series(
+                [], dtype="float64" if out_type == pa.float64()
+                else "int64")
+        if len(batch) == 0 or a_col not in batch.columns:
+            return arrow_out(pd.DataFrame(cols))
+        if agg_col is None:
+            out = batch.drop_duplicates([a_col, b_col])
+        else:
+            out = batch.groupby([a_col, b_col], as_index=False,
+                                sort=False)[agg_col].agg(how)
+        return arrow_out(out.reset_index(drop=True))
+
+    keep = [a_col, b_col] + ([agg_col] if agg_col else [])
+    return pairs.select_columns(keep) \
+        .repartition(num_blocks=k, keys=[a_col, b_col]) \
+        .map_batches(dedupe, batch_format="pandas", batch_size=None)
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
                       shingle_k: int = 3, bands: int = 16,
                       jaccard_threshold: float = 0.5,
@@ -287,18 +327,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
     candidates = band_rows \
         .repartition(num_blocks=k, keys=["band", "band_hash"]) \
         .map_batches(scan, batch_format="pandas", batch_size=None)
-    # dedupe pairs found in multiple bands/partitions: vectorized
-    # count-aggregate, then drop the count
-    from ray.data.aggregate import Count
-    deduped = candidates.groupby(["doc_a", "doc_b"]).aggregate(Count())
-
-    def drop_count(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        return batch.select(["doc_a", "doc_b"])
-
-    candidates = deduped.map_batches(drop_count, batch_format="pyarrow")
+    # dedupe pairs found in multiple bands/partitions (keyed
+    # repartition + vectorized distinct — see _dedupe_pair_rows)
+    candidates = _dedupe_pair_rows(candidates, None, "", k)
     if not verify:
         return candidates
 
@@ -373,24 +404,13 @@ def _minhash_estimate_pairs(band_rows: ray.data.Dataset, *, num_perm: int,
         return arrow_out(out[out["jaccard"] >= threshold]
                          .reset_index(drop=True))
 
-    from ray.data.aggregate import Max
     pairs = band_rows \
         .repartition(num_blocks=n_partitions, keys=["band", "band_hash"]) \
         .map_batches(scan, batch_format="pandas", batch_size=None)
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        return pa.table({
-            "doc_a": batch.column("doc_a"),
-            "doc_b": batch.column("doc_b"),
-            "jaccard": batch.column("max(jaccard)"),
-        })
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    # cross-band dedupe (the estimate is identical in every band, max
+    # is just the dedupe)
+    return _dedupe_pair_rows(pairs, "jaccard", "max", n_partitions,
+                             pa.float64())
 
 
 # ---- SimHash ---------------------------------------------------------------
@@ -497,29 +517,24 @@ def simhash_near_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
         return arrow_out(out[out["hamming"] <= max_hamming]
                          .reset_index(drop=True))
 
-    from ray.data.aggregate import Min
     pairs = signatures.map_batches(explode_bands, batch_format="pyarrow") \
         .repartition(num_blocks=k, keys=["band", "band_value"]) \
         .map_batches(scan, batch_format="pandas", batch_size=None)
     # distinct pairs (a pair can collide in several bands)
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    deduped = _dedupe_pair_rows(pairs, "hamming", "min", k)
 
     complete = max_hamming <= 3  # pigeonhole guarantee regime
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def mark(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:  # schema-less empty shuffle partition
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64()),
                              "complete": pa.array([], pa.bool_())})
-        return pa.table({
-            "doc_a": batch.column("doc_a"),
-            "doc_b": batch.column("doc_b"),
-            "hamming": batch.column("min(hamming)").cast(pa.int64()),
-            "complete": pa.array([complete] * batch.num_rows, pa.bool_()),
-        })
+        return batch.append_column(
+            "complete", pa.array([complete] * batch.num_rows, pa.bool_()))
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return deduped.map_batches(mark, batch_format="pyarrow")
 
 
 # ---- near-dup clusters → keepers -------------------------------------------
@@ -570,8 +585,6 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
         .map_batches(both_directions, batch_format="pyarrow") \
         .repartition(scrub)
 
-    from ray.data.aggregate import Min
-
     def init_labels(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -579,15 +592,27 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
         return pa.table({"doc_id": batch.column("src"),
                          "label": batch.column("src")})
 
-    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Min("label"))
+    import pandas as pd
 
-    def tidy(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64())})
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "label": batch.column("min(label)")})
+    from .util import arrow_out
+
+    def min_label(label_rows: ray.data.Dataset) -> ray.data.Dataset:
+        """Per-doc min label: keyed repartition + one vectorized
+        pandas pass (Ray's HashAggregate operator pays a large fixed
+        cost per invocation, and this runs every round)."""
+
+        def pass_(batch: pd.DataFrame) -> pa.Table:
+            if len(batch) == 0 or "doc_id" not in batch.columns:
+                return arrow_out(pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64")}))
+            return arrow_out(
+                batch.groupby("doc_id", as_index=False,
+                              sort=False)["label"].min())
+
+        return label_rows.repartition(num_blocks=scrub,
+                                      keys=["doc_id"]) \
+            .map_batches(pass_, batch_format="pandas", batch_size=None)
 
     # Iterative algorithm on a DAG engine: each round MATERIALIZES the
     # label table (distributed, object store — ids only, 16 B/row;
@@ -596,8 +621,9 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
     # which starves small CPU budgets.  Edges are materialized once for
     # the same reason (reused every round).
     edges = edges.materialize()
-    labels = labels.map_batches(tidy, batch_format="pyarrow") \
-        .repartition(scrub).materialize()
+    labels = min_label(
+        edges.map_batches(init_labels, batch_format="pyarrow")) \
+        .materialize()
     prev_sum = labels.sum("label", ignore_nulls=True)
     converged = prev_sum is None  # no pairs at all
 
@@ -617,10 +643,8 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
 
         merged = proposals.map_batches(to_proposal,
                                        batch_format="pyarrow") \
-            .union(labels) \
-            .groupby("doc_id").aggregate(Min("label"))
-        labels = merged.map_batches(tidy, batch_format="pyarrow") \
-            .repartition(scrub).materialize()
+            .union(labels)
+        labels = min_label(merged).materialize()
         new_sum = labels.sum("label", ignore_nulls=True)
         converged = new_sum == prev_sum  # monotone → exact signal
         prev_sum = new_sum

@@ -424,24 +424,16 @@ def _embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float,
             "cos_sim": pd.Series(out_s, dtype="float64"),
         }))
 
-    from ray.data.aggregate import Min
+    from .dedup import _dedupe_pair_rows
     pairs = ds.map_batches(explode, batch_format="pyarrow") \
         .repartition(num_blocks=k, keys=["band", "band_sig"]) \
         .map_batches(verify_bucket, batch_format="pandas", batch_size=None)
-    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_sim"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
-            return pa.table({"vec_a": pa.array([], pa.int64()),
-                             "vec_b": pa.array([], pa.int64()),
-                             "cos_sim": pa.array([], pa.float64())})
-        return pa.table({
-            "vec_a": batch.column("vec_a"),
-            "vec_b": batch.column("vec_b"),
-            "cos_sim": batch.column("min(cos_sim)"),
-        })
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    # cross-band dedupe: keyed repartition + vectorized per-partition
+    # pass (Ray's HashAggregate was the measured wall — see
+    # _dedupe_pair_rows); the verified cos_sim is identical in every
+    # band, min is just the dedupe.
+    return _dedupe_pair_rows(pairs, "cos_sim", "min", k,
+                             pa.float64(), a_col="vec_a", b_col="vec_b")
 
 
 def _train_centroids(ds: ray.data.Dataset, k: int, n_iter: int,
