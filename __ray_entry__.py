@@ -344,6 +344,15 @@ def _q_minhash_keepers(sf_dir: str):
     return near_dup_keepers(pairs, n_iter=3)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index
+    set-similarity join) — the ground truth the MinHash/SimHash
+    approximations are measured against, fully SQL-expressible."""
+    from readability_ray.functions import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), shingle_k=3,
+                               jaccard_threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from readability_ray.functions import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -578,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "minhash_dedup_keepers": _q_minhash_keepers,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "page_structure": _q_page_structure,
@@ -710,6 +720,38 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS keeper_doc_id,
                    count(*)::BIGINT AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t, ' ') AS gram
+                FROM toks WHERE len(t) > 0 AND len(t) < 3
+                UNION
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 2)) AS i
+                      FROM toks WHERE len(t) >= 3)
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::DOUBLE AS c
+                FROM grams a
+                JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a::BIGINT AS doc_a, i.doc_b::BIGINT AS doc_b,
+                   floor(i.c / (ca.n + cb.n - i.c) * 1000000) / 1000000
+                       AS jaccard
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.doc_a
+            JOIN counts cb ON cb.doc_id = i.doc_b
+            WHERE floor(i.c / (ca.n + cb.n - i.c) * 1000000) / 1000000
+                  >= 0.5
         """,
         "knn_cosine_top5": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -13,7 +13,7 @@ from .textstats import (
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
-    simhash_near_pairs, simhash_signatures,
+    ngram_jaccard_pairs, simhash_near_pairs, simhash_signatures,
 )
 from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
@@ -26,7 +26,7 @@ __all__ = [
     "quality_scores", "kmeans_assign",
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
-    "near_dup_keepers",
+    "near_dup_keepers", "ngram_jaccard_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
     "extract_pdf_text", "make_pdf", "pdf_text",

@@ -169,13 +169,19 @@ def _ngram_jaccard(text_a: str, text_b: str, k: int) -> float:
 
 
 def _scan_bucket_pairs(batch: pd.DataFrame, key_cols: list[str],
-                       out_cols: dict) -> pd.DataFrame:
+                       out_cols: dict,
+                       max_group: int | None = None) -> pd.DataFrame:
     """Vectorized within-partition pair scan: the batch is one hash
     partition (all rows with equal key_cols co-located by
     ``repartition(keys=...)``); emit all same-bucket pairs.
 
     ``out_cols`` maps output column name → source column (or None for
-    the id itself); pair order is (a < b) by doc id."""
+    the id itself); pair order is (a < b) by doc id.  ``max_group``
+    drops buckets with more than that many distinct ids before the
+    self-merge (the document-frequency cutoff of set-similarity joins:
+    a bucket of d ids explodes into d² pairs, and the hottest buckets
+    — stopword shingles, templated band hashes — carry the least
+    signal)."""
     names = list(out_cols.keys())
     src_cols = list(out_cols.values())
     id_src = src_cols[0]
@@ -198,6 +204,11 @@ def _scan_bucket_pairs(batch: pd.DataFrame, key_cols: list[str],
     # in-partition seen-set is needed (round-2 hotspot: the itertuples
     # nested loop here was the 50 k-doc probe's ceiling).
     entries = dup.drop_duplicates(key_cols + [id_src])[key_cols + src_cols]
+    if max_group is not None:
+        sizes = entries.groupby(key_cols)[id_src].transform("size")
+        entries = entries[sizes <= max_group]
+        if len(entries) == 0:
+            return empty()
     merged = entries.merge(entries, on=key_cols, suffixes=("_l", "_r"))
     merged = merged[merged[id_src + "_l"] < merged[id_src + "_r"]]
     if len(merged) == 0:
@@ -411,6 +422,108 @@ def _minhash_estimate_pairs(band_rows: ray.data.Dataset, *, num_perm: int,
     # is just the dedupe)
     return _dedupe_pair_rows(pairs, "jaccard", "max", n_partitions,
                              pa.float64())
+
+
+# ---- exact n-gram Jaccard (set-similarity join) -----------------------------
+
+def _gram_rows_batch(batch: pa.Table, shingle_k: int,
+                     doc_id_col: str) -> pa.Table:
+    """Explode each document into one row per DISTINCT word-k-shingle:
+    (gram-hash uint64, doc_id, n_grams).  The per-doc distinct-gram
+    count rides every row so the pair stage needs no join back to a
+    per-doc table (24 B/gram crosses the shuffle, never the text)."""
+    doc_ids = batch.column(doc_id_col).to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_gram, out_doc, out_n = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        grams = _shingles(text, shingle_k)
+        n = len(grams)
+        for g in grams:
+            out_gram.append(_md5_64(g.encode("utf-8")))
+            out_doc.append(doc_id)
+            out_n.append(n)
+    return pa.table({
+        "gram": pa.array(out_gram, pa.uint64()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "n_grams": pa.array(out_n, pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, *, shingle_k: int = 3,
+                        jaccard_threshold: float = 0.5,
+                        max_doc_freq: int | None = None,
+                        n_partitions: int | None = None,
+                        doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """EXACT n-gram-Jaccard near-duplicate pairs via a distributed
+    inverted-index self-join (the classic set-similarity join) —
+    full recall at the threshold, unlike the MinHash/SimHash
+    approximations, and the ground truth they are measured against.
+
+    Plan shape (two exchanges, text never moves):
+      1. explode each doc into (gram-hash, doc_id, n_grams) rows —
+         distinct word-k-shingles hashed to uint64 (64-bit md5;
+         collision odds ~g²/2⁶⁵ over g distinct grams — negligible
+         below ~10¹² grams, and deterministic);
+      2. ``repartition(keys=[gram])`` co-locates equal grams; a
+         vectorized per-partition self-merge emits one (doc_a, doc_b,
+         n_a, n_b) row per SHARED gram — so the downstream per-pair
+         row count IS the intersection size;
+      3. ``repartition(keys=[doc_a, doc_b])`` + one pandas pass:
+         |A∩B| = rows, |A∪B| = n_a + n_b − |A∩B|, floor-6 Jaccard,
+         threshold filter.
+
+    Scale: the exact join is quadratic in per-gram document frequency
+    — a gram shared by d docs emits d² pair rows.  ``max_doc_freq``
+    is the standard DF cutoff (drop grams hotter than F docs before
+    the merge; hot shingles are boilerplate and carry no signal, but
+    the result is then a documented SUBSET).  Default None = exact =
+    the oracle semantics.  At 100 TB prefer ``minhash_lsh_pairs`` and
+    use this as the verification ground truth on samples.
+
+    Matches DuckDB: grams from ``regexp_extract_all(text,
+    '[^ \\t\\n\\r\\f\\v]+')`` k-windows joined by ' ', DISTINCT per
+    doc; docs with fewer than k tokens contribute their whole joined
+    token list as the single gram (``_shingles`` semantics)."""
+    import functools
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    gram_fn = functools.partial(_gram_rows_batch, shingle_k=shingle_k,
+                                doc_id_col=doc_id_col)
+    gram_rows = ds.map_batches(gram_fn, batch_format="pyarrow")
+
+    def scan(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(_scan_bucket_pairs(
+            batch, ["gram"], {"doc": "doc_id", "n": "n_grams"},
+            max_group=max_doc_freq))
+
+    shared = gram_rows \
+        .repartition(num_blocks=k, keys=["gram"]) \
+        .map_batches(scan, batch_format="pandas", batch_size=None)
+
+    def to_jaccard(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "doc_a" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")}))
+        g = batch.groupby(["doc_a", "doc_b"], as_index=False,
+                          sort=False).agg(
+            inter=("n_a", "size"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        union = g["n_a"] + g["n_b"] - g["inter"]
+        jac = np.floor(g["inter"] / union * 1e6) / 1e6
+        out = pd.DataFrame({"doc_a": g["doc_a"], "doc_b": g["doc_b"],
+                            "jaccard": jac})
+        return arrow_out(out[out["jaccard"] >= jaccard_threshold]
+                         .reset_index(drop=True))
+
+    return shared \
+        .repartition(num_blocks=k, keys=["doc_a", "doc_b"]) \
+        .map_batches(to_jaccard, batch_format="pandas", batch_size=None)
 
 
 # ---- SimHash ---------------------------------------------------------------

@@ -474,3 +474,45 @@ def test_near_dup_keepers_cap_warns(ray_session):
     # partial labels exist, but the far end has not reached keeper 1
     keepers = dict(zip(df.doc_id, df.keeper_doc_id))
     assert keepers[7] != 1
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """The exact set-similarity join finds the planted near-dup with
+    the EXACT n-gram Jaccard value (bit-equal to the in-process
+    reference kernel, floor-6), and keeps unrelated docs apart."""
+    import numpy as np
+    import ray.data
+    from readability_ray.functions import ngram_jaccard_pairs
+    from readability_ray.functions.dedup import _ngram_jaccard
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight without a sound")
+    near = base.replace("lazy", "sleepy")
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": "completely unrelated text about ray "
+                                  "data pipelines and arrow batches here"},
+            {"doc_id": 4, "text": ""},          # no grams -> never pairs
+            {"doc_id": 5, "text": "two tokens"}]  # < k tokens: one gram
+    df = ngram_jaccard_pairs(ray.data.from_items(rows),
+                             jaccard_threshold=0.3).to_pandas()
+    pairs = dict(zip(zip(df.doc_a, df.doc_b), df.jaccard))
+    want = np.floor(_ngram_jaccard(base, near, 3) * 1e6) / 1e6
+    assert pairs == {(1, 2): want}
+
+
+def test_ngram_jaccard_max_doc_freq_cutoff(ray_session):
+    """The document-frequency cutoff drops grams hotter than F docs
+    before the quadratic self-merge: with every gram shared corpus-wide
+    and F below the corpus size, no pair survives; without the cutoff
+    all pairs do."""
+    import ray.data
+    from readability_ray.functions import ngram_jaccard_pairs
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [{"doc_id": i, "text": text} for i in range(1, 5)]
+    ds = ray.data.from_items(rows)
+    exact = ngram_jaccard_pairs(ds, jaccard_threshold=0.9).to_pandas()
+    assert len(exact) == 6  # all 4-choose-2 identical pairs, jaccard 1.0
+    assert set(exact.jaccard) == {1.0}
+    capped = ngram_jaccard_pairs(ds, jaccard_threshold=0.9,
+                                 max_doc_freq=3).to_pandas()
+    assert len(capped) == 0
