@@ -353,6 +353,23 @@ def _q_ngram_jaccard(sf_dir: str):
                                jaccard_threshold=0.5)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowed rolling-hash document fingerprints (Schleimer et al.
+    2003) — (doc_id, pos, fp) rows, value-level SQL oracle (the hash
+    is codepoint arithmetic mod 2^64, reproducible in DuckDB)."""
+    from readability_ray.functions import winnow_fingerprints
+    return winnow_fingerprints(_docs(sf_dir), k=8, window=16)
+
+
+def _q_fingerprint_overlap(sf_dir: str):
+    """Substring-containment pairs: docs sharing >= 2 distinct winnowed
+    fingerprints (full recall for common substrings >= window+k-1
+    chars, by the winnowing guarantee)."""
+    from readability_ray.functions import fingerprint_overlap_pairs
+    return fingerprint_overlap_pairs(_docs(sf_dir), k=8, window=16,
+                                     min_shared=2)
+
+
 def _q_simhash(sf_dir: str):
     from readability_ray.functions import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -588,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "minhash_dedup_keepers": _q_minhash_keepers,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "fingerprint_overlap_pairs": _q_fingerprint_overlap,
         "simhash_signatures": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "page_structure": _q_page_structure,
@@ -606,6 +625,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     tok = TOKEN_RE_SQL
     stop = STOPWORD_RE_SQL
+    # Winnowed rolling-hash fingerprints (functions/fingerprint.py) in
+    # pure SQL: Rabin-Karp over Unicode codepoints mod 2^64 (HUGEINT
+    # arithmetic, constants = 1000003^j mod 2^64), then the rightmost-
+    # min-of-each-16-window selection via a window min + range join.
+    winnow_cte = """
+        WITH cps AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text))) AS i1,
+                   unnest(string_split(text, '')) AS ch
+            FROM documents
+        ), cp AS (
+            SELECT doc_id, (i1 - 1)::BIGINT AS i,
+                   unicode(ch)::HUGEINT AS c
+            FROM cps
+        ), h0 AS (
+            SELECT doc_id, i,
+                   ((c * 12924618581234127435::HUGEINT
+                     + lead(c, 1) OVER w * 10923514805226455897::HUGEINT
+                     + lead(c, 2) OVER w * 14453212906556403763::HUGEINT
+                     + lead(c, 3) OVER w * 14003818205314896721::HUGEINT
+                     + lead(c, 4) OVER w * 1000009000027000027::HUGEINT
+                     + lead(c, 5) OVER w * 1000006000009::HUGEINT
+                     + lead(c, 6) OVER w * 1000003::HUGEINT
+                     + lead(c, 7) OVER w)
+                    % 18446744073709551616::HUGEINT)::UBIGINT AS h
+            FROM cp
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            QUALIFY lead(c, 7) OVER w IS NOT NULL
+        ), slen AS (
+            SELECT doc_id, count(*) AS n FROM cp
+            GROUP BY doc_id HAVING count(*) < 8
+        ), short AS (
+            SELECT cp.doc_id, 0::BIGINT AS pos,
+                   (sum(cp.c * (CASE s.n - 1 - cp.i
+                        WHEN 0 THEN 1::HUGEINT
+                        WHEN 1 THEN 1000003::HUGEINT
+                        WHEN 2 THEN 1000006000009::HUGEINT
+                        WHEN 3 THEN 1000009000027000027::HUGEINT
+                        WHEN 4 THEN 14003818205314896721::HUGEINT
+                        WHEN 5 THEN 14453212906556403763::HUGEINT
+                        WHEN 6 THEN 10923514805226455897::HUGEINT
+                        END))
+                    % 18446744073709551616::HUGEINT)::UBIGINT AS fp
+            FROM cp JOIN slen s USING (doc_id)
+            GROUP BY cp.doc_id
+        ), wins AS (
+            SELECT doc_id, i AS s,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+            FROM h0
+            QUALIFY i <= greatest(
+                count(*) OVER (PARTITION BY doc_id) - 16, 0)
+        ), sel AS (
+            SELECT h.doc_id, w.s, max(h.i) AS pos
+            FROM h0 h JOIN wins w
+              ON h.doc_id = w.doc_id AND h.i BETWEEN w.s AND w.s + 15
+             AND h.h = w.wmin
+            GROUP BY h.doc_id, w.s
+        ), fps AS (
+            SELECT DISTINCT s.doc_id, s.pos, h.h AS fp
+            FROM sel s JOIN h0 h ON h.doc_id = s.doc_id AND h.i = s.pos
+            UNION ALL
+            SELECT doc_id, pos, fp FROM short
+        )
+    """
     lang_counts = """
         len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS c_en,
         len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS c_de,
@@ -752,6 +836,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = i.doc_b
             WHERE floor(i.c / (ca.n + cb.n - i.c) * 1000000) / 1000000
                   >= 0.5
+        """,
+        "winnow_fingerprints": winnow_cte + """
+            SELECT doc_id::BIGINT AS doc_id, pos, fp FROM fps
+        """,
+        "fingerprint_overlap_pairs": winnow_cte + """
+            , dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+            SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM dfp a JOIN dfp b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "knn_cosine_top5": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

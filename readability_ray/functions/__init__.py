@@ -18,6 +18,7 @@ from .dedup import (
 from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
 )
+from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
     "extract_pdf_text", "make_pdf", "pdf_text",
+    "fingerprint_overlap_pairs", "winnow_fingerprints",
 ]

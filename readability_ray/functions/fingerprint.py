@@ -1,0 +1,179 @@
+"""Document fingerprinting by winnowing (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003).
+
+A Rabin-Karp polynomial rolling hash over character k-grams, followed
+by window-min selection: every window of ``window`` consecutive k-gram
+hashes contributes its minimum (rightmost position on ties — the
+paper's rule, which also minimizes the fingerprint count).  Guarantee:
+any substring match of length ≥ ``window + k - 1`` between two
+documents shares at least one selected fingerprint — the property that
+makes winnowed fingerprints the standard primitive for plagiarism /
+near-duplicate / containment detection over large corpora (MOSS).
+
+Hashing is over Unicode CODE POINTS (not utf-8 bytes) with an odd
+multiplier mod 2⁶⁴ — chosen so the whole kernel is reproducible in
+ANSI SQL (DuckDB ``ascii()`` + HUGEINT modular arithmetic), giving the
+operator a real value-level oracle rather than a rows-only check.
+
+Scale shape: fingerprint extraction is a stateless vectorized
+``map_batches`` (numpy O(n·k) per doc, no Python loop over positions);
+overlap-pair detection reuses the dedup inverted-index machinery — one
+keyed repartition on the fingerprint value, a per-partition vectorized
+self-merge, and a keyed pair-count pass.  Only (fp, doc_id) rows — 16
+bytes each — ever cross an exchange, never the text.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_BASE = np.uint64(1000003)  # odd → invertible mod 2^64; fits HUGEINT SQL
+_MOD = 1 << 64
+
+
+def _rolling_hashes(codepoints: np.ndarray, k: int) -> np.ndarray:
+    """H[i] = sum_{j<k} cp[i+j] * BASE^(k-1-j)  (mod 2^64), vectorized.
+
+    ``np.convolve`` with int64 wraparound IS mod-2^64 arithmetic on the
+    bit pattern; O(n·k) time, O(n) memory (no n×k materialization, so
+    multi-MB documents stay cheap)."""
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):  # wraparound IS the mod-2^64 arithmetic
+        for j in range(1, k):
+            powers[j] = powers[j - 1] * _BASE
+        # convolve flips the kernel: out[i] = sum cp[i+j] * powers[k-1-j]
+        return np.convolve(codepoints.view(np.int64),
+                           powers.view(np.int64),
+                           mode="valid").view(np.uint64)
+
+
+def _winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Positions selected by winnowing: the RIGHTMOST minimal hash of
+    every length-``window`` window (deduplicated, sorted)."""
+    m = len(hashes)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= window:
+        rev = hashes[::-1]
+        return np.array([m - 1 - int(np.argmin(rev))], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost argmin = window-1 - leftmost argmin of the reversed row
+    idx = (window - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(m - window + 1, dtype=np.int64) + idx
+    return np.unique(pos)
+
+
+def _fingerprint_doc(text: str, k: int, window: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, fingerprints) for one document.  Documents shorter
+    than k characters hash their whole text as the single k-gram at
+    position 0; empty documents yield nothing."""
+    if not text:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    if len(cps) < k:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):  # mod-2^64 by design
+            for c in cps:  # short tail only (< k iterations)
+                h = h * _BASE + c
+        return (np.zeros(1, dtype=np.int64),
+                np.array([h], dtype=np.uint64))
+    hashes = _rolling_hashes(cps, k)
+    pos = _winnow(hashes, window)
+    return pos, hashes[pos]
+
+
+def _fingerprint_batch(batch: pa.Table, k: int, window: int,
+                       doc_id_col: str) -> pa.Table:
+    doc_ids = batch.column(doc_id_col).to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_pos, out_fp = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        pos, fps = _fingerprint_doc(text, k, window)
+        if len(pos):
+            out_doc.append(np.full(len(pos), doc_id, dtype=np.int64))
+            out_pos.append(pos)
+            out_fp.append(fps)
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.uint64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc)),
+        "pos": pa.array(np.concatenate(out_pos)),
+        "fp": pa.array(np.concatenate(out_fp)),
+    })
+
+
+def winnow_fingerprints(ds: ray.data.Dataset, *, k: int = 8,
+                        window: int = 16,
+                        doc_id_col: str = "doc_id") -> ray.data.Dataset:
+    """Winnowed rolling-hash fingerprints: one (doc_id, pos, fp) row
+    per selected k-gram.  ``pos`` is the 0-based character offset of
+    the k-gram; ``fp`` its 64-bit Rabin-Karp hash.  Expected density is
+    ~2/(window+1) fingerprints per character (the paper's bound), so
+    output is ~12% of corpus characters at the defaults — a compact
+    sketch that still localizes matches."""
+    fn = functools.partial(_fingerprint_batch, k=k, window=window,
+                           doc_id_col=doc_id_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint_overlap_pairs(ds: ray.data.Dataset, *, k: int = 8,
+                              window: int = 16, min_shared: int = 2,
+                              max_doc_freq: int | None = None,
+                              n_partitions: int | None = None,
+                              doc_id_col: str = "doc_id"
+                              ) -> ray.data.Dataset:
+    """Document pairs sharing ≥ ``min_shared`` distinct winnowed
+    fingerprints — the containment/plagiarism detector built on
+    :func:`winnow_fingerprints`.  By the winnowing guarantee, any two
+    documents with a common substring of length ≥ window + k - 1 share
+    at least one fingerprint, so ``min_shared=1`` has full recall for
+    such matches (higher values trade recall for precision).
+
+    Same two-exchange inverted-index shape as ``ngram_jaccard_pairs``:
+    repartition (fp, doc_id) rows by fp, vectorized per-partition
+    self-merge, then a keyed pair-count pass.  ``max_doc_freq`` drops
+    fingerprints hotter than that many docs before the quadratic merge
+    (boilerplate shingles), making the result a documented subset."""
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .dedup import _scan_bucket_pairs
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    fp_rows = winnow_fingerprints(ds, k=k, window=window,
+                                  doc_id_col=doc_id_col) \
+        .select_columns(["fp", "doc_id"])
+
+    def scan(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(_scan_bucket_pairs(
+            batch, ["fp"], {"doc": "doc_id"}, max_group=max_doc_freq))
+
+    shared = fp_rows \
+        .repartition(num_blocks=n_parts, keys=["fp"]) \
+        .map_batches(scan, batch_format="pandas", batch_size=None)
+
+    def count_shared(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "doc_a" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64")}))
+        g = batch.groupby(["doc_a", "doc_b"], as_index=False,
+                          sort=False).size().rename(
+            columns={"size": "n_shared"})
+        return arrow_out(g[g["n_shared"] >= min_shared]
+                         .reset_index(drop=True))
+
+    return shared \
+        .repartition(num_blocks=n_parts, keys=["doc_a", "doc_b"]) \
+        .map_batches(count_shared, batch_format="pandas", batch_size=None)

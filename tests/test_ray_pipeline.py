@@ -516,3 +516,89 @@ def test_ngram_jaccard_max_doc_freq_cutoff(ray_session):
     capped = ngram_jaccard_pairs(ds, jaccard_threshold=0.9,
                                  max_doc_freq=3).to_pandas()
     assert len(capped) == 0
+
+
+def _slow_winnow(text, k, window):
+    """Pure-Python winnowing reference (Schleimer et al. 2003,
+    rightmost-min rule) for differential-testing the numpy kernel."""
+    if not text:
+        return []
+    cps = [ord(c) for c in text]
+    if len(cps) < k:
+        h = 0
+        for c in cps:
+            h = (h * 1000003 + c) % (1 << 64)
+        return [(0, h)]
+    hs = []
+    for i in range(len(cps) - k + 1):
+        h = 0
+        for c in cps[i:i + k]:
+            h = (h * 1000003 + c) % (1 << 64)
+        hs.append(h)
+    sel = set()
+    n_windows = max(len(hs) - window + 1, 1)
+    for s in range(n_windows):
+        w = hs[s:s + window]
+        m = min(w)
+        sel.add(s + max(i for i, h in enumerate(w) if h == m))
+    return [(p, hs[p]) for p in sorted(sel)]
+
+
+def test_winnow_fingerprints_kernel_and_guarantee(ray_session):
+    """The Ray operator emits exactly the slow-reference winnowing
+    fingerprints, and two docs sharing a substring >= window + k - 1
+    chars share at least one fingerprint (the winnowing guarantee)."""
+    import ray.data
+    from readability_ray.functions import winnow_fingerprints
+    shared = "this exact sentence appears verbatim in both documents"
+    doc_a = "unique preamble for the first one. " + shared + " tail A."
+    doc_b = "B leads differently here -- " + shared + " and ends so."
+    doc_c = "nothing in common with the others, completely disjoint."
+    rows = [{"doc_id": 1, "text": doc_a}, {"doc_id": 2, "text": doc_b},
+            {"doc_id": 3, "text": doc_c}]
+    df = winnow_fingerprints(ray.data.from_items(rows),
+                             k=8, window=16).to_pandas()
+    for doc_id, text in [(1, doc_a), (2, doc_b), (3, doc_c)]:
+        got = df[df.doc_id == doc_id].sort_values("pos")
+        assert (list(zip(got.pos, got.fp))
+                == _slow_winnow(text, 8, 16)), doc_id
+    fps = {d: set(df[df.doc_id == d].fp) for d in (1, 2, 3)}
+    assert fps[1] & fps[2], "guarantee: 54-char shared substring"
+    assert not fps[1] & fps[3] and not fps[2] & fps[3]
+
+
+def test_winnow_fingerprints_short_and_empty(ray_session):
+    """Docs shorter than k hash their whole text as one fingerprint at
+    pos 0; empty docs emit nothing."""
+    import ray.data
+    from readability_ray.functions import winnow_fingerprints
+    rows = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "tiny"}]
+    df = winnow_fingerprints(ray.data.from_items(rows),
+                             k=8, window=16).to_pandas()
+    assert set(df.doc_id) == {2}
+    h = 0
+    for c in "tiny":
+        h = (h * 1000003 + ord(c)) % (1 << 64)
+    assert list(df.pos) == [0] and list(df.fp) == [h]
+
+
+def test_fingerprint_overlap_pairs(ray_session):
+    """Containment detection: the doc embedding a long substring of
+    another pairs with it, with n_shared equal to the brute-force
+    count of distinct shared fingerprints; disjoint docs never pair."""
+    import ray.data
+    from readability_ray.functions import fingerprint_overlap_pairs
+    src = ("the plagiarised passage runs long enough that winnowing "
+           "must select several fingerprints from inside it for sure")
+    rows = [{"doc_id": 1, "text": "intro text. " + src + " outro."},
+            {"doc_id": 2, "text": "rewritten opening, then: " + src},
+            {"doc_id": 3, "text": "an entirely original composition "
+                                  "with no borrowed sentences at all"}]
+    df = fingerprint_overlap_pairs(ray.data.from_items(rows), k=8,
+                                   window=16, min_shared=2).to_pandas()
+    fps = {d: {f for _, f in _slow_winnow(r["text"], 8, 16)}
+           for d, r in zip((1, 2, 3), rows)}
+    want = len(fps[1] & fps[2])
+    assert want >= 2
+    got = dict(zip(zip(df.doc_a, df.doc_b), df.n_shared))
+    assert got == {(1, 2): want}
