@@ -363,11 +363,12 @@ def _q_winnow_fingerprints(sf_dir: str):
 
 def _q_fingerprint_overlap(sf_dir: str):
     """Substring-containment pairs: docs sharing >= 2 distinct winnowed
-    fingerprints (full recall for common substrings >= window+k-1
-    chars, by the winnowing guarantee)."""
+    fingerprints, boilerplate fingerprints (doc frequency > 50) dropped
+    before the quadratic bucket merge — the standard set-similarity-join
+    frequency cutoff, mirrored exactly in the SQL oracle."""
     from readability_ray.functions import fingerprint_overlap_pairs
     return fingerprint_overlap_pairs(_docs(sf_dir), k=8, window=16,
-                                     min_shared=2)
+                                     min_shared=2, max_doc_freq=50)
 
 
 def _q_simhash(sf_dir: str):
@@ -841,7 +842,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id, pos, fp FROM fps
         """,
         "fingerprint_overlap_pairs": winnow_cte + """
-            , dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+            , dfp0 AS (SELECT DISTINCT doc_id, fp FROM fps)
+            , dfp AS (
+                SELECT doc_id, fp FROM dfp0
+                QUALIFY count(*) OVER (PARTITION BY fp) <= 50
+            )
             SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
                    count(*)::BIGINT AS n_shared
             FROM dfp a JOIN dfp b

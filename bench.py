@@ -92,7 +92,8 @@ def _run_benchmarks() -> None:
     import __ray_entry__ as entrymod
     bench_queries = ["token_stats", "exact_dedup", "minhash_dedup_pairs",
                      "minhash_dedup_pairs_estimate",
-                     "simhash_near_pairs", "dedup_pages_by_url",
+                     "simhash_near_pairs", "ngram_jaccard_pairs",
+                     "fingerprint_overlap_pairs", "dedup_pages_by_url",
                      "knn_cosine_top5", "embedding_dup_pairs",
                      "doc_lang_stats", "events_hourly",
                      "token_frequency_top50", "events_sessionize",

@@ -128,7 +128,7 @@ def winnow_fingerprints(ds: ray.data.Dataset, *, k: int = 8,
 
 def fingerprint_overlap_pairs(ds: ray.data.Dataset, *, k: int = 8,
                               window: int = 16, min_shared: int = 2,
-                              max_doc_freq: int | None = None,
+                              max_doc_freq: int | None = 256,
                               n_partitions: int | None = None,
                               doc_id_col: str = "doc_id"
                               ) -> ray.data.Dataset:
@@ -143,7 +143,13 @@ def fingerprint_overlap_pairs(ds: ray.data.Dataset, *, k: int = 8,
     repartition (fp, doc_id) rows by fp, vectorized per-partition
     self-merge, then a keyed pair-count pass.  ``max_doc_freq`` drops
     fingerprints hotter than that many docs before the quadratic merge
-    (boilerplate shingles), making the result a documented subset."""
+    — a bucket of d docs explodes into d(-1)/2 pairs, and the hottest
+    fingerprints are boilerplate (on the sf0.1 synthetic corpus ONE
+    fingerprint covers 66% of all docs: 5.4 M pairs of pure noise from
+    a single bucket, 24.9 M total vs 282 k under a cutoff of 50).  The
+    default 256 therefore trades exactness for the only shape that
+    survives a web corpus; pass ``None`` for the exact (quadratic)
+    semantics on small/clean inputs."""
     from ..state import default_partitions, ensure_hash_shuffle
     from .dedup import _scan_bucket_pairs
     from .util import arrow_out

@@ -602,3 +602,22 @@ def test_fingerprint_overlap_pairs(ray_session):
     assert want >= 2
     got = dict(zip(zip(df.doc_a, df.doc_b), df.n_shared))
     assert got == {(1, 2): want}
+
+
+def test_fingerprint_overlap_max_doc_freq_cutoff(ray_session):
+    """Boilerplate fingerprints hotter than max_doc_freq are dropped
+    before the quadratic bucket merge: identical docs pair under the
+    exact semantics (None) but not under a cutoff below the corpus
+    size."""
+    import ray.data
+    from readability_ray.functions import fingerprint_overlap_pairs
+    text = ("the same boilerplate body repeated verbatim across every "
+            "document in this little corpus of identical pages")
+    rows = [{"doc_id": i, "text": text} for i in range(1, 6)]
+    ds = ray.data.from_items(rows)
+    exact = fingerprint_overlap_pairs(ds, min_shared=1,
+                                      max_doc_freq=None).to_pandas()
+    assert len(exact) == 10  # 5 choose 2, all identical
+    capped = fingerprint_overlap_pairs(ds, min_shared=1,
+                                       max_doc_freq=4).to_pandas()
+    assert len(capped) == 0
