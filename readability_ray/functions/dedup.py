@@ -51,29 +51,36 @@ def content_hashes(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(_content_hash_batch, batch_format="pyarrow")
 
 
-def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+def exact_dedup(ds: ray.data.Dataset,
+                n_partitions: int | None = None) -> ray.data.Dataset:
     """Hash-partition + first-per-group: one row per distinct text with
     the kept doc_id (min) and duplicate count.
 
-    Vectorized aggregate (Min/Count) — a per-group ``map_groups`` costs
-    a pandas call per distinct hash, which at mostly-unique corpora is
-    one call per row."""
-    from ray.data.aggregate import Count, Min
+    Shape: ONE keyed repartition on the content hash, then a single
+    vectorized pandas ``groupby.agg`` per partition — globally correct
+    because equal hashes co-locate.  (Ray's HashAggregate operator is
+    the same exchange but was the measured wall on mostly-unique keys
+    — 378 s remote wall at the 50 k-doc probe; the per-partition
+    pandas pass costs seconds.)"""
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
     hashed = content_hashes(ds)
-    agg = hashed.groupby("text_hash").aggregate(Min("doc_id"), Count())
 
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
+    def dedupe(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "text_hash" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
             return pa.table({"text_hash": pa.array([], pa.string()),
                              "keeper_doc_id": pa.array([], pa.int64()),
                              "dup_count": pa.array([], pa.int64())})
-        return pa.table({
-            "text_hash": batch.column("text_hash"),
-            "keeper_doc_id": batch.column("min(doc_id)").cast(pa.int64()),
-            "dup_count": batch.column("count()").cast(pa.int64()),
-        })
+        g = batch.groupby("text_hash", as_index=False, sort=False).agg(
+            keeper_doc_id=("doc_id", "min"),
+            dup_count=("doc_id", "size"))
+        return arrow_out(g)
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return hashed.repartition(num_blocks=k, keys=["text_hash"]) \
+        .map_batches(dedupe, batch_format="pandas", batch_size=None)
 
 
 # ---- MinHash + LSH ---------------------------------------------------------

@@ -320,17 +320,19 @@ def corpus_clean(ds: ray.data.Dataset, *, min_tokens: int = 30,
     ensure_hash_shuffle(ds)
     k = n_partitions or default_partitions()
 
-    from ray.data.aggregate import Min
-    keepers = content_hashes(ds).groupby("text_hash") \
-        .aggregate(Min("doc_id"))
-
-    def keeper_ids(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
+    def keeper_ids(batch) -> pa.Table:
+        # per-partition pandas min — same single exchange as Ray's
+        # HashAggregate without its mostly-unique-key wall (see
+        # dedup.exact_dedup); schema-less empty blocks guarded
+        if len(batch) == 0 or "text_hash" not in batch.columns:
             return pa.table({"keep_id": pa.array([], pa.int64())})
-        return pa.table({"keep_id": batch.column("min(doc_id)")
-                        .cast(pa.int64())})
+        g = batch.groupby("text_hash", sort=False)["doc_id"].min()
+        return pa.table({"keep_id": pa.array(g.to_numpy(), pa.int64())})
 
-    keep = keepers.map_batches(keeper_ids, batch_format="pyarrow") \
+    keep = content_hashes(ds) \
+        .repartition(num_blocks=k, keys=["text_hash"]) \
+        .map_batches(keeper_ids, batch_format="pandas",
+                     batch_size=None) \
         .repartition(max(2, k // 8))  # scrub schema-less empties pre-join
 
     scored = quality_scores(ds)
