@@ -156,11 +156,12 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
 
     The classic wide-shuffle shape, done right: tokens are counted
     WITHIN each batch first (one partial row per distinct token per
-    batch), so the groupby shuffle moves vocab-sized partials, never
-    the token stream.  Ties broken by token asc for determinism.
+    batch), so the keyed shuffle moves vocab-sized partials, never the
+    token stream; the per-token merge is a per-partition pandas sum
+    (same exchange as Ray's HashAggregate without its mostly-unique-key
+    wall or lingering aggregator actors — see BASELINE.md round-3
+    bench).  Ties broken by token asc for determinism.
     """
-    from ray.data.aggregate import Sum
-
     import re as _re
     ascii_token = _re.compile(r"[^ \t\n\r\f\v]+")
 
@@ -176,23 +177,26 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
         return pa.table({"token": pa.array(tokens, pa.string()),
                          "n": pa.array(counts, pa.int64())})
 
-    totals = ds.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({
-            "token": batch.column("token"),
-            "n": batch.column("sum(n)").cast(pa.int64()),
-        })
-
-    renamed = totals.map_batches(rename, batch_format="pyarrow")
-    # deterministic top-k: (count desc, token asc)
     import pandas as pd
 
+    from ..state import default_partitions, ensure_hash_shuffle
     from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    n_parts = default_partitions()
+
+    def sum_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "token" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
+            return arrow_out(pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}))
+        return arrow_out(batch.groupby("token", as_index=False,
+                                       sort=False)["n"].sum())
+
+    renamed = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .repartition(num_blocks=n_parts, keys=["token"]) \
+        .map_batches(sum_partials, batch_format="pandas",
+                     batch_size=None)
 
     def global_topk(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
