@@ -517,6 +517,31 @@ def _q_events_sessions(sf_dir: str):
     return events_sessionize(ds, gap_minutes=30)
 
 
+def _q_events_asof(sf_dir: str):
+    """Backward as-of join (click -> most recent prior view per user)
+    — keyed repartition + one pd.merge_asof per partition; matches
+    DuckDB's windowed rn=1 pick including the (ts, event_id) tiebreak
+    and integer-microsecond gap arithmetic."""
+    import os as _os
+    import ray.data
+    from readability_ray.functions import events_asof_join
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return events_asof_join(ds, left_type="click", right_type="view")
+
+
+def _q_events_rolling(sf_dir: str):
+    """Sliding 3-bucket windowed aggregate over hourly tumbling counts
+    per event type (ROWS-frame semantics, empty hours skipped)."""
+    import os as _os
+    import ray.data
+    from readability_ray.functions import events_rolling_counts
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+    return events_rolling_counts(ds, window=3)
+
+
 def _q_events_hourly(sf_dir: str):
     import os as _os
     import pyarrow as pa
@@ -618,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "events_hourly": _q_events_hourly,
+        "events_rolling_counts": _q_events_rolling,
+        "events_asof_join": _q_events_asof,
         "token_frequency_top50": _q_token_frequency,
         "events_sessionize": _q_events_sessions,
     }
@@ -926,6 +953,39 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+        """,
+        "events_rolling_counts": """
+            WITH hourly AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hour,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, hour, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS rolling_n
+            FROM hourly
+        """,
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            best AS (
+                SELECT l.event_id,
+                       r.event_id AS prior_event_id,
+                       (epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0
+                           AS gap_sec,
+                       row_number() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM l JOIN r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT l.event_id, l.user_id,
+                   b.prior_event_id, b.gap_sec
+            FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                 USING (event_id)
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

@@ -96,6 +96,7 @@ def _run_benchmarks() -> None:
                      "fingerprint_overlap_pairs", "dedup_pages_by_url",
                      "knn_cosine_top5", "embedding_dup_pairs",
                      "doc_lang_stats", "events_hourly",
+                     "events_rolling_counts", "events_asof_join",
                      "token_frequency_top50", "events_sessionize",
                      "corpus_clean",
                      "page_structure", "full_analysis"]

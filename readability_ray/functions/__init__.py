@@ -19,6 +19,7 @@ from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
+from .windows import events_asof_join, events_rolling_counts
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
     "extract_pdf_text", "make_pdf", "pdf_text",
     "fingerprint_overlap_pairs", "winnow_fingerprints",
+    "events_asof_join", "events_rolling_counts",
 ]

@@ -1,0 +1,184 @@
+"""Event-time window operators: as-of join and sliding-window
+aggregates — the two canonical "operators Ray Data lacks" named by the
+engine brief, built as keyed-repartition + vectorized per-partition
+passes (the same single-exchange shape as ``events_sessionize``).
+
+Partitioning assumption (both operators): every row of a join/group
+key lands in one partition — guaranteed by the hash-shuffle
+``repartition(keys=[...])``; within a partition the kernels are pandas
+C code (``merge_asof`` / ``rolling``), never a Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def events_asof_join(ds: ray.data.Dataset, *,
+                     left_type: str = "click",
+                     right_type: str = "view",
+                     by_col: str = "user_id",
+                     ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     n_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """Backward as-of join between two event streams sharing a table:
+    for every LEFT event (``left_type``), the most recent RIGHT event
+    (``right_type``) of the same ``by_col`` key with ``right.ts <=
+    left.ts`` — LEFT-join semantics (no prior right event → nulls).
+
+    Ties on right ``ts`` break to the larger ``id_col`` (rows sorted
+    by (ts, id) before ``merge_asof``, which keeps the last match), so
+    output is deterministic and matches the SQL oracle's
+    ``ORDER BY r.ts DESC, r.event_id DESC`` pick exactly.
+
+    Output: (event_id, user_id, prior_event_id, gap_sec) — gap_sec is
+    integer-microsecond difference / 1e6 in float64, bit-identical to
+    DuckDB's ``(epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0``.
+
+    Scale shape: one projection+filter map (only the two event types'
+    (id, key, ts) rows survive — the payload never moves), ONE keyed
+    exchange on ``by_col``, one ``pd.merge_asof`` per partition.  Skew
+    bound: a partition holds all events of its keys; a single hot key
+    at web scale would need ts-range sub-bucketing (sort-merge within
+    key), which this corpus does not require.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]))
+        kept = batch.filter(mask)
+        return pa.table({
+            id_col: kept.column(id_col),
+            by_col: kept.column(by_col),
+            ts_col: kept.column(ts_col),
+            "event_type": kept.column("event_type"),
+        })
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+
+    def asof(batch: pd.DataFrame) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "prior_event_id": pa.array([], pa.int64()),
+                "gap_sec": pa.array([], pa.float64()),
+            })
+        if len(batch) == 0 or id_col not in batch.columns:
+            return empty()  # schema-less empty shuffle partition
+        left = batch[batch["event_type"] == left_type]
+        right = batch[batch["event_type"] == right_type]
+        if len(left) == 0:
+            return empty()
+        left = left.sort_values([ts_col, id_col], kind="mergesort")
+        ids = left[id_col].to_numpy(dtype=np.int64)
+        keys = left[by_col].to_numpy(dtype=np.int64)
+        if len(right) == 0:
+            n = len(left)
+            no = np.ones(n, dtype=bool)
+            return pa.table({
+                "event_id": pa.array(ids),
+                "user_id": pa.array(keys),
+                "prior_event_id": pa.array(np.zeros(n, np.int64),
+                                           mask=no),
+                "gap_sec": pa.array(np.zeros(n, np.float64), mask=no),
+            })
+        right = right.sort_values([ts_col, id_col], kind="mergesort")
+        # merge_asof drops the right on-column; carry it as r_ts
+        right = right.assign(r_ts=right[ts_col])
+        merged = pd.merge_asof(
+            left, right, on=ts_col, by=by_col,
+            direction="backward", suffixes=("", "_r"))
+        has_prior = merged[f"{id_col}_r"].notna().to_numpy()
+        l_us = merged[ts_col].values.astype(
+            "datetime64[us]").astype(np.int64)
+        r_us = merged["r_ts"].values.astype(
+            "datetime64[us]").astype(np.int64)
+        # integer-microsecond difference / 1e6: bit-identical to
+        # DuckDB's (epoch_us(l) - epoch_us(r)) / 1000000.0; NaT rows
+        # are masked to nulls (NOT NaN — NaN would hash-mismatch SQL)
+        gap = np.where(has_prior,
+                       (l_us - r_us).astype(np.float64), 0.0) / 1e6
+        prior = np.where(
+            has_prior,
+            merged[f"{id_col}_r"].to_numpy(dtype=np.float64,
+                                           na_value=0.0),
+            0.0).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(merged[id_col].to_numpy(np.int64)),
+            "user_id": pa.array(merged[by_col].to_numpy(np.int64)),
+            "prior_event_id": pa.array(prior, mask=~has_prior),
+            "gap_sec": pa.array(gap, mask=~has_prior),
+        })
+
+    return slim.repartition(num_blocks=k, keys=[by_col]) \
+        .map_batches(asof, batch_format="pandas", batch_size=None)
+
+
+def events_rolling_counts(ds: ray.data.Dataset, *, window: int = 3,
+                          ts_col: str = "ts",
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """Sliding-window aggregate over event-time: per (event_type,
+    hour) tumbling counts plus the rolling sum of the last ``window``
+    POSITIONAL hour-buckets of that type (ROWS-frame semantics, i.e.
+    empty hours are skipped, matching SQL ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``).
+
+    Scale shape: per-batch partial counts (one row per distinct
+    (type, hour) per batch — the token_frequency combiner shape), ONE
+    keyed exchange on event_type co-locating each type's hour series,
+    then a vectorized sort + groupby-rolling per partition.  The
+    shuffled table is bucket-sized (types × hours), never the events.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        # normalize to microseconds first: parquet events are
+        # timestamp[us], but e.g. from_items yields timestamp[s]
+        hours = pa.compute.divide(
+            batch.column(ts_col).cast(pa.timestamp("us"))
+            .cast(pa.int64()), 3600000000)
+        tmp = pa.table({"event_type": batch.column("event_type"),
+                        "hour": hours})
+        g = tmp.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "hour": g.column("hour"),
+            "n": g.column("hour_count").cast(pa.int64()),
+        })
+
+    def roll(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rolling_n": pa.array([], pa.int64()),
+            })
+        g = batch.groupby(["event_type", "hour"], as_index=False,
+                          sort=False)["n"].sum()
+        g = g.sort_values(["event_type", "hour"],
+                          kind="mergesort").reset_index(drop=True)
+        g["rolling_n"] = (
+            g.groupby("event_type", sort=False)["n"]
+            .rolling(window, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype(np.int64))
+        return arrow_out(g)
+
+    return ds.map_batches(partials, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["event_type"]) \
+        .map_batches(roll, batch_format="pandas", batch_size=None)

@@ -621,3 +621,72 @@ def test_fingerprint_overlap_max_doc_freq_cutoff(ray_session):
     capped = fingerprint_overlap_pairs(ds, min_shared=1,
                                        max_doc_freq=4).to_pandas()
     assert len(capped) == 0
+
+
+def test_events_asof_join(ray_session):
+    """Backward as-of join: each click attaches the most recent prior
+    view of the same user (ties on ts break to the larger event_id),
+    clicks with no prior view get nulls, other users never leak."""
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data
+    from readability_ray.functions import events_asof_join
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs, typ):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + dt.timedelta(seconds=secs),
+                "event_type": typ}
+    rows = [
+        ev(1, 7, 0.0, "view"),
+        ev(2, 7, 5.0, "view"),
+        ev(3, 7, 5.0, "view"),     # tie with id 2 -> larger id wins
+        ev(4, 7, 9.5, "click"),    # -> prior 3, gap 4.5
+        ev(5, 7, 9.5, "scroll"),   # other type: ignored entirely
+        ev(6, 8, 1.0, "click"),    # user 8 has no views -> nulls
+        ev(7, 9, 2.0, "view"),
+        ev(8, 9, 2.0, "click"),    # exact-match ts -> prior 7, gap 0
+    ]
+    df = events_asof_join(ray.data.from_items(rows)).to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert list(df.event_id) == [4, 6, 8]
+    assert list(df.user_id) == [7, 8, 9]
+    assert df.prior_event_id.tolist()[0] == 3
+    assert pd.isna(df.prior_event_id.tolist()[1])
+    assert df.prior_event_id.tolist()[2] == 7
+    assert df.gap_sec.tolist()[0] == 4.5
+    assert pd.isna(df.gap_sec.tolist()[1])
+    assert df.gap_sec.tolist()[2] == 0.0
+
+
+def test_events_rolling_counts(ray_session):
+    """Sliding 3-bucket windowed aggregate with ROWS semantics: the
+    window slides over EXISTING hour buckets (empty hours skipped),
+    partitioned by event type."""
+    import datetime as dt
+
+    import ray.data
+    from readability_ray.functions import events_rolling_counts
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # clicks: hours 0 (2 events), 1 (1), 4 (3) — hour gap 2-3 empty
+    for h, n in [(0, 2), (1, 1), (4, 3)]:
+        for _ in range(n):
+            rows.append({"event_id": (eid := eid + 1),
+                         "ts": t0 + dt.timedelta(hours=h, minutes=1),
+                         "event_type": "click"})
+    rows.append({"event_id": (eid := eid + 1),
+                 "ts": t0 + dt.timedelta(hours=2),
+                 "event_type": "view"})
+    df = events_rolling_counts(ray.data.from_items(rows),
+                               window=3).to_pandas()
+    clicks = df[df.event_type == "click"].sort_values("hour")
+    base = clicks.hour.iloc[0]
+    assert list(clicks.hour - base) == [0, 1, 4]
+    assert list(clicks.n) == [2, 1, 3]
+    # ROWS frame: hour 4's window covers buckets {0,1,4} = 2+1+3
+    assert list(clicks.rolling_n) == [2, 3, 6]
+    views = df[df.event_type == "view"]
+    assert list(views.n) == [1] and list(views.rolling_n) == [1]

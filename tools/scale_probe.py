@@ -9,6 +9,10 @@ parquet with fresh ids (deterministic), then times:
   - dedup_pages_by_url                    (120k pages, 10x)
   - events_sessionize                     (2M events, 20x)
   - corpus_clean                          (50k docs, 10x)
+  - ngram_jaccard_pairs (exact join)      (50k docs, 10x; ~127M
+    shared-gram intermediate — the dense worst case)
+  - fingerprint_overlap_pairs             (50k docs, 10x)
+  - exact_dedup / token_frequency_topk    (50k docs, 10x)
 
 Usage: python tools/scale_probe.py [num_cpus]
 Prints one JSON line; numbers land in BASELINE.md.
@@ -65,7 +69,9 @@ def main() -> None:
         os.path.abspath(__file__))))
 
     from readability_ray.functions import (
-        corpus_clean, minhash_lsh_pairs, simhash_near_pairs)
+        corpus_clean, exact_dedup, fingerprint_overlap_pairs,
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+        token_frequency_topk)
     from readability_ray.functions.textstats import events_sessionize
     from readability_ray.pipelines import dedup_pages_by_url
     from readability_ray.sources import pages_path_for_sf
@@ -100,6 +106,18 @@ def main() -> None:
         ray.data.read_parquet(docs10), max_hamming=8))
     timed("corpus_clean_50k", lambda: corpus_clean(
         ray.data.read_parquet(docs10), langs=("en", "de")))
+    # exact set-similarity join under the dense 10x dup load: every
+    # gram's doc frequency is 10x sf0.1's (max df 25 -> ~250), so the
+    # quadratic intermediate is ~100x bench size (~127M shared-gram
+    # rows) - the worst case the docstring warns about, on purpose.
+    timed("ngram_jaccard_50k", lambda: ngram_jaccard_pairs(
+        ray.data.read_parquet(docs10), jaccard_threshold=0.5))
+    timed("fingerprint_overlap_50k", lambda: fingerprint_overlap_pairs(
+        ray.data.read_parquet(docs10)))
+    timed("exact_dedup_50k", lambda: exact_dedup(
+        ray.data.read_parquet(docs10)))
+    timed("token_topk_50k", lambda: token_frequency_topk(
+        ray.data.read_parquet(docs10), k=50))
     timed("sessionize_2m", lambda: events_sessionize(
         ray.data.read_parquet(events20), gap_minutes=30))
 
