@@ -567,14 +567,16 @@ def _q_events_hourly(sf_dir: str):
             "mx": grouped.column("value_max"),
         })
 
-    from ray.data.aggregate import Max, Min, Sum
-    agg = ds.map_batches(partials, batch_format="pyarrow") \
-        .groupby(["event_type", "hour"]) \
-        .aggregate(Sum("n"), Min("mn"), Max("mx"))
+    # partial-merge as keyed repartition + per-partition pandas agg —
+    # same exchange as Ray's HashAggregate without its lingering
+    # aggregator actors (BASELINE.md round-3 bench finding)
+    from readability_ray.state import (default_partitions,
+                                       ensure_hash_shuffle)
+    ensure_hash_shuffle(ds)
     import pyarrow as _pa
 
-    def rename(batch: _pa.Table) -> _pa.Table:
-        if batch.num_columns == 0:  # schema-less empty shuffle partition
+    def merge(batch) -> _pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
             return _pa.table({
                 "event_type": _pa.array([], _pa.string()),
                 "hour": _pa.array([], _pa.int64()),
@@ -582,15 +584,17 @@ def _q_events_hourly(sf_dir: str):
                 "min_value": _pa.array([], _pa.float64()),
                 "max_value": _pa.array([], _pa.float64()),
             })
-        return _pa.table({
-            "event_type": batch.column("event_type"),
-            "hour": batch.column("hour"),
-            "n": batch.column("sum(n)").cast(_pa.int64()),
-            "min_value": batch.column("min(mn)"),
-            "max_value": batch.column("max(mx)"),
-        })
+        g = batch.groupby(["event_type", "hour"], as_index=False,
+                          sort=False).agg(
+            n=("n", "sum"), min_value=("mn", "min"),
+            max_value=("mx", "max"))
+        from readability_ray.functions.util import arrow_out
+        return arrow_out(g)
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return ds.map_batches(partials, batch_format="pyarrow") \
+        .repartition(num_blocks=default_partitions(),
+                     keys=["event_type", "hour"]) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 # --------------------------------------------------------------------------
