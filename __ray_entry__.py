@@ -663,10 +663,13 @@ def oracle_sql() -> dict[str, str]:
     # min-of-each-16-window selection via a window min + range join.
     winnow_cte = """
         WITH cps AS (
+            -- length(text) > 0: string_split('','') is [''] while
+            -- generate_series(1,0) is empty, and DuckDB pads zipped
+            -- unnests with NULL -> a phantom row for empty docs
             SELECT doc_id,
                    unnest(generate_series(1, length(text))) AS i1,
                    unnest(string_split(text, '')) AS ch
-            FROM documents
+            FROM documents WHERE length(text) > 0
         ), cp AS (
             SELECT doc_id, (i1 - 1)::BIGINT AS i,
                    unicode(ch)::HUGEINT AS c

@@ -690,3 +690,32 @@ def test_events_rolling_counts(ray_session):
     assert list(clicks.rolling_n) == [2, 3, 6]
     views = df[df.event_type == "view"]
     assert list(views.n) == [1] and list(views.rolling_n) == [1]
+
+
+def test_winnow_sql_oracle_short_doc_path(ray_session):
+    """The DuckDB winnowing oracle agrees with the Ray operator on a
+    corpus INCLUDING docs shorter than k (the oracle's `short` CTE is
+    dead at the driver's scales — every sf doc is >= 47 chars — so pin
+    it here) and empty docs."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    import __ray_entry__ as entrymod
+    from readability_ray.functions import winnow_fingerprints
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["tiny", "", "exactly8",
+                 "a longer document whose hashes go through the "
+                 "full winnowing window selection path"],
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        entrymod.oracle_sql()["winnow_fingerprints"]
+    ).df().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    got = winnow_fingerprints(
+        ray.data.from_pandas(docs), k=8, window=16).to_pandas() \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.pos.tolist() == want.pos.tolist()
+    assert [int(x) for x in got.fp] == [int(x) for x in want.fp]
