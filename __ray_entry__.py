@@ -315,6 +315,47 @@ def _q_content_hashes(sf_dir: str):
     return content_hashes(_docs(sf_dir))
 
 
+def _q_normalize_text(sf_dir: str):
+    from readability_ray.functions import normalize_text
+    return normalize_text(_docs(sf_dir))
+
+
+def _q_hash_split(sf_dir: str):
+    from readability_ray.functions import hash_split
+    return hash_split(_docs(sf_dir), train_pct=80, val_pct=10)
+
+
+def _q_repetition_scores(sf_dir: str):
+    from readability_ray.functions import repetition_scores
+    return repetition_scores(_docs(sf_dir))
+
+
+def _q_source_cap(sf_dir: str):
+    from readability_ray.functions import source_cap
+    return source_cap(_docs(sf_dir), k=10)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark = every 23rd doc_id (deterministic subset of the same
+    table, so the oracle can rebuild the identical benchmark in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    from readability_ray.functions import decontaminate
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 23 == 0))
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(bench_rows, batch_format="pyarrow")
+    return decontaminate(docs, bench, ngram_n=5)
+
+
+def _q_pii_scan(sf_dir: str):
+    from readability_ray.functions import pii_scan
+    return pii_scan(_docs(sf_dir))
+
+
 def _q_exact_dedup(sf_dir: str):
     from readability_ray.functions import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -630,6 +671,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_lang_stats": _q_doc_lang_stats,
         "content_hashes": _q_content_hashes,
+        "normalize_text": _q_normalize_text,
+        "hash_split": _q_hash_split,
+        "repetition_scores": _q_repetition_scores,
+        "source_cap": _q_source_cap,
+        "decontaminate": _q_decontaminate,
+        "pii_scan": _q_pii_scan,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -833,6 +880,116 @@ def oracle_sql() -> dict[str, str]:
         """,
         "content_hashes": """
             SELECT doc_id, md5(text) AS text_hash FROM documents
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS norm_md5,
+                   length(trim(regexp_replace(lower(text), '\s+', ' ',
+                       'g')))::BIGINT AS norm_chars
+            FROM documents
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                    % 100)::BIGINT AS bucket,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::UBIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::UBIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "repetition_scores": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(ts) AS tok FROM t
+            ), tokc AS (
+                SELECT doc_id, max(c) AS top_tok FROM (
+                    SELECT doc_id, tok, count(*) AS c
+                    FROM tok GROUP BY doc_id, tok)
+                GROUP BY doc_id
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ts) - 1, 0)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS gram
+                FROM t
+            ), bgc AS (
+                SELECT doc_id, max(c) AS top_bi FROM (
+                    SELECT doc_id, gram, count(*) AS c
+                    FROM bg GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(t.ts)::BIGINT AS n_tokens,
+                   len(list_distinct(t.ts))::BIGINT AS n_distinct,
+                   floor(len(list_distinct(t.ts))::DOUBLE
+                         / greatest(len(t.ts), 1) * 1000000) / 1000000
+                       AS distinct_ratio,
+                   floor(coalesce(tokc.top_tok, 0)::DOUBLE
+                         / greatest(len(t.ts), 1) * 1000000) / 1000000
+                       AS top_token_frac,
+                   floor(coalesce(bgc.top_bi, 0)::DOUBLE
+                         / greatest(len(t.ts) - 1, 1) * 1000000) / 1000000
+                       AS top_bigram_frac
+            FROM t
+            LEFT JOIN tokc USING (doc_id)
+            LEFT JOIN bgc USING (doc_id)
+        """,
+        "source_cap": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) <= 10
+        """,
+        "decontaminate": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ts) - 4, 0)),
+                           i -> array_to_string(ts[i:i + 4], ' ')))
+                           AS gram
+                FROM t
+            ), bench AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0
+            ), c AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CASE WHEN b.gram IS NOT NULL THEN 1
+                                ELSE 0 END)::BIGINT AS n_contam
+                FROM g LEFT JOIN bench b USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(c.n_contam, 0)::BIGINT AS n_contam,
+                   floor(coalesce(c.n_contam, 0)::DOUBLE
+                         / greatest(coalesce(c.n_grams, 0), 1)
+                         * 1000000) / 1000000 AS contam_frac
+            FROM documents d LEFT JOIN c USING (doc_id)
+        """,
+        "pii_scan": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                       ))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+                   (CASE WHEN len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                      + len(regexp_extract_all(text,
+                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS has_pii
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -21,6 +21,10 @@ from .similarity import (
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import events_asof_join, events_rolling_counts
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
+from .corpus import (
+    decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
+    repetition_scores, source_cap,
+)
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -34,4 +38,6 @@ __all__ = [
     "extract_pdf_text", "make_pdf", "pdf_text",
     "fingerprint_overlap_pairs", "winnow_fingerprints",
     "events_asof_join", "events_rolling_counts",
+    "decontaminate", "hash_split", "normalize_text", "pii_redact",
+    "pii_scan", "repetition_scores", "source_cap",
 ]

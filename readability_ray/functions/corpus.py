@@ -1,0 +1,315 @@
+"""Corpus-curation operators over the ``documents`` table.
+
+The remaining classic stages of a pre-training data pipeline, each
+expressed Ray-Data-first and SQL-oracle-checked where expressible:
+
+- ``normalize_text``   canonical text form (lower + whitespace collapse)
+- ``hash_split``       deterministic train/val/test assignment
+- ``repetition_scores``  Gopher-style repetition quality signals
+- ``source_cap``       per-source document budget (domain capping)
+- ``decontaminate``    benchmark n-gram contamination scan
+- ``pii_scan``         PII pattern counts (emails / IPs / phone-like)
+
+Scale shapes: everything except ``source_cap`` is a stateless
+vectorized / batch-local map (no shuffle at any corpus size);
+``source_cap`` is ONE keyed hash shuffle + a per-partition pandas
+pass (the round-3 shape — no per-group pandas calls, no Dataset-level
+HashAggregate); ``decontaminate`` broadcasts the benchmark gram set
+once via ``ray.put`` (benchmark suites are small by nature — the only
+driver materialization is that small side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .util import arrow_out, strip_schema_metadata
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _floor6(x: np.ndarray) -> np.ndarray:
+    # keep Ray and DuckDB float results hash-identical
+    return np.floor(x * 1e6) / 1e6
+
+
+# --------------------------------------------------------------------------
+# normalize_text
+# --------------------------------------------------------------------------
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    # utf8proc lower (same library DuckDB uses), RE2 whitespace class
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
+        characters=" ")
+    md5 = [hashlib.md5(t.encode()).hexdigest()
+           for t in norm.to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "norm_md5": pa.array(md5, pa.string()),
+        "norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+    })
+
+
+def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical text normalization: lowercase, collapse whitespace
+    runs to single spaces, trim.  Emits the md5 of the normalized form
+    (the join key for normalized-form dedup) — stateless vectorized
+    map, no shuffle."""
+    return ds.map_batches(_normalize_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# hash_split
+# --------------------------------------------------------------------------
+
+def _hash_split_batch(batch: pa.Table, train_pct: int,
+                      val_pct: int) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    buckets = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+         for i in ids), dtype=np.int64, count=len(ids))
+    split = np.where(buckets < train_pct, "train",
+                     np.where(buckets < train_pct + val_pct,
+                              "val", "test"))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "bucket": pa.array(buckets, pa.int64()),
+        "split": pa.array(split.astype(object), pa.string()),
+    })
+
+
+def hash_split(ds: ray.data.Dataset, train_pct: int = 80,
+               val_pct: int = 10) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 of the decimal doc_id, first 8 hex digits mod 100).
+    Pure map — any worker computes the same split for the same row, so
+    the assignment is stable across runs, cluster sizes and
+    partitionings (the property that matters for resumable corpus
+    builds)."""
+    return ds.map_batches(_hash_split_batch, batch_format="pyarrow",
+                          fn_kwargs={"train_pct": train_pct,
+                                     "val_pct": val_pct})
+
+
+# --------------------------------------------------------------------------
+# repetition_scores (Gopher-style repetition signals)
+# --------------------------------------------------------------------------
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    from collections import Counter
+    n = len(batch)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_tok = np.zeros(n, dtype=np.int64)
+    top_bi = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    for row, text in enumerate(batch.column("text").to_pylist()):
+        toks = _TOKEN_RE.findall(text)
+        if not toks:
+            continue
+        counts = Counter(toks)
+        n_tokens[row] = len(toks)
+        n_distinct[row] = len(counts)
+        top_tok[row] = max(counts.values())
+        if len(toks) >= 2:
+            bi = Counter(zip(toks, toks[1:]))
+            n_bigrams[row] = len(toks) - 1
+            top_bi[row] = max(bi.values())
+    tok_denom = np.maximum(n_tokens, 1).astype(np.float64)
+    bi_denom = np.maximum(n_bigrams, 1).astype(np.float64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "distinct_ratio": pa.array(_floor6(n_distinct / tok_denom),
+                                   pa.float64()),
+        "top_token_frac": pa.array(_floor6(top_tok / tok_denom),
+                                   pa.float64()),
+        "top_bigram_frac": pa.array(_floor6(top_bi / bi_denom),
+                                    pa.float64()),
+    })
+
+
+def repetition_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Repetition quality signals in the Gopher / MassiveText style:
+    distinct-token ratio, most-frequent-token fraction, most-frequent-
+    bigram fraction.  Heavily repetitive machine-generated text scores
+    low distinct_ratio / high top fractions and gets gated before
+    training.  Batch-local counting (one Counter pass per row inside
+    a stateless map) — no shuffle at any corpus size."""
+    return ds.map_batches(_repetition_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# source_cap (domain / source budget)
+# --------------------------------------------------------------------------
+
+def source_cap(ds: ray.data.Dataset, k: int = 10,
+               n_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-source document budget: keep the first ``k`` docs per source
+    (by doc_id asc — deterministic).  The standard anti-domination
+    step (no single domain/source floods the corpus).
+
+    Shape: ONE hash shuffle co-locates each source
+    (``repartition(keys=["source"])``), then a single vectorized
+    per-partition pandas pass (sort + groupby.head) — no per-group
+    pandas calls, no Dataset-level HashAggregate (BASELINE.md round-3
+    lingering-actor finding).  Partitioning assumption: one source's
+    doc-id rows (ids only, text never moves) fit in one partition.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    def cap(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "source" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
+            return arrow_out(pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "source": pd.Series([], dtype="object")}))
+        kept = batch.sort_values(["source", "doc_id"]) \
+            .groupby("source", sort=False).head(k)
+        return arrow_out(kept[["doc_id", "source"]]
+                         .reset_index(drop=True))
+
+    return strip_schema_metadata(ds.select_columns(["doc_id", "source"])) \
+        .repartition(num_blocks=n_parts, keys=["source"]) \
+        .map_batches(cap, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# decontaminate (benchmark n-gram overlap)
+# --------------------------------------------------------------------------
+
+def _word_grams(text: str, n: int) -> list:
+    toks = _TOKEN_RE.findall(text)
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def benchmark_gram_set(bench: ray.data.Dataset, *, ngram_n: int = 5,
+                       text_col: str = "text") -> frozenset:
+    """Distinct word n-grams of a (small) benchmark dataset.
+
+    Per-batch distinct first, so the driver unions batch-deduped gram
+    lists, never raw gram streams.  Benchmark suites are the small
+    side by nature (a test set, not a corpus) — this is the one
+    intended driver materialization, feeding a single ``ray.put``
+    broadcast."""
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        grams: set = set()
+        for text in batch.column(text_col).to_pylist():
+            grams.update(_word_grams(text, ngram_n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    parts = bench.map_batches(distinct_grams,
+                              batch_format="pyarrow").take_all()
+    return frozenset(row["gram"] for row in parts)
+
+
+def decontaminate(ds: ray.data.Dataset, bench: ray.data.Dataset, *,
+                  ngram_n: int = 5,
+                  text_col: str = "text") -> ray.data.Dataset:
+    """Benchmark contamination scan: for each corpus document, the
+    fraction of its word n-grams that appear anywhere in the benchmark
+    set (the standard pre-training decontamination test — docs above a
+    threshold get dropped or flagged before training).
+
+    Shape: the benchmark gram set is built once and broadcast with
+    ``ray.put`` (read by every map task, never re-shipped per batch);
+    the corpus side is a stateless batch-local membership count — no
+    shuffle, corpus text never moves."""
+    gram_ref = ray.put(benchmark_gram_set(bench, ngram_n=ngram_n,
+                                          text_col=text_col))
+    _memo: dict = {}  # per-worker-process ray.get memo (one fetch each)
+
+    def scan(batch: pa.Table, *, grams_ref) -> pa.Table:
+        grams = _memo.get("g")
+        if grams is None:
+            grams = _memo["g"] = ray.get(grams_ref)
+        m = len(batch)
+        n_grams = np.zeros(m, dtype=np.int64)
+        n_contam = np.zeros(m, dtype=np.int64)
+        for row, text in enumerate(batch.column(text_col).to_pylist()):
+            doc_grams = _word_grams(text, ngram_n)
+            n_grams[row] = len(doc_grams)
+            n_contam[row] = sum(1 for g in doc_grams if g in grams)
+        frac = _floor6(n_contam /
+                       np.maximum(n_grams, 1).astype(np.float64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_contam": pa.array(n_contam, pa.int64()),
+            "contam_frac": pa.array(frac, pa.float64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow",
+                          fn_kwargs={"grams_ref": gram_ref})
+
+
+# --------------------------------------------------------------------------
+# pii_scan
+# --------------------------------------------------------------------------
+
+# RE2 patterns, byte-identical on both sides (pyarrow.compute and
+# DuckDB both run RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def _pii_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    n_emails = pc.count_substring_regex(text, EMAIL_RE).cast(pa.int64())
+    n_ipv4 = pc.count_substring_regex(text, IPV4_RE).cast(pa.int64())
+    n_phones = pc.count_substring_regex(text, PHONE_RE).cast(pa.int64())
+    total = pc.add(pc.add(n_emails, n_ipv4), n_phones)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_emails": n_emails,
+        "n_ipv4": n_ipv4,
+        "n_phones": n_phones,
+        "has_pii": pc.greater(total, 0).cast(pa.int64()),
+    })
+
+
+def pii_scan(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """PII pattern counts per document (emails, IPv4 literals,
+    NNN-NNN-NNNN phone-like runs) — the flag/redact gate of a corpus
+    pipeline.  Stateless vectorized RE2 map, no shuffle."""
+    return ds.map_batches(_pii_batch, batch_format="pyarrow")
+
+
+def pii_redact(ds: ray.data.Dataset,
+               replacement: str = "[PII]") -> ray.data.Dataset:
+    """Redacting variant: replaces every PII match with ``replacement``
+    and emits the redacted text plus the replacement count.  Same RE2
+    kernels, still a stateless vectorized map."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        before = pc.utf8_length(text).cast(pa.int64())
+        out = text
+        n_hits = None
+        for pat in (EMAIL_RE, IPV4_RE, PHONE_RE):
+            hits = pc.count_substring_regex(out, pat).cast(pa.int64())
+            n_hits = hits if n_hits is None else pc.add(n_hits, hits)
+            out = pc.replace_substring_regex(out, pat, replacement)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": out,
+            "n_redactions": n_hits,
+            "n_chars_before": before,
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow")
