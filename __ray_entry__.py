@@ -394,6 +394,20 @@ def _q_ngram_jaccard(sf_dir: str):
                                jaccard_threshold=0.5)
 
 
+def _q_jaccard_keepers(sf_dir: str):
+    """The full exact near-dup drop composition, value-checkable end to
+    end: EXACT n-gram Jaccard pairs → connected components → keeper
+    per doc.  The oracle re-derives the components with a recursive-CTE
+    transitive closure, so the distributed min-label propagation in
+    near_dup_keepers gets a value-level SQL check (the minhash/simhash
+    keeper paths share the same operator but sampling-based pair inputs
+    keep them rows-only)."""
+    from readability_ray.functions import near_dup_keepers, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), shingle_k=3,
+                                jaccard_threshold=0.5)
+    return near_dup_keepers(pairs, n_iter=8)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowed rolling-hash document fingerprints (Schleimer et al.
     2003) — (doc_id, pos, fp) rows, value-level SQL oracle (the hash
@@ -682,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "minhash_dedup_keepers": _q_minhash_keepers,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "jaccard_dedup_keepers": _q_jaccard_keepers,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "fingerprint_overlap_pairs": _q_fingerprint_overlap,
         "simhash_signatures": _q_simhash,
@@ -996,6 +1011,48 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS keeper_doc_id,
                    count(*)::BIGINT AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_dedup_keepers": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t, ' ') AS gram
+                FROM toks WHERE len(t) > 0 AND len(t) < 3
+                UNION
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 2)) AS i
+                      FROM toks WHERE len(t) >= 3)
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::DOUBLE AS c
+                FROM grams a
+                JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE floor(i.c / (ca.n + cb.n - i.c) * 1000000)
+                      / 1000000 >= 0.5
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ), reach AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a::BIGINT AS doc_id,
+                   least(a, min(b))::BIGINT AS keeper_doc_id
+            FROM reach GROUP BY a
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -98,7 +98,8 @@ def _run_benchmarks() -> None:
                      "doc_lang_stats", "events_hourly",
                      "events_rolling_counts", "events_asof_join",
                      "token_frequency_top50", "events_sessionize",
-                     "corpus_clean",
+                     "corpus_clean", "repetition_scores", "source_cap",
+                     "decontaminate",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
