@@ -356,6 +356,16 @@ def _q_pii_scan(sf_dir: str):
     return pii_scan(_docs(sf_dir))
 
 
+def _q_token_postings(sf_dir: str):
+    from readability_ray.functions import token_postings
+    return token_postings(_docs(sf_dir))
+
+
+def _q_doc_length_percentiles(sf_dir: str):
+    from readability_ray.functions import doc_length_percentiles
+    return doc_length_percentiles(_docs(sf_dir))
+
+
 def _q_exact_dedup(sf_dir: str):
     from readability_ray.functions import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -691,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "decontaminate": _q_decontaminate,
         "pii_scan": _q_pii_scan,
+        "token_postings": _q_token_postings,
+        "doc_length_percentiles": _q_doc_length_percentiles,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -986,6 +998,30 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(c.n_grams, 0), 1)
                          * 1000000) / 1000000 AS contam_frac
             FROM documents d LEFT JOIN c USING (doc_id)
+        """,
+        "token_postings": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                       AS token
+                FROM documents
+            ), td AS (
+                SELECT DISTINCT doc_id, token FROM tok
+            )
+            SELECT token, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ','
+                              ORDER BY doc_id) AS postings
+            FROM td GROUP BY token
+        """,
+        "doc_length_percentiles": """
+            WITH s AS (
+                SELECT quantile_disc(length(text),
+                       [0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+                FROM documents
+            )
+            SELECT floor(([0.25, 0.5, 0.75, 0.9, 0.99])[i] * 1000000)
+                   / 1000000 AS q,
+                   v[i]::BIGINT AS n_chars
+            FROM s, (SELECT unnest(generate_series(1, 5)) AS i) t
         """,
         "pii_scan": r"""
             SELECT doc_id,

@@ -8,8 +8,9 @@ SQL oracle exists.
 """
 
 from .textstats import (
-    corpus_clean, doc_lang_stats, events_sessionize, lang_id,
-    quality_filter, quality_scores, token_frequency_topk, token_stats,
+    corpus_clean, doc_lang_stats, doc_length_percentiles,
+    events_sessionize, lang_id, quality_filter, quality_scores,
+    token_frequency_topk, token_postings, token_stats,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
@@ -40,4 +41,5 @@ __all__ = [
     "events_asof_join", "events_rolling_counts",
     "decontaminate", "hash_split", "normalize_text", "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
+    "doc_length_percentiles", "token_postings",
 ]

@@ -214,6 +214,120 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
     return merged
 
 
+def token_postings(ds: ray.data.Dataset,
+                   n_partitions: int | None = None) -> ray.data.Dataset:
+    """Inverted index build: token → document frequency + sorted
+    posting list (the structure contamination checks and corpus search
+    are served from).
+
+    Scale shape: (token, doc_id) pairs are DEDUPED WITHIN each batch
+    before the exchange, so the keyed shuffle moves per-batch distinct
+    pairs, never the raw token stream; the per-partition pandas pass
+    dedupes across batches and folds each token's postings into one
+    row.  Postings are emitted as a comma-joined sorted id string
+    (deterministic, hashable by the oracle).  Partitioning assumption:
+    one token's postings fit in one partition — cap-df or shard hot
+    tokens (stopwords) upstream for adversarial vocabularies.
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    import re as _re
+    token_re = _re.compile(r"\S+")
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        ids: list = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for tok in set(token_re.findall(text)):
+                toks.append(tok)
+                ids.append(doc_id)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def fold(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "token" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
+            return arrow_out(pd.DataFrame(
+                {"token": pd.Series([], dtype="object"),
+                 "df": pd.Series([], dtype="int64"),
+                 "postings": pd.Series([], dtype="object")}))
+        dd = batch.drop_duplicates(["token", "doc_id"]) \
+            .sort_values(["token", "doc_id"])
+        g = dd.groupby("token", sort=False)["doc_id"]
+        out = pd.DataFrame({
+            "token": g.count().index,
+            "df": g.count().to_numpy().astype("int64"),
+            "postings": g.apply(
+                lambda s: ",".join(str(i) for i in s)).to_numpy(),
+        })
+        return arrow_out(out)
+
+    return ds.map_batches(pair_rows, batch_format="pyarrow") \
+        .repartition(num_blocks=n_parts, keys=["token"]) \
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+def doc_length_percentiles(ds: ray.data.Dataset,
+                           quantiles: tuple = (0.25, 0.5, 0.75,
+                                               0.9, 0.99)
+                           ) -> ray.data.Dataset:
+    """Exact corpus percentiles of document length WITHOUT a global
+    sort: per-batch value-count partials (one row per distinct length
+    per batch) merge into a value histogram, and the quantiles read
+    off the cumulative counts.  The exchange moves O(distinct_lengths
+    × batches) partial rows — at any corpus size, never O(rows) — the
+    histogram shape a 100 TB percentile job must have (a sort-based
+    percentile is an all-to-all over the full table).
+
+    Discrete (lower, nearest-rank) semantics: the q-quantile is the
+    smallest length whose cumulative count reaches ceil(q × n) — same
+    element DuckDB's ``quantile_disc`` picks.  Output: (q, n_chars).
+    """
+    import pandas as pd
+
+    from .util import arrow_out
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        vc = pa.table({"n_chars": lengths}).group_by("n_chars") \
+            .aggregate([("n_chars", "count")])
+        return pa.table({
+            "n_chars": vc.column("n_chars"),
+            "cnt": vc.column("n_chars_count").cast(pa.int64()),
+        })
+
+    def quantile_pass(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return arrow_out(pd.DataFrame(
+                {"q": pd.Series([], dtype="float64"),
+                 "n_chars": pd.Series([], dtype="int64")}))
+        hist = batch.groupby("n_chars", sort=True)["cnt"].sum()
+        values = hist.index.to_numpy()
+        cum = hist.to_numpy().cumsum()
+        n = int(cum[-1])
+        qs, out = [], []
+        for q in quantiles:
+            rank = max(1, int(np.ceil(q * n)))
+            out.append(int(values[np.searchsorted(cum, rank)]))
+            qs.append(np.floor(q * 1e6) / 1e6)
+        return arrow_out(pd.DataFrame(
+            {"q": pd.Series(qs, dtype="float64"),
+             "n_chars": pd.Series(out, dtype="int64")}))
+
+    # histogram partials are tiny (distinct lengths × batches) — one
+    # merge block computes every quantile in a single vectorized pass
+    return ds.map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(quantile_pass, batch_format="pandas",
+                     batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -122,6 +122,37 @@ def test_pii_scan_and_redact(ray_session):
     assert red.loc[3, "text"] == "nothing sensitive here"
 
 
+def test_token_postings(ray_session):
+    import ray.data
+    from readability_ray.functions import token_postings
+    ds = ray.data.from_items([
+        {"doc_id": 3, "text": "b a b"},
+        {"doc_id": 1, "text": "a c"},
+        {"doc_id": 2, "text": "a"},
+    ])
+    df = token_postings(ds).to_pandas().set_index("token")
+    assert df.loc["a", "df"] == 3 and df.loc["a", "postings"] == "1,2,3"
+    assert df.loc["b", "df"] == 1 and df.loc["b", "postings"] == "3"
+    assert df.loc["c", "postings"] == "1"
+
+
+def test_doc_length_percentiles(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from readability_ray.functions import doc_length_percentiles
+    rows = [{"doc_id": i, "text": "x" * (i * 7 % 101)} for i in range(200)]
+    df = doc_length_percentiles(ray.data.from_items(rows)).to_pandas() \
+        .sort_values("q").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows))
+    want = con.execute("""
+        SELECT quantile_disc(length(text), [0.25,0.5,0.75,0.9,0.99]) AS v
+        FROM docs""").fetchone()[0]
+    assert list(df.n_chars) == [int(v) for v in want]
+    assert list(df.q) == [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
 def test_pii_matches_duckdb_regex_semantics(ray_session):
     """RE2 parity: counts must equal DuckDB's regexp_extract_all on the
     same patterns (the oracle contract for the pii_scan query)."""
