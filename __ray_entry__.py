@@ -356,6 +356,34 @@ def _q_pii_scan(sf_dir: str):
     return pii_scan(_docs(sf_dir))
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape over lineitem — exact fixed-point money sums."""
+    import ray.data
+    from readability_ray.functions import pricing_summary
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    return pricing_summary(li)
+
+
+def _q_segment_top_orders(sf_dir: str):
+    """TPC-H Q3 shape: two hash joins + keyed rollup + global top-10."""
+    import ray.data
+    from readability_ray.functions import segment_top_orders
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    return segment_top_orders(cust, ords, li, segment="BUILDING", n=10)
+
+
 def _q_token_postings(sf_dir: str):
     from readability_ray.functions import token_postings
     return token_postings(_docs(sf_dir))
@@ -703,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii_scan,
         "token_postings": _q_token_postings,
         "doc_length_percentiles": _q_doc_length_percentiles,
+        "pricing_summary": _q_pricing_summary,
+        "segment_top_orders": _q_segment_top_orders,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -998,6 +1028,40 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(c.n_grams, 0), 1)
                          * 1000000) / 1000000 AS contam_frac
             FROM documents d LEFT JOIN c USING (doc_id)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS sum_base_price_cents,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT))
+                       ::BIGINT AS sum_disc_price_c4,
+                   count(*)::BIGINT AS count_order,
+                   floor(sum(l_quantity::BIGINT)::DOUBLE / count(*)
+                         * 1000000) / 1000000 AS avg_qty,
+                   floor(sum(round(l_extendedprice * 100)::BIGINT)
+                         ::DOUBLE / count(*) * 1000000) / 1000000
+                       AS avg_price_cents
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_top_orders": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   sum(round(l.l_extendedprice * 100)::BIGINT
+                       * (100 - round(l.l_discount * 100)::BIGINT))
+                       ::BIGINT AS revenue_c4,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+              AND l.l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_c4 DESC, o_orderkey ASC
+            LIMIT 10
         """,
         "token_postings": r"""
             WITH tok AS (

@@ -26,6 +26,7 @@ from .corpus import (
     decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
     repetition_scores, source_cap,
 )
+from .relational import pricing_summary, segment_top_orders
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -42,4 +43,5 @@ __all__ = [
     "decontaminate", "hash_split", "normalize_text", "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
     "doc_length_percentiles", "token_postings",
+    "pricing_summary", "segment_top_orders",
 ]

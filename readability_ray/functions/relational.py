@@ -1,0 +1,204 @@
+"""Relational analytics over the TPC-H-style tables.
+
+The engine's general-purpose analytics shapes, demonstrated on the
+driver's ``lineitem`` / ``orders`` / ``customer`` tables with exact SQL
+oracles:
+
+- ``pricing_summary``  (TPC-H Q1 shape): filter → tiny-key aggregate.
+- ``segment_top_orders`` (TPC-H Q3 shape): two hash joins → keyed
+  aggregate → global top-N.
+
+Money math is FIXED-POINT INTEGER (cents / basis-point products), not
+float: distributed partial sums re-associate additions, and float
+addition is not associative — integer cents make every sum exact and
+order-independent, so the Ray and DuckDB numbers are hash-identical
+with no floor-6 smoothing on the aggregates themselves.
+
+Scale shapes: Q1's partial aggregation happens INSIDE map_batches
+(≤ |returnflag|×|linestatus| rows per batch leave the map); the merge
+is a single tiny block — no hash shuffle, no Dataset-level
+HashAggregate (whose lingering aggregator actors starve later shuffle
+queries in the same session — BASELINE.md round-3 finding).  Q3 keeps
+ids+cents on the exchanges: both joins are hash joins on integer keys,
+and the revenue rollup is the keyed-repartition + per-partition pandas
+shape with a two-level top-N (partition-local head, single-block
+merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .util import arrow_out, strip_schema_metadata
+
+Q1_CUTOFF = np.datetime64("2000-09-02", "us")
+Q3_CUTOFF = np.datetime64("1998-03-15", "us")
+
+
+def _cents(col: pd.Series) -> np.ndarray:
+    # 2-decimal money → exact integer cents (np.rint: values are within
+    # 1e-6 of integral after ×100, so ties-to-even never fires)
+    return np.rint(col.to_numpy() * 100).astype(np.int64)
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1 shape: shipped-before filter, per-flag/status pricing
+    rollup.  sum_qty / counts are int64; money sums are integer cents
+    (``sum_base_price_cents``) and cent×(100−disc) fixed point
+    (``sum_disc_price_c4``, 10^-4 dollar units); averages are floor-6
+    doubles derived from the exact integer sums."""
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        m = batch["l_shipdate"].to_numpy(dtype="datetime64[us]") <= Q1_CUTOFF
+        b = batch[m]
+        if len(b) == 0:
+            return arrow_out(pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "l_linestatus": pd.Series([], dtype="object"),
+                "sum_qty": pd.Series([], dtype="int64"),
+                "sum_base_price_cents": pd.Series([], dtype="int64"),
+                "sum_disc_price_c4": pd.Series([], dtype="int64"),
+                "count_order": pd.Series([], dtype="int64"),
+            }))
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        frame = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "l_linestatus": b["l_linestatus"].to_numpy(),
+            "sum_qty": b["l_quantity"].to_numpy().astype(np.int64),
+            "sum_base_price_cents": price_c,
+            "sum_disc_price_c4": price_c * (100 - disc_bp),
+            "count_order": np.ones(len(b), dtype=np.int64),
+        })
+        return arrow_out(frame.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False,
+            sort=False).sum())
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return arrow_out(pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "l_linestatus": pd.Series([], dtype="object"),
+                "sum_qty": pd.Series([], dtype="int64"),
+                "sum_base_price_cents": pd.Series([], dtype="int64"),
+                "sum_disc_price_c4": pd.Series([], dtype="int64"),
+                "count_order": pd.Series([], dtype="int64"),
+                "avg_qty": pd.Series([], dtype="float64"),
+                "avg_price_cents": pd.Series([], dtype="float64"),
+            }))
+        g = batch.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False, sort=True).sum()
+        cnt = g["count_order"].to_numpy().astype(np.float64)
+        g["avg_qty"] = np.floor(
+            g["sum_qty"].to_numpy() / cnt * 1e6) / 1e6
+        g["avg_price_cents"] = np.floor(
+            g["sum_base_price_cents"].to_numpy() / cnt * 1e6) / 1e6
+        return arrow_out(g)
+
+    # partials are ≤ groups-per-batch rows — one merge block suffices;
+    # no hash shuffle at any scale
+    return lineitem.map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def segment_top_orders(customer: ray.data.Dataset,
+                       orders: ray.data.Dataset,
+                       lineitem: ray.data.Dataset, *,
+                       segment: str = "BUILDING", n: int = 10,
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """TPC-H Q3 shape: unshipped-revenue top-N for one market segment.
+    customer(segment) ⋈ orders(before cutoff) ⋈ lineitem(after cutoff),
+    revenue summed per order in exact c4 fixed point, global top-N by
+    (revenue desc, orderkey asc).
+
+    Both joins move ids+cents only (columns pruned before the
+    exchange); the rollup is keyed-repartition + per-partition pandas;
+    top-N is two-level (partition-local head, then one tiny merge
+    block)."""
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(customer)
+    k = n_partitions or default_partitions()
+
+    cust = strip_schema_metadata(
+        customer.filter(expr=f"c_mktsegment == '{segment}'")
+        .select_columns(["c_custkey"]))
+
+    def ord_filter(batch: pd.DataFrame) -> pa.Table:
+        m = batch["o_orderdate"].to_numpy(
+            dtype="datetime64[us]") < Q3_CUTOFF
+        return arrow_out(batch[m].reset_index(drop=True))
+
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey",
+                               "o_orderdate"])) \
+        .map_batches(ord_filter, batch_format="pandas")
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        m = batch["l_shipdate"].to_numpy(dtype="datetime64[us]") > Q3_CUTOFF
+        b = batch[m]
+        if len(b) == 0:
+            return arrow_out(pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64")}))
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        frame = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "revenue_c4": price_c * (100 - disc_bp),
+        })
+        # pre-aggregate per order inside the batch before any exchange
+        return arrow_out(frame.groupby("l_orderkey",
+                                       as_index=False, sort=False).sum())
+
+    line = strip_schema_metadata(lineitem).map_batches(
+        line_partials, batch_format="pandas")
+
+    seg_orders = ords.join(cust, "inner", num_partitions=k,
+                           on=("o_custkey",), right_on=("c_custkey",)) \
+        .repartition(max(2, k // 8))  # scrub schema-less empties pre-join
+    joined = line.join(seg_orders, "inner", num_partitions=k,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rollup(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "l_orderkey" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([],
+                                         dtype="datetime64[us]")}))
+        g = batch.groupby(["l_orderkey", "o_orderdate"],
+                          as_index=False, sort=False)["revenue_c4"] \
+            .sum()
+        g = g.rename(columns={"l_orderkey": "o_orderkey"})
+        top = g.sort_values(["revenue_c4", "o_orderkey"],
+                            ascending=[False, True]).head(n)
+        return arrow_out(top[["o_orderkey", "revenue_c4",
+                              "o_orderdate"]].reset_index(drop=True))
+
+    def topn_merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_orderkey" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([],
+                                         dtype="datetime64[us]")}))
+        # per-order sums are already final (the join co-located each
+        # order); the merge only re-heads the partition candidates
+        top = batch.sort_values(["revenue_c4", "o_orderkey"],
+                                ascending=[False, True]).head(n)
+        return arrow_out(top.reset_index(drop=True))
+
+    # joined is already partitioned by l_orderkey (join key), so each
+    # order's rows are co-located: per-partition rollup is exact and a
+    # partition-local head(n) is a valid candidate set for the merge
+    local = joined.map_batches(rollup, batch_format="pandas",
+                               batch_size=None)
+    return local.repartition(1).map_batches(topn_merge,
+                                            batch_format="pandas",
+                                            batch_size=None)

@@ -1,0 +1,90 @@
+"""Unit tests for readability_ray.functions.relational (TPC-H shapes)."""
+
+import numpy as np
+import pandas as pd
+
+
+def _ds(ray, df):
+    import pyarrow as pa
+    import ray.data
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_pricing_summary_exact_fixed_point(ray_session):
+    import ray
+    from readability_ray.functions import pricing_summary
+    li = pd.DataFrame({
+        "l_returnflag": ["A", "A", "N", "N", "A"],
+        "l_linestatus": ["F", "F", "O", "O", "F"],
+        "l_quantity": [10.0, 20.0, 5.0, 1.0, 3.0],
+        "l_extendedprice": [100.10, 200.20, 50.05, 10.01, 999.99],
+        "l_discount": [0.05, 0.10, 0.0, 0.07, 0.01],
+        "l_shipdate": pd.to_datetime(
+            ["1999-01-01", "1999-06-01", "1999-01-01", "1999-01-01",
+             "2001-01-01"]),  # last row excluded by the cutoff
+    })
+    df = pricing_summary(_ds(ray, li)).to_pandas() \
+        .set_index(["l_returnflag", "l_linestatus"])
+    assert df.loc[("A", "F"), "sum_qty"] == 30
+    assert df.loc[("A", "F"), "sum_base_price_cents"] == 10010 + 20020
+    assert df.loc[("A", "F"), "sum_disc_price_c4"] == \
+        10010 * 95 + 20020 * 90
+    assert df.loc[("A", "F"), "count_order"] == 2
+    assert df.loc[("A", "F"), "avg_qty"] == 15.0
+    assert df.loc[("N", "O"), "sum_qty"] == 6
+    assert len(df) == 2  # the 2001 row fell to the filter
+
+
+def test_segment_top_orders(ray_session):
+    import ray
+    from readability_ray.functions import segment_top_orders
+    cust = pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE", "BUILDING"],
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 2, 3, 1],
+        "o_orderdate": pd.to_datetime(
+            ["1997-01-01", "1997-01-01", "1997-06-01", "1998-06-01"]),
+    })  # order 11: wrong segment; order 13: after cutoff
+    li = pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 12, 12, 13],
+        "l_extendedprice": [100.0, 50.0, 999.0, 200.0, 1.0, 5.0],
+        "l_discount": [0.0, 0.10, 0.0, 0.05, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(
+            ["1998-06-01", "1998-06-02", "1998-06-01", "1998-06-01",
+             "1997-01-01", "1998-06-01"]),  # 12's second line too early
+    })
+    df = segment_top_orders(_ds(ray, cust), _ds(ray, orders),
+                            _ds(ray, li), n=10).to_pandas()
+    got = dict(zip(df.o_orderkey, df.revenue_c4))
+    assert got == {10: 10000 * 100 + 5000 * 90, 12: 20000 * 95}
+    # ordered by revenue desc
+    assert list(df.o_orderkey) == [12, 10] if got[12] > got[10] \
+        else [10, 12]
+    assert list(df.revenue_c4) == sorted(df.revenue_c4, reverse=True)
+
+
+def test_segment_top_orders_tiebreak(ray_session):
+    """Equal revenues order by orderkey asc — the determinism the
+    oracle comparison relies on."""
+    import ray
+    from readability_ray.functions import segment_top_orders
+    cust = pd.DataFrame({"c_custkey": [1],
+                         "c_mktsegment": ["BUILDING"]})
+    orders = pd.DataFrame({
+        "o_orderkey": [22, 21, 23],
+        "o_custkey": [1, 1, 1],
+        "o_orderdate": pd.to_datetime(["1997-01-01"] * 3),
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [22, 21, 23],
+        "l_extendedprice": [100.0, 100.0, 100.0],
+        "l_discount": [0.0, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(["1998-06-01"] * 3),
+    })
+    df = segment_top_orders(_ds(ray, cust), _ds(ray, orders),
+                            _ds(ray, li), n=2).to_pandas()
+    assert list(df.o_orderkey) == [21, 22]
