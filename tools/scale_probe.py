@@ -14,7 +14,17 @@ parquet with fresh ids (deterministic), then times:
   - fingerprint_overlap_pairs             (50k docs, 10x)
   - exact_dedup / token_frequency_topk    (50k docs, 10x)
 
-Usage: python tools/scale_probe.py [num_cpus]
+Round-3 additions (run alone with --new-only):
+  - token_postings          (50k docs — ADVERSARIAL: ~40-token vocab
+    over 50k docs makes every token a hot key; evidences the
+    documented partitioning assumption, postings ~50k ids/token)
+  - source_cap              (50k docs, 20 sources x 2.5k docs)
+  - decontaminate           (50k docs vs a 2.2k-doc benchmark set)
+  - pricing_summary         (6M-row lineitem, map-side partials)
+  - segment_top_orders      (6M lineitem ⋈ 150k orders ⋈ 15k
+    customers, consistent key strides across the replicated trio)
+
+Usage: python tools/scale_probe.py [num_cpus] [--new-only]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -57,8 +67,30 @@ def replicate(src: str, dst: str, times: int, id_col: str | None,
     return out.num_rows
 
 
+def replicate_stride(src: str, dst: str, times: int,
+                     strides: dict) -> int:
+    """Replicate with per-column id strides so FOREIGN KEYS stay
+    consistent across the copies of a multi-table schema (copy i of
+    every table shifts a shared key by i x the same stride)."""
+    table = pq.read_table(src)
+    parts = []
+    for i in range(times):
+        part = table
+        for col, stride in strides.items():
+            idx = part.schema.get_field_index(col)
+            part = part.set_column(
+                idx, col, pa.compute.add(
+                    part.column(col).cast(pa.int64()), i * stride))
+        parts.append(part)
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dst)
+    return out.num_rows
+
+
 def main() -> None:
-    num_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    new_only = "--new-only" in sys.argv
+    num_cpus = int(args[0]) if args else 32
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
@@ -95,6 +127,57 @@ def main() -> None:
             n_rows += batch.num_rows
         results[name] = {"sec": round(time.time() - t0, 1),
                          "rows": n_rows}
+
+    if new_only:
+        from readability_ray.functions import (
+            decontaminate, pricing_summary, segment_top_orders,
+            source_cap, token_postings)
+
+        timed("token_postings_50k", lambda: token_postings(
+            ray.data.read_parquet(docs10)))
+        timed("source_cap_50k", lambda: source_cap(
+            ray.data.read_parquet(docs10), k=100))
+
+        def decontam():
+            import numpy as np
+            docs = ray.data.read_parquet(docs10)
+
+            def bench_rows(batch):
+                ids = batch.column("doc_id") \
+                    .to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 23 == 0))
+
+            bench = docs.map_batches(bench_rows,
+                                     batch_format="pyarrow")
+            return decontaminate(docs, bench, ngram_n=5)
+
+        timed("decontaminate_50k", decontam)
+
+        li10 = os.path.join(tmp, "lineitem10.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li10, 10,
+            {"l_orderkey": 10_000_000})
+        ord10 = os.path.join(tmp, "orders10.parquet")
+        replicate_stride(
+            os.path.join(sf, "orders.parquet"), ord10, 10,
+            {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+        cust10 = os.path.join(tmp, "customer10.parquet")
+        replicate_stride(
+            os.path.join(sf, "customer.parquet"), cust10, 10,
+            {"c_custkey": 1_000_000})
+        timed("pricing_summary_6m", lambda: pricing_summary(
+            ray.data.read_parquet(li10)))
+        timed("segment_top_orders_6m", lambda: segment_top_orders(
+            ray.data.read_parquet(cust10),
+            ray.data.read_parquet(ord10),
+            ray.data.read_parquet(li10)))
+        results["n_lineitem"] = n_li
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
 
     timed("minhash_estimate_50k", lambda: minhash_lsh_pairs(
         ray.data.read_parquet(docs10), jaccard_threshold=0.4,
