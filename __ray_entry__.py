@@ -384,6 +384,29 @@ def _q_segment_top_orders(sf_dir: str):
     return segment_top_orders(cust, ords, li, segment="BUILDING", n=10)
 
 
+def _q_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: broadcast dimensions + two fact-side joins."""
+    import ray.data
+    from readability_ray.functions import region_nation_revenue
+
+    def rd(name, cols=None):
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=cols)
+
+    return region_nation_revenue(
+        rd("customer", ["c_custkey", "c_nationkey"]),
+        rd("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        rd("supplier", ["s_suppkey", "s_nationkey"]),
+        rd("nation"), rd("region"), region_name="ASIA")
+
+
+def _q_stratified_sample(sf_dir: str):
+    from readability_ray.functions import stratified_sample
+    return stratified_sample(_docs(sf_dir), group_col="lang", k=40)
+
+
 def _q_token_postings(sf_dir: str):
     from readability_ray.functions import token_postings
     return token_postings(_docs(sf_dir))
@@ -733,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": _q_doc_length_percentiles,
         "pricing_summary": _q_pricing_summary,
         "segment_top_orders": _q_segment_top_orders,
+        "region_nation_revenue": _q_region_revenue,
+        "stratified_sample": _q_stratified_sample,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -1046,6 +1071,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_nation_revenue": """
+            SELECT n.n_name,
+                   sum(round(l.l_extendedprice * 100)::BIGINT
+                       * (100 - round(l.l_discount * 100)::BIGINT))
+                       ::BIGINT AS revenue_c4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
         """,
         "segment_top_orders": """
             SELECT l.l_orderkey AS o_orderkey,

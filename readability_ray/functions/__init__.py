@@ -24,9 +24,11 @@ from .windows import events_asof_join, events_rolling_counts
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
     decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
-    repetition_scores, source_cap,
+    repetition_scores, source_cap, stratified_sample,
 )
-from .relational import pricing_summary, segment_top_orders
+from .relational import (
+    pricing_summary, region_nation_revenue, segment_top_orders,
+)
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -43,5 +45,6 @@ __all__ = [
     "decontaminate", "hash_split", "normalize_text", "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
     "doc_length_percentiles", "token_postings",
-    "pricing_summary", "segment_top_orders",
+    "pricing_summary", "segment_top_orders", "region_nation_revenue",
+    "stratified_sample",
 ]

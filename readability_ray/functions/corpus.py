@@ -187,6 +187,41 @@ def source_cap(ds: ray.data.Dataset, k: int = 10,
         .map_batches(cap, batch_format="pandas", batch_size=None)
 
 
+def stratified_sample(ds: ray.data.Dataset, *, group_col: str = "lang",
+                      k: int = 50, id_col: str = "doc_id",
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Balanced deterministic sampling: exactly min(k, |group|) docs
+    per stratum, chosen by md5-of-id order — a content-independent
+    pseudo-random draw that is REPRODUCIBLE across runs, cluster sizes
+    and partitionings (the corpus-rebalancing step: equal-size
+    language / source slices for training mixes).
+
+    Shape: ids+group only cross the exchange; ONE hash shuffle
+    co-locates each stratum, then a per-partition vectorized pass
+    sorts by (group, md5(id), id) and keeps each group's head-k."""
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    def sample(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or group_col not in batch.columns:
+            return arrow_out(pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 group_col: pd.Series([], dtype="object")}))
+        rank = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch[id_col]]
+        kept = batch.assign(_rank=rank) \
+            .sort_values([group_col, "_rank", id_col]) \
+            .groupby(group_col, sort=False).head(k)
+        return arrow_out(kept[[id_col, group_col]]
+                         .reset_index(drop=True))
+
+    return strip_schema_metadata(ds.select_columns([id_col, group_col])) \
+        .repartition(num_blocks=n_parts, keys=[group_col]) \
+        .map_batches(sample, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # decontaminate (benchmark n-gram overlap)
 # --------------------------------------------------------------------------

@@ -105,6 +105,133 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
         .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def region_nation_revenue(customer: ray.data.Dataset,
+                          orders: ray.data.Dataset,
+                          lineitem: ray.data.Dataset,
+                          supplier: ray.data.Dataset,
+                          nation: ray.data.Dataset,
+                          region: ray.data.Dataset, *,
+                          region_name: str = "ASIA",
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01",
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share a nation inside one region, over an order-date window — the
+    star-schema pattern where the DIMENSION tables are broadcast, not
+    shuffled.
+
+    nation ⋈ region (25 × 5 rows) and the region's supplier→nation map
+    (~|suppliers|/|regions| entries) are collected once on the driver
+    and shipped via ``ray.put`` — read by every map task from the
+    local object store, never re-shipped per batch and never part of
+    an exchange.  Only the two FACT-side joins (orders ⋈ customer on
+    custkey, lineitem ⋈ that on orderkey) move data, ids+cents only.
+    The final rollup is ≤|nations| partial rows per batch merged in
+    one tiny block."""
+    import ray as _ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(customer)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    # dimension broadcast: driver materializes only dim-table rows
+    region_keys = {r["r_regionkey"] for r in region.take_all()
+                   if r["r_name"] == region_name}
+    nr = {row["n_nationkey"]: row["n_name"]
+          for row in nation.take_all()
+          if row["n_regionkey"] in region_keys}
+    supp_nation = {row["s_suppkey"]: row["s_nationkey"]
+                   for row in supplier.take_all()
+                   if row["s_nationkey"] in nr}
+    dims_ref = _ray.put((nr, supp_nation))
+    _memo: dict = {}
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        dims = _memo.get("d")
+        if dims is None:
+            dims = _memo["d"] = _ray.get(dims_ref)
+        _, s_map = dims
+        sk = batch["l_suppkey"].to_numpy()
+        s_nk = np.array([s_map.get(int(s), -1) for s in sk],
+                        dtype=np.int64)
+        m = s_nk >= 0
+        b = batch[m]
+        if len(b) == 0:
+            return arrow_out(pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "s_nationkey": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64")}))
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        frame = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "s_nationkey": s_nk[m],
+            "revenue_c4": price_c * (100 - disc_bp),
+        })
+        return arrow_out(frame.groupby(
+            ["l_orderkey", "s_nationkey"], as_index=False,
+            sort=False).sum())
+
+    def ord_window(batch: pd.DataFrame) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        return arrow_out(batch[(d >= lo) & (d < hi)]
+                         [["o_orderkey", "o_custkey"]]
+                         .reset_index(drop=True))
+
+    cust = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_nationkey"]))
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey",
+                               "o_orderdate"])) \
+        .map_batches(ord_window, batch_format="pandas")
+    line = strip_schema_metadata(lineitem).map_batches(
+        line_partials, batch_format="pandas")
+
+    ord_cust = ords.join(cust, "inner", num_partitions=k,
+                         on=("o_custkey",), right_on=("c_custkey",)) \
+        .repartition(max(2, k // 8))  # scrub schema-less empties
+    joined = line.join(ord_cust, "inner", num_partitions=k,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def nation_partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "n_name": pd.Series([], dtype="object"),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "s_nationkey" not in batch.columns:
+            return arrow_out(empty)
+        dims = _memo.get("d")
+        if dims is None:
+            dims = _memo["d"] = _ray.get(dims_ref)
+        n_map, _ = dims
+        b = batch[batch["s_nationkey"].to_numpy()
+                  == batch["c_nationkey"].to_numpy()]
+        if len(b) == 0:
+            return arrow_out(empty)
+        frame = pd.DataFrame({
+            "n_name": [n_map[int(nk)] for nk in b["s_nationkey"]],
+            "revenue_c4": b["revenue_c4"].to_numpy(),
+        })
+        return arrow_out(frame.groupby("n_name", as_index=False,
+                                       sort=False).sum())
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return arrow_out(pd.DataFrame({
+                "n_name": pd.Series([], dtype="object"),
+                "revenue_c4": pd.Series([], dtype="int64")}))
+        return arrow_out(batch.groupby("n_name", as_index=False,
+                                       sort=True).sum())
+
+    return joined.map_batches(nation_partials, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def segment_top_orders(customer: ray.data.Dataset,
                        orders: ray.data.Dataset,
                        lineitem: ray.data.Dataset, *,

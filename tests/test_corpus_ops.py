@@ -122,6 +122,27 @@ def test_pii_scan_and_redact(ray_session):
     assert red.loc[3, "text"] == "nothing sensitive here"
 
 
+def test_stratified_sample(ray_session):
+    import ray.data
+    from readability_ray.functions import stratified_sample
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "de"}
+            for i in range(100)]
+    df = stratified_sample(ray.data.from_items(rows), group_col="lang",
+                           k=10).to_pandas()
+    per = df.groupby("lang")["doc_id"].count()
+    assert per["en"] == 10 and per["de"] == 10
+    # deterministic: the same draw on a re-shuffled input
+    df2 = stratified_sample(
+        ray.data.from_items(list(reversed(rows))), group_col="lang",
+        k=10).to_pandas()
+    assert sorted(df.doc_id) == sorted(df2.doc_id)
+    # small groups are kept whole
+    small = [{"doc_id": i, "lang": "fr"} for i in range(3)]
+    df3 = stratified_sample(ray.data.from_items(small),
+                            group_col="lang", k=10).to_pandas()
+    assert sorted(df3.doc_id) == [0, 1, 2]
+
+
 def test_token_postings(ray_session):
     import ray.data
     from readability_ray.functions import token_postings

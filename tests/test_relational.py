@@ -67,6 +67,42 @@ def test_segment_top_orders(ray_session):
     assert list(df.revenue_c4) == sorted(df.revenue_c4, reverse=True)
 
 
+def test_region_nation_revenue_broadcast_dims(ray_session):
+    import ray
+    from readability_ray.functions import region_nation_revenue
+    region = pd.DataFrame({"r_regionkey": [0, 1],
+                           "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({"n_nationkey": [10, 11, 20],
+                           "n_name": ["JP", "IN", "FR"],
+                           "n_regionkey": [0, 0, 1]})
+    supplier = pd.DataFrame({"s_suppkey": [1, 2, 3],
+                             "s_nationkey": [10, 11, 20]})
+    cust = pd.DataFrame({"c_custkey": [100, 101, 102],
+                         "c_nationkey": [10, 11, 20]})
+    orders = pd.DataFrame({
+        "o_orderkey": [1000, 1001, 1002],
+        "o_custkey": [100, 101, 102],
+        "o_orderdate": pd.to_datetime(
+            ["1996-05-01", "1996-06-01", "1996-07-01"]),
+    })
+    li = pd.DataFrame({
+        # order 1000 (cust JP): JP supplier (match) + IN supplier (no)
+        # order 1001 (cust IN): IN supplier (match)
+        # order 1002 (cust FR): FR supplier — right nation pair but
+        #   FR is EUROPE, excluded by the region filter
+        "l_orderkey": [1000, 1000, 1001, 1002],
+        "l_suppkey": [1, 2, 2, 3],
+        "l_extendedprice": [100.0, 50.0, 200.0, 999.0],
+        "l_discount": [0.0, 0.0, 0.10, 0.0],
+    })
+    df = region_nation_revenue(
+        _ds(ray, cust), _ds(ray, orders), _ds(ray, li),
+        _ds(ray, supplier), _ds(ray, nation), _ds(ray, region),
+        region_name="ASIA").to_pandas()
+    got = dict(zip(df.n_name, df.revenue_c4))
+    assert got == {"JP": 10000 * 100, "IN": 20000 * 90}
+
+
 def test_segment_top_orders_tiebreak(ray_session):
     """Equal revenues order by orderkey asc — the determinism the
     oracle comparison relies on."""
