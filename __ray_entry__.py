@@ -23,6 +23,10 @@ from typing import Any
 
 STOPWORD_RE_SQL = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
 TOKEN_RE_SQL = r"\S+"
+# textstats.BPE_TOKEN_RE with the SQL-literal quote doubling applied
+BPE_RE_SQL = (r"'(?:s|t|re|ve|m|ll|d)"
+              r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+              ).replace("'", "''")
 
 
 def _docs(sf_dir: str):
@@ -647,6 +651,29 @@ def _q_events_asof(sf_dir: str):
     return events_asof_join(ds, left_type="click", right_type="view")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Non-equi interval self-join: same-user event pairs within a
+    5-minute band — one keyed exchange + a vectorized searchsorted
+    band scan per partition (functions/windows.py)."""
+    import os as _os
+    import ray.data
+    from readability_ray.functions import events_range_join
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    return events_range_join(ds, delta_sec=300)
+
+
+def _q_bpe_token_stats(sf_dir: str):
+    """Per-doc GPT-2-ish pretokenizer token counts (BPE-ish regex)
+    beside whitespace counts — one vectorized RE2 pass, no shuffle."""
+    import os as _os
+    import ray.data
+    from readability_ray.functions import bpe_token_stats
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return bpe_token_stats(ds)
+
+
 def _q_events_rolling(sf_dir: str):
     """Sliding 3-bucket windowed aggregate over hourly tumbling counts
     per event type (ROWS-frame semantics, empty hours skipped)."""
@@ -778,6 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_rolling_counts": _q_events_rolling,
         "events_asof_join": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "bpe_token_stats": _q_bpe_token_stats,
         "token_frequency_top50": _q_token_frequency,
         "events_sessionize": _q_events_sessions,
     }
@@ -1335,6 +1364,24 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        ::BIGINT AS rolling_n
             FROM hourly
+        """,
+        "events_range_join": """
+            SELECT a.user_id, a.event_id AS left_id,
+                   b.event_id AS right_id,
+                   (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0
+                       AS gap_sec
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 300 SECONDS
+        """,
+        "bpe_token_stats": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '{BPE_RE_SQL}'))
+                       ::BIGINT AS n_bpe_tokens,
+                   length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                       ::BIGINT AS n_ws_tokens
+            FROM documents
         """,
         "events_asof_join": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

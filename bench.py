@@ -97,6 +97,7 @@ def _run_benchmarks() -> None:
                      "knn_cosine_top5", "embedding_dup_pairs",
                      "doc_lang_stats", "events_hourly",
                      "events_rolling_counts", "events_asof_join",
+                     "events_range_join", "bpe_token_stats",
                      "token_frequency_top50", "events_sessionize",
                      "corpus_clean", "repetition_scores", "source_cap",
                      "decontaminate",

@@ -8,7 +8,7 @@ SQL oracle exists.
 """
 
 from .textstats import (
-    corpus_clean, doc_lang_stats, doc_length_percentiles,
+    bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     token_frequency_topk, token_postings, token_stats,
 )
@@ -20,7 +20,9 @@ from .similarity import (
     embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
-from .windows import events_asof_join, events_rolling_counts
+from .windows import (
+    events_asof_join, events_range_join, events_rolling_counts,
+)
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
     decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
@@ -41,7 +43,8 @@ __all__ = [
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
     "extract_pdf_text", "make_pdf", "pdf_text",
     "fingerprint_overlap_pairs", "winnow_fingerprints",
-    "events_asof_join", "events_rolling_counts",
+    "events_asof_join", "events_range_join", "events_rolling_counts",
+    "bpe_token_stats",
     "decontaminate", "hash_split", "normalize_text", "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
     "doc_length_percentiles", "token_postings",

@@ -49,6 +49,43 @@ def token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(_token_stats_batch, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer alternation, RE2-compatible (no lookahead:
+# the real GPT-2 regex's trailing ``\s+(?!\S)`` branch is dropped, so a
+# multi-space run becomes one whitespace token instead of splitting its
+# last space onto the next word).  Leftmost-first alternation semantics
+# are identical in pyarrow's RE2 and DuckDB's RE2, so counts match
+# bit-for-bit (verified on the corpus + edge strings incl. '', CJK,
+# contractions).
+BPE_TOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def _bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pc.count_substring_regex(
+            text, BPE_TOKEN_RE).cast(pa.int64()),
+        "n_ws_tokens": pc.count_substring_regex(
+            text, TOKEN_RE).cast(pa.int64()),
+    })
+
+
+def bpe_token_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Subword-style token counting: per document, the number of
+    GPT-2-ish pretokenizer tokens (``BPE_TOKEN_RE`` — contractions,
+    space-prefixed letter/number runs, punctuation runs, whitespace
+    runs) next to the plain whitespace token count.  This is the
+    "token counting (whitespace + a BPE-ish regex)" operator from the
+    engine brief: the count every per-doc token-budget / packing
+    decision in a training-data pipeline keys on.
+
+    Stateless vectorized map (one RE2 pass per column) — no shuffle;
+    trivially web-scale.
+    """
+    return ds.map_batches(_bpe_token_stats_batch, batch_format="pyarrow")
+
+
 def _quality_batch(batch: pa.Table) -> pa.Table:
     text = batch.column("text")
     n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)

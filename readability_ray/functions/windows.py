@@ -124,6 +124,103 @@ def events_asof_join(ds: ray.data.Dataset, *,
         .map_batches(asof, batch_format="pandas", batch_size=None)
 
 
+def events_range_join(ds: ray.data.Dataset, *,
+                      delta_sec: int = 300,
+                      by_col: str = "user_id",
+                      ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Banded range join (non-equi interval self-join): every pair of
+    events of the same ``by_col`` key with ``0 < right.ts - left.ts <=
+    delta_sec`` — the "events within Δt of each other" primitive behind
+    burst detection, co-click mining and attribution windows, and the
+    "range join" custom operator named by the engine brief.
+
+    Output: (user_id, left_id, right_id, gap_sec) with gap_sec =
+    integer-microsecond difference / 1e6 in float64 (bit-identical to
+    DuckDB's ``(epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0``).
+
+    Scale shape: one projection map (only (id, key, ts) ever moves —
+    the payload stays at rest), ONE keyed exchange on ``by_col``, then
+    a fully vectorized per-partition band scan: rows sorted by
+    (key, ts), each key's segment mapped onto a composite int64 axis
+    ``key_rank * span + (ts - ts_min)`` with ``span > ts_range +
+    delta`` so a single ``np.searchsorted`` of the whole partition
+    against ``composite + delta`` yields every row's band end without
+    crossing key boundaries; pairs are emitted with repeat/arange
+    index arithmetic — no Python loop over rows, keys or pairs.
+    Output size is data-bounded (sum of per-row band widths), the same
+    bound the SQL inequality join pays.  Skew bound: a partition holds
+    all events of its keys; a key × delta band denser than worker
+    memory would need ts-range sub-bucketing, which this corpus is
+    nowhere near.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    delta_us = int(delta_sec) * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            by_col: batch.column(by_col),
+            ts_col: batch.column(ts_col).cast(pa.timestamp("us")),
+        })
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "gap_sec": pa.array([], pa.float64()),
+        })
+
+    def band_scan(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or id_col not in batch.columns:
+            return empty()  # schema-less empty shuffle partition
+        b = batch.sort_values([by_col, ts_col], kind="mergesort")
+        ids = b[id_col].to_numpy(dtype=np.int64)
+        keys = b[by_col].to_numpy(dtype=np.int64)
+        ts = b[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # dense key ranks keep the composite axis inside int64 even
+        # for sparse 64-bit user ids
+        _, rank = np.unique(keys, return_inverse=True)
+        dt = ts - ts.min()
+        span = int(dt.max()) + delta_us + 1
+        if (rank.max() + 1) * span >= np.iinfo(np.int64).max:
+            raise ValueError(
+                "composite axis overflow: partition spans "
+                f"{dt.max()}us × {rank.max() + 1} keys at delta_sec="
+                f"{delta_sec}; sub-bucket by ts range first")
+        comp = rank.astype(np.int64) * span + dt
+        # strict lower bound (right.ts > left.ts: 'right' side skips
+        # ties) and inclusive upper bound at +delta, both clamped to
+        # the key segment by construction of the composite axis
+        lo = np.searchsorted(comp, comp, side="right")
+        hi = np.searchsorted(comp, comp + delta_us, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty()
+        left_idx = np.repeat(np.arange(len(comp)), counts)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        right_idx = (np.arange(total) - np.repeat(offsets, counts)
+                     + np.repeat(lo, counts))
+        gap = (ts[right_idx] - ts[left_idx]).astype(np.float64) / 1e6
+        return pa.table({
+            "user_id": pa.array(keys[left_idx]),
+            "left_id": pa.array(ids[left_idx]),
+            "right_id": pa.array(ids[right_idx]),
+            "gap_sec": pa.array(gap, pa.float64()),
+        })
+
+    return slim.repartition(num_blocks=k, keys=[by_col]) \
+        .map_batches(band_scan, batch_format="pandas", batch_size=None)
+
+
 def events_rolling_counts(ds: ray.data.Dataset, *, window: int = 3,
                           ts_col: str = "ts",
                           n_partitions: int | None = None

@@ -692,6 +692,90 @@ def test_events_rolling_counts(ray_session):
     assert list(views.n) == [1] and list(views.rolling_n) == [1]
 
 
+def test_events_range_join(ray_session):
+    """Banded interval self-join: strict lower bound (ties on ts never
+    pair), inclusive upper bound at +delta, no cross-user pairs, and
+    pair-for-pair agreement with the DuckDB inequality join on a
+    random corpus."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from readability_ray.functions import events_range_join
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + dt.timedelta(seconds=secs)}
+    rows = [
+        ev(1, 7, 0.0),
+        ev(2, 7, 0.0),     # tie with 1: strict > -> no pair either way
+        ev(3, 7, 10.0),    # (1,3) and (2,3); 10.0 = delta inclusive
+        ev(4, 7, 21.0),    # > 10s after 3 -> only from 3? 21-10=11 no
+        ev(5, 8, 5.0),     # other user, inside every band: never pairs
+    ]
+    df = events_range_join(ray.data.from_items(rows),
+                           delta_sec=10).to_pandas()
+    got = sorted(zip(df.left_id, df.right_id))
+    assert got == [(1, 3), (2, 3)]
+    assert set(df.user_id) == {7}
+    assert df.gap_sec.tolist() == [10.0, 10.0]
+
+    # randomized cross-check vs the SQL semantics
+    import numpy as np
+    rng = np.random.default_rng(42)
+    n = 400
+    rand = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3_600_000_000, n), unit="us",
+            origin=pd.Timestamp("2024-01-01")).astype("datetime64[us]"),
+    })
+    ours = events_range_join(
+        ray.data.from_pandas(rand), delta_sec=300).to_pandas() \
+        .sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    sql = duckdb.query_df(rand, "e", """
+        SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+               (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS gap_sec
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 300 SECONDS
+        ORDER BY left_id, right_id
+    """).df()
+    assert len(ours) == len(sql) and len(ours) > 100
+    pd.testing.assert_frame_equal(
+        ours[["user_id", "left_id", "right_id", "gap_sec"]],
+        sql[["user_id", "left_id", "right_id", "gap_sec"]],
+        check_dtype=False)
+
+
+def test_bpe_token_stats(ray_session):
+    """BPE-ish pretokenizer counts: contractions split, space-prefixed
+    runs merge their leading space, CJK letters count as one run,
+    multi-space runs collapse to one whitespace token; agrees with the
+    DuckDB RE2 count used by the oracle."""
+    import duckdb
+    import ray.data
+    from readability_ray.functions import bpe_token_stats
+    from readability_ray.functions.textstats import BPE_TOKEN_RE
+    texts = ["", "  ", "it's 99 €!", "hello world", "日本語 text",
+             "a  b", "don't you'll we've"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    df = bpe_token_stats(ray.data.from_items(rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # "it's 99 €!" -> [it]['s][ 99][ €!] = 4 (non-alnum run merges)
+    # "a  b" -> [a]["  "][b] = 3 (no lookahead: space run is one token)
+    assert df.n_bpe_tokens.tolist() == [0, 1, 4, 2, 2, 3, 6]
+    assert df.n_ws_tokens.tolist() == [0, 0, 3, 2, 2, 2, 3]
+    sql_counts = [
+        duckdb.query("SELECT length(regexp_extract_all(?, ?))",
+                     params=[t, BPE_TOKEN_RE]).fetchone()[0]
+        for t in texts]
+    assert df.n_bpe_tokens.tolist() == sql_counts
+
+
 def test_winnow_sql_oracle_short_doc_path(ray_session):
     """The DuckDB winnowing oracle agrees with the Ray operator on a
     corpus INCLUDING docs shorter than k (the oracle's `short` CTE is
