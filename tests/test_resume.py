@@ -102,3 +102,34 @@ def test_resume_concurrent_shards(ray_session, tmp_path):
     assert summary["total_rows"] == 45
     manifests = completed_shards(out_dir)
     assert all(manifests[s]["rows"] == 15 for s in manifests)
+
+
+def test_extract_job_entrypoint(ray_session, tmp_path, capsys):
+    """tools/extract_job.py — the `ray job submit` entrypoint: runs the
+    resumable pipeline over a shard dir, prints one JSON metrics line,
+    exits 0, and a resubmit skips every completed shard."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.extract_job import main
+    files = _make_shards(tmp_path, n_shards=2, pages_per_shard=10)
+    in_dir = os.path.dirname(files[0])
+    out_dir = str(tmp_path / "job_out")
+
+    rc = main(["--input", in_dir, "--output", out_dir,
+               "--batch-size", "16", "--shard-parallelism", "1"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert rc == 0
+    assert metrics["pages"] == 20
+    assert sorted(metrics["processed"]) == ["shard0", "shard1"]
+    assert metrics["skipped"] == []
+    assert metrics["errors"] == 0
+    assert metrics["pages_per_sec"] > 0
+
+    rc2 = main(["--input", in_dir, "--output", out_dir])
+    metrics2 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0
+    assert metrics2["processed"] == []
+    assert sorted(metrics2["skipped"]) == ["shard0", "shard1"]
+    assert metrics2["pages"] == 20
