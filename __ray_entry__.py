@@ -812,6 +812,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# md5 of a string, first 8 bytes as a little-endian uint64 — DuckDB
+# reproduction of functions/dedup._md5_64 (byte-reverse the leading 16
+# hex chars, then parse as hex).  `h` must be bound to md5(<input>).
+MD5_64_LE_SQL = (
+    "('0x' || substr(h,15,2)||substr(h,13,2)||substr(h,11,2)"
+    "||substr(h,9,2)||substr(h,7,2)||substr(h,5,2)||substr(h,3,2)"
+    "||substr(h,1,2))::UBIGINT")
+_MERSENNE61 = (1 << 61) - 1
+_W64 = 1 << 64
+
+
+def _minhash_perm_values() -> str:
+    """The MinHasher permutation constants (RandomState(7)) as a SQL
+    VALUES list — importing the SAME class the Ray operator uses, so
+    oracle and operator can never drift."""
+    from readability_ray.functions.dedup import MinHasher
+    m = MinHasher()
+    return ",".join(f"({i},{int(a)}::HUGEINT,{int(b)}::HUGEINT)"
+                    for i, (a, b) in enumerate(zip(m.a, m.b)))
+
+
+def _minhash_cte() -> str:
+    """Shared CTE chain reproducing functions/dedup.MinHasher in pure
+    DuckDB SQL: distinct word-3-shingles → md5-LE-uint64 % p → per-perm
+    min of ((a*x mod 2^64) + b) mod 2^64 mod p (numpy uint64 wraps at
+    each step — the HUGEINT arithmetic mirrors that exactly), then
+    16 bands × 4 rows; two docs are LSH candidates iff some band's
+    4-value chunk is equal (the operator hashes the chunk with md5 —
+    equality of chunks ⟺ equality of band hashes absent md5
+    collisions).  Zero-token docs get the all-sentinel signature the
+    operator emits."""
+    return f"""
+        WITH perms(perm, a, b) AS (VALUES {_minhash_perm_values()}),
+        toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t, ' ') AS gram
+            FROM toks WHERE len(t) > 0 AND len(t) < 3
+            UNION
+            SELECT DISTINCT doc_id,
+                   array_to_string(t[i:i+2], ' ') AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM toks WHERE len(t) >= 3)
+        ), gh AS (
+            SELECT doc_id, {MD5_64_LE_SQL}::HUGEINT % {_MERSENNE61} AS x
+            FROM (SELECT doc_id, md5(gram) AS h FROM grams)
+        ), sig AS (
+            SELECT doc_id, perm,
+                   min((((a * x) % {_W64}) + b) % {_W64}
+                       % {_MERSENNE61})::UBIGINT AS v
+            FROM gh CROSS JOIN perms GROUP BY doc_id, perm
+            UNION ALL
+            SELECT doc_id, perm, {_MERSENNE61}::UBIGINT AS v
+            FROM toks CROSS JOIN perms WHERE len(t) = 0
+        ), bands AS (
+            SELECT doc_id, perm // 4 AS band,
+                   list(v ORDER BY perm) AS chunk
+            FROM sig GROUP BY doc_id, perm // 4
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.chunk = y.chunk
+             AND x.doc_id < y.doc_id
+        )
+    """
+
+
+def _simhash_cte() -> str:
+    """Shared CTE reproducing functions/dedup._simhash64: per token
+    OCCURRENCE (multiplicity counts), md5-LE-uint64, per-bit ±1
+    accumulate, bit set iff acc > 0; zero-token docs hash to 0."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        ), th AS (
+            SELECT doc_id, {MD5_64_LE_SQL} AS hv
+            FROM (SELECT doc_id, md5(tok) AS h FROM occ)
+        ), bits AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN (hv >> j) & 1 = 1
+                       THEN 1 ELSE -1 END) AS acc
+            FROM th CROSS JOIN
+                 (SELECT unnest(generate_series(0, 63)) AS j)
+            GROUP BY doc_id, j
+        ), sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j)
+                       ELSE 0 END)::UBIGINT AS simhash
+            FROM bits GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 0::UBIGINT AS simhash
+            FROM toks WHERE len(t) = 0
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOKEN_RE_SQL
     stop = STOPWORD_RE_SQL
@@ -1364,6 +1467,66 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        ::BIGINT AS rolling_n
             FROM hourly
+        """,
+        # MinHash/SimHash value-level oracles: the signature arithmetic
+        # re-derived in DuckDB HUGEINT SQL (see _minhash_cte /
+        # _simhash_cte) — the LSH outputs are exactly reproducible, not
+        # just approximately checkable.
+        "minhash_dedup_pairs": _minhash_cte() + """
+            , counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::DOUBLE AS c
+                FROM grams a
+                JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+                   floor(i.c / (ca.n + cb.n - i.c) * 1000000) / 1000000
+                       AS jaccard
+            FROM cand c
+            JOIN inter i USING (doc_a, doc_b)
+            JOIN counts ca ON ca.doc_id = c.doc_a
+            JOIN counts cb ON cb.doc_id = c.doc_b
+            WHERE floor(i.c / (ca.n + cb.n - i.c) * 1000000) / 1000000
+                  >= 0.4
+        """,
+        "minhash_dedup_pairs_estimate": _minhash_cte() + """
+            , est AS (
+                SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                       floor(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0
+                                 END) / 64.0 * 1000000) / 1000000
+                           AS jaccard
+                FROM sig sa JOIN sig sb
+                  ON sa.perm = sb.perm AND sa.doc_id < sb.doc_id
+                WHERE (sa.doc_id, sb.doc_id) IN
+                      (SELECT (doc_a, doc_b) FROM cand)
+                GROUP BY 1, 2
+            )
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   jaccard
+            FROM est WHERE jaccard >= 0.4
+        """,
+        "simhash_signatures": _simhash_cte() + """
+            SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_near_pairs": _simhash_cte() + """
+            , bands AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 16)) & 65535 AS band_value
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS band)
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       bit_count(xor(x.simhash, y.simhash))::BIGINT
+                           AS hamming
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_value = y.band_value
+                 AND x.doc_id < y.doc_id
+            )
+            SELECT doc_a, doc_b, hamming, false AS complete
+            FROM cand WHERE hamming <= 8
         """,
         "events_range_join": """
             SELECT a.user_id, a.event_id AS left_id,

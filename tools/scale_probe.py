@@ -130,9 +130,18 @@ def main() -> None:
 
     if new_only:
         from readability_ray.functions import (
-            decontaminate, pricing_summary, segment_top_orders,
-            source_cap, token_postings)
+            bpe_token_stats, decontaminate, events_range_join,
+            pricing_summary, segment_top_orders, source_cap,
+            token_postings)
 
+        # 20x-replicated events share each original's exact ts, so a
+        # 5-min band's pair count grows ~400x (every original pair has
+        # 20x20 copy variants; ties never self-pair) — a deliberate
+        # density stress for the banded searchsorted scan
+        timed("range_join_2m", lambda: events_range_join(
+            ray.data.read_parquet(events20), delta_sec=300))
+        timed("bpe_tokens_50k", lambda: bpe_token_stats(
+            ray.data.read_parquet(docs10)))
         timed("token_postings_50k", lambda: token_postings(
             ray.data.read_parquet(docs10)))
         timed("source_cap_50k", lambda: source_cap(
