@@ -240,6 +240,44 @@ def test_dedup_pages_by_url_tie_is_order_independent(ray_session):
     assert len(winners) == 1
 
 
+def test_dedup_pages_by_url_matches_sql(ray_session, pages_path,
+                                        tmp_path):
+    """Value-level DuckDB differential for the URL dedup (the driver
+    marks the query rows-only because the pages table is engine-
+    generated, not a registered view — so the value check lives here):
+    keeper per url = min (warc_ts, md5(html)) exactly, over a corpus
+    where EVERY url has a later-crawl duplicate to resolve."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from readability_ray.pipelines import dedup_pages_by_url
+    base = pq.read_table(pages_path)
+    later = base.set_column(
+        base.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.compute.add(base.column("warc_ts"),
+                       pa.scalar(86_400_000_000, pa.duration("us"))))
+    glob = str(tmp_path / "dup_pages.parquet")
+    pq.write_table(pa.concat_tables([later, base]), glob)
+
+    ds = ray.data.read_parquet(glob)
+    ours = dedup_pages_by_url(ds).to_pandas()[
+        ["url", "warc_ts", "lang"]].sort_values("url") \
+        .reset_index(drop=True)
+    sql = duckdb.query(f"""
+        SELECT url, warc_ts, lang FROM (
+            SELECT url, warc_ts, lang,
+                   row_number() OVER (
+                       PARTITION BY url
+                       ORDER BY warc_ts, md5(decode(html))) AS rn
+            FROM read_parquet('{glob}')
+        ) WHERE rn = 1 ORDER BY url
+    """).df()
+    assert len(ours) > 0
+    pd.testing.assert_frame_equal(ours, sql, check_dtype=False)
+
+
 def test_full_analysis_pipeline(ray_session, pages_path):
     import ray.data
     from readability_ray.pipelines import full_analysis_pipeline
