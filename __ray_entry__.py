@@ -619,7 +619,9 @@ def _q_embedding_dups_lsh(sf_dir: str):
     the exact query so the output is a verifiable SUBSET of the
     oracle-green ``embedding_dup_pairs`` rows (per-bucket verification
     is exact cosine; banding only bounds recall — ~0.7 at this low
-    threshold, →1.0 at real near-dup thresholds).  Rows-only check."""
+    threshold, →1.0 at real near-dup thresholds).  Value-level SQL
+    oracle: the hyperplane buckets re-derived in DuckDB from the same
+    RandomState(23) plane constants (oracle_sql)."""
     from readability_ray.functions import embedding_dup_pairs
     return embedding_dup_pairs(_embs(sf_dir), threshold=0.35)
 
@@ -821,6 +823,19 @@ MD5_64_LE_SQL = (
     "||substr(h,1,2))::UBIGINT")
 _MERSENNE61 = (1 << 61) - 1
 _W64 = 1 << 64
+
+
+def _lsh_plane_values(dim: int = 64) -> str:
+    """The random-hyperplane constants of _embedding_dup_pairs_lsh
+    (RandomState(23), 8 bands × 4 planes) as a SQL VALUES list —
+    built the same way the operator builds them (similarity.py),
+    serialized via repr() for exact float64 round-trip.  The testdata
+    embeddings are 64-dim at every sf."""
+    import numpy as np
+    rng = np.random.RandomState(23)
+    planes = rng.standard_normal((dim, 32))
+    return ",".join(f"({d},{pj},{float(planes[d, pj])!r})"
+                    for d in range(dim) for pj in range(32))
 
 
 def _minhash_perm_values() -> str:
@@ -1467,6 +1482,45 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        ::BIGINT AS rolling_n
             FROM hourly
+        """,
+        # LSH-banded embedding near-dup: random-hyperplane buckets
+        # re-derived in SQL (plane constants via _lsh_plane_values, the
+        # same RandomState(23) draw the operator makes), bucket-equal
+        # candidates verified with the already-proven floor6
+        # list_cosine_similarity.  Sign of a hyperplane dot is the only
+        # float comparison (|dot| ~ O(1), rounding ~1e-15 — stable).
+        "embedding_dup_pairs_lsh": f"""
+            WITH planes(d, pj, w) AS (VALUES {_lsh_plane_values()}),
+            emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), comp AS (
+                SELECT vec_id,
+                       unnest(generate_series(1, 64)) AS i1,
+                       unnest(e) AS x
+                FROM emb
+            ), dots AS (
+                SELECT c.vec_id, p.pj, sum(c.x * p.w) AS dot
+                FROM comp c JOIN planes p ON p.d = c.i1 - 1
+                GROUP BY c.vec_id, p.pj
+            ), sigs AS (
+                SELECT vec_id, pj // 4 AS band,
+                       sum(CASE WHEN dot > 0
+                           THEN (1 << (pj % 4)) ELSE 0 END) AS sig
+                FROM dots GROUP BY vec_id, pj // 4
+            ), cand AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig
+                 AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a::BIGINT AS vec_a, c.vec_b::BIGINT AS vec_b,
+                   floor(list_cosine_similarity(ea.e, eb.e) * 1000000)
+                       / 1000000 AS cos_sim
+            FROM cand c
+            JOIN emb ea ON ea.vec_id = c.vec_a
+            JOIN emb eb ON eb.vec_id = c.vec_b
+            WHERE floor(list_cosine_similarity(ea.e, eb.e) * 1000000)
+                  / 1000000 >= 0.35
         """,
         # MinHash/SimHash value-level oracles: the signature arithmetic
         # re-derived in DuckDB HUGEINT SQL (see _minhash_cte /
