@@ -168,7 +168,7 @@ def _q_image_features(sf_dir: str):
         image_features, make_fake_media_table)
     n = 200 if "0.1" in sf_dir else 60
     ds = ray.data.from_arrow(make_fake_media_table(n))
-    feats = image_features(ds, fake_decode=True)
+    feats = image_features(ds, fake_decode=True, use_actors=False)
 
     import pyarrow as pa
 
@@ -194,7 +194,7 @@ def _q_audio_features(sf_dir: str):
     n = 200 if "0.1" in sf_dir else 60
     ds = ray.data.from_arrow(make_fake_media_table(n)) \
         .filter(expr="media_type == 'audio'")
-    feats = audio_features(ds, fake_decode=True)
+    feats = audio_features(ds, fake_decode=True, use_actors=False)
 
     import pyarrow as pa
 
@@ -220,7 +220,7 @@ def _q_video_frames(sf_dir: str):
     n = 200 if "0.1" in sf_dir else 60
     ds = ray.data.from_arrow(make_fake_media_table(n)) \
         .filter(expr="media_type == 'video'")
-    frames = frame_samples(ds, every_n_ms=1000, fake_decode=True)
+    frames = frame_samples(ds, every_n_ms=1000, fake_decode=True, use_actors=False)
 
     import pyarrow as pa
 

@@ -186,39 +186,64 @@ class AudioFeatureStage:
         })
 
 
-def image_features(ds: ray.data.Dataset, *, out_hw=(32, 32),
-                   fake_decode: bool = True,
-                   concurrency=(1, 2), batch_size: int = 16) -> ray.data.Dataset:
+_TASK_STAGE_CACHE: dict = {}
+
+
+def _media_batch_task(batch: pa.Table, *, stage_cls, **kwargs) -> pa.Table:
+    """Stateless-task twin of the media actor stages (the
+    extract_batch_task pattern): one stage instance memoized per
+    (class, kwargs, worker process), so setup amortizes like an
+    actor's without the pool — and without actor-restart bookkeeping
+    (the Ray "constructor arguments in the object store" warning,
+    ray issue 53727)."""
+    key = (stage_cls.__name__, tuple(sorted(kwargs.items())))
+    stage = _TASK_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _TASK_STAGE_CACHE[key] = stage_cls(**kwargs)
+    return stage(batch)
+
+
+def _media_map(ds: ray.data.Dataset, stage_cls, stage_kwargs: dict,
+               use_actors: bool, concurrency, batch_size: int):
+    if use_actors:
+        return ds.map_batches(
+            stage_cls, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, fn_constructor_kwargs=stage_kwargs)
     return ds.map_batches(
-        ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(out_hw=out_hw, fake_decode=fake_decode))
+        _media_batch_task, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs=dict(stage_cls=stage_cls, **stage_kwargs))
+
+
+def image_features(ds: ray.data.Dataset, *, out_hw=(32, 32),
+                   fake_decode: bool = True, use_actors: bool = True,
+                   concurrency=(1, 2), batch_size: int = 16) -> ray.data.Dataset:
+    return _media_map(ds, ImageFeatureStage,
+                      dict(out_hw=tuple(out_hw), fake_decode=fake_decode),
+                      use_actors, concurrency, batch_size)
 
 
 def audio_features(ds: ray.data.Dataset, *, sample_rate: int = 16_000,
-                   fake_decode: bool = True, concurrency=(1, 2),
+                   fake_decode: bool = True, use_actors: bool = True,
+                   concurrency=(1, 2),
                    batch_size: int = 16) -> ray.data.Dataset:
     """Audio feature extraction over the opaque payload column
     (``media_type == "audio"`` rows; filter upstream with
     ``ds.filter(expr="media_type == 'audio'")``)."""
-    return ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(sample_rate=sample_rate,
-                                   fake_decode=fake_decode))
+    return _media_map(ds, AudioFeatureStage,
+                      dict(sample_rate=sample_rate, fake_decode=fake_decode),
+                      use_actors, concurrency, batch_size)
 
 
 def frame_samples(ds: ray.data.Dataset, *, every_n_ms: int = 1000,
-                  fake_decode: bool = True, concurrency=(1, 2),
+                  fake_decode: bool = True, use_actors: bool = True,
+                  concurrency=(1, 2),
                   batch_size: int = 8) -> ray.data.Dataset:
     """Video frame sampling: one output row per sampled frame.  Frames
     multiply the payload bytes, so the batch size is the smallest of
     the media stages."""
-    return ds.map_batches(
-        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(every_n_ms=every_n_ms,
-                                   fake_decode=fake_decode))
+    return _media_map(ds, FrameSampleStage,
+                      dict(every_n_ms=every_n_ms, fake_decode=fake_decode),
+                      use_actors, concurrency, batch_size)
 
 
 def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:

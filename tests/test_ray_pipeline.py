@@ -364,6 +364,32 @@ def test_video_frame_sampling(ray_session):
     assert (df.frame_payload.str.len() == 16).all()  # md5-sized stub
 
 
+def test_media_task_path_matches_actor_path(ray_session):
+    """use_actors=False (the stateless-task twin that avoids the Ray
+    actor-restart warning, issue 53727) is byte-identical to the
+    actor-pool path for all three media stages."""
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        audio_features, frame_samples, image_features,
+        make_fake_media_table)
+    ds = ray.data.from_arrow(make_fake_media_table(12))
+    for fn, flt in ((image_features, "image"), (audio_features, "audio"),
+                    (frame_samples, "video")):
+        sub = ds.filter(expr=f"media_type == '{flt}'")
+        a = fn(sub, fake_decode=True).to_pandas()
+        b = fn(sub, fake_decode=True, use_actors=False).to_pandas()
+        sort = [c for c in ("media_id", "frame_index") if c in a.columns]
+        a = a.sort_values(sort).reset_index(drop=True)
+        b = b.sort_values(sort).reset_index(drop=True)
+        assert a.columns.tolist() == b.columns.tolist()
+        for col in a.columns:
+            for va, vb in zip(a[col], b[col]):
+                if isinstance(va, (list, np.ndarray)):
+                    assert np.allclose(np.asarray(va), np.asarray(vb))
+                else:
+                    assert va == vb
+
+
 def test_minhash_estimate_verify(ray_session):
     """verify='estimate' (the zero-join 100 TB path) finds the planted
     near-dup with an estimator value close to the exact n-gram Jaccard,
