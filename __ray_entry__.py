@@ -443,11 +443,16 @@ def _q_minhash_pairs_estimate(sf_dir: str):
 def _q_minhash_keepers(sf_dir: str):
     """Pairs → per-document keeper assignments (connected components
     via distributed min-label propagation) — the drop-duplicates step
-    a training pipeline runs after near-dup pair generation."""
+    a training pipeline runs after near-dup pair generation.
+    n_iter=8 with the label-sum early-stop ⇒ full convergence at these
+    component diameters, which is what makes the value-level SQL
+    oracle possible: the estimate pairs are exactly reproducible in
+    SQL (the minhash_dedup_pairs_estimate CTE) and the converged
+    min-label components equal the recursive-CTE transitive closure."""
     from readability_ray.functions import minhash_lsh_pairs, near_dup_keepers
     pairs = minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4,
                               verify="estimate")
-    return near_dup_keepers(pairs, n_iter=3)
+    return near_dup_keepers(pairs, n_iter=8)
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -464,9 +469,9 @@ def _q_jaccard_keepers(sf_dir: str):
     end: EXACT n-gram Jaccard pairs → connected components → keeper
     per doc.  The oracle re-derives the components with a recursive-CTE
     transitive closure, so the distributed min-label propagation in
-    near_dup_keepers gets a value-level SQL check (the minhash/simhash
-    keeper paths share the same operator but sampling-based pair inputs
-    keep them rows-only)."""
+    near_dup_keepers gets a value-level SQL check
+    (minhash_dedup_keepers composes the same closure with the
+    SQL-reproducible estimate pairs)."""
     from readability_ray.functions import near_dup_keepers, ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_docs(sf_dir), shingle_k=3,
                                 jaccard_threshold=0.5)
@@ -825,17 +830,20 @@ _MERSENNE61 = (1 << 61) - 1
 _W64 = 1 << 64
 
 
-def _lsh_plane_values(dim: int = 64) -> str:
-    """The random-hyperplane constants of _embedding_dup_pairs_lsh
-    (RandomState(23), 8 bands × 4 planes) as a SQL VALUES list —
-    built the same way the operator builds them (similarity.py),
-    serialized via repr() for exact float64 round-trip.  The testdata
-    embeddings are 64-dim at every sf."""
+def _lsh_plane_values(dim: int = 64, seed: int = 23,
+                      n_planes: int = 32) -> str:
+    """Random-hyperplane constants as a SQL VALUES list — built the
+    same way the operators build them (similarity.py: one
+    RandomState(seed).standard_normal((dim, n_planes)) draw),
+    serialized via repr() for exact float64 round-trip.  Defaults are
+    _embedding_dup_pairs_lsh's (seed 23, 8 bands × 4 planes);
+    lsh_ann_topk uses (seed 11, 8 planes).  The testdata embeddings
+    are 64-dim at every sf."""
     import numpy as np
-    rng = np.random.RandomState(23)
-    planes = rng.standard_normal((dim, 32))
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
     return ",".join(f"({d},{pj},{float(planes[d, pj])!r})"
-                    for d in range(dim) for pj in range(32))
+                    for d in range(dim) for pj in range(n_planes))
 
 
 def _minhash_perm_values() -> str:
@@ -1416,6 +1424,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
         """,
+        # LSH ANN: single random-hyperplane bucket per vector
+        # (RandomState(11), 8 planes — _lsh_plane_values), search
+        # restricted to each query's bucket, exact floor6 cosine
+        # ranking within it (ties by neighbor id, matching the
+        # operator's lexsort on the FLOORED sims).  Value-level: the
+        # approximation is deterministic, so it is exactly
+        # reproducible, not just recall-checkable.
+        "lsh_ann_top5": f"""
+            WITH planes(d, pj, w) AS
+                (VALUES {_lsh_plane_values(seed=11, n_planes=8)}),
+            emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), comp AS (
+                SELECT vec_id,
+                       unnest(generate_series(1, 64)) AS i1,
+                       unnest(e) AS x
+                FROM emb
+            ), dots AS (
+                SELECT c.vec_id, p.pj, sum(c.x * p.w) AS dot
+                FROM comp c JOIN planes p ON p.d = c.i1 - 1
+                GROUP BY c.vec_id, p.pj
+            ), buckets AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0
+                           THEN (1 << pj) ELSE 0 END)::BIGINT AS bucket
+                FROM dots GROUP BY vec_id
+            ), q AS (
+                SELECT vec_id AS query_id, bucket FROM buckets
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), cand AS (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       floor(list_cosine_similarity(eq.e, eb.e)
+                             * 1000000) / 1000000 AS cos_sim
+                FROM q
+                JOIN buckets b ON b.bucket = q.bucket
+                               AND b.vec_id <> q.query_id
+                JOIN emb eq ON eq.vec_id = q.query_id
+                JOIN emb eb ON eb.vec_id = b.vec_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+                FROM cand
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id, cos_sim
+            FROM ranked WHERE rn <= 5
+        """,
         "embedding_dup_pairs": """
             SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
                    floor(list_cosine_similarity(
@@ -1561,6 +1617,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
                    jaccard
             FROM est WHERE jaccard >= 0.4
+        """,
+        # Keeper components over the estimate pairs: the estimate-path
+        # CTE (proven green above) + the same recursive-CTE transitive
+        # closure that checks jaccard_dedup_keepers.  Value-level:
+        # near_dup_keepers' converged min-label propagation must equal
+        # the true min-of-component label.
+        "minhash_dedup_keepers":
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
+            , est AS (
+                SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                       floor(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0
+                                 END) / 64.0 * 1000000) / 1000000
+                           AS jaccard
+                FROM sig sa JOIN sig sb
+                  ON sa.perm = sb.perm AND sa.doc_id < sb.doc_id
+                WHERE (sa.doc_id, sb.doc_id) IN
+                      (SELECT (doc_a, doc_b) FROM cand)
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM est WHERE jaccard >= 0.4
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ), reach AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a::BIGINT AS doc_id,
+                   least(a, min(b))::BIGINT AS keeper_doc_id
+            FROM reach GROUP BY a
         """,
         "simhash_signatures": _simhash_cte() + """
             SELECT doc_id, simhash FROM sig
