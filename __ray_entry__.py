@@ -416,6 +416,22 @@ def _q_token_postings(sf_dir: str):
     return token_postings(_docs(sf_dir))
 
 
+def _q_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle: (shard, pos) per document by
+    md5-of-id — the trainer-facing shard layout, reproducible across
+    runs and cluster sizes (functions/packing.py)."""
+    from readability_ray.functions import shard_shuffle
+    return shard_shuffle(_docs(sf_dir), n_shards=8)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: per-shard token streams in
+    shuffle order chopped into 256-token windows; per-doc span +
+    window range (functions/packing.py)."""
+    from readability_ray.functions import pack_sequences
+    return pack_sequences(_docs(sf_dir), seq_len=256, n_shards=8)
+
+
 def _q_doc_length_percentiles(sf_dir: str):
     from readability_ray.functions import doc_length_percentiles
     return doc_length_percentiles(_docs(sf_dir))
@@ -787,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scan": _q_pii_scan,
         "token_postings": _q_token_postings,
+        "shard_shuffle": _q_shard_shuffle,
+        "pack_sequences": _q_pack_sequences,
         "doc_length_percentiles": _q_doc_length_percentiles,
         "pricing_summary": _q_pricing_summary,
         "segment_top_orders": _q_segment_top_orders,
@@ -1249,6 +1267,48 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
+        """,
+        "shard_shuffle": """
+            WITH t AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                        ::UBIGINT % 8)::BIGINT AS shard,
+                       md5(doc_id::VARCHAR) AS rk
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   (row_number() OVER (
+                        PARTITION BY shard ORDER BY rk, doc_id)
+                    - 1)::BIGINT AS pos
+            FROM t
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                        ::UBIGINT % 8)::BIGINT AS shard,
+                       md5(doc_id::VARCHAR) AS rk,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), w AS (
+                SELECT doc_id, shard, n_tokens,
+                       (row_number() OVER win - 1)::BIGINT AS pos,
+                       (sum(n_tokens) OVER win - n_tokens)::BIGINT
+                           AS begin_token
+                FROM t
+                WINDOW win AS (PARTITION BY shard ORDER BY rk, doc_id)
+            )
+            SELECT doc_id, shard, pos, begin_token, n_tokens,
+                   (begin_token // 256)::BIGINT AS first_seq,
+                   (CASE WHEN n_tokens > 0
+                         THEN (begin_token + n_tokens - 1) // 256
+                         ELSE begin_token // 256 END)::BIGINT AS last_seq,
+                   (CASE WHEN n_tokens > 0
+                         THEN (begin_token + n_tokens - 1) // 256
+                              - begin_token // 256 + 1
+                         ELSE 0 END)::BIGINT AS n_seqs
+            FROM w
         """,
         "segment_top_orders": """
             SELECT l.l_orderkey AS o_orderkey,

@@ -100,7 +100,7 @@ def _run_benchmarks() -> None:
                      "events_range_join", "bpe_token_stats",
                      "token_frequency_top50", "events_sessionize",
                      "corpus_clean", "repetition_scores", "source_cap",
-                     "decontaminate",
+                     "decontaminate", "shard_shuffle", "pack_sequences",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

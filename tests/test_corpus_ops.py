@@ -200,3 +200,59 @@ def test_pii_matches_duckdb_regex_semantics(ray_session):
     """).fetchdf()
     for col in ("n_emails", "n_ipv4", "n_phones"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_shard_shuffle_deterministic_partition(ray_session):
+    """(shard, pos) is a bijection onto dense per-shard positions,
+    matches the md5 spec exactly, and is stable across runs."""
+    import hashlib
+
+    import ray.data
+    from readability_ray.functions import shard_shuffle
+    rows = [{"doc_id": i, "text": "x"} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    df = shard_shuffle(ds, n_shards=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 200
+    # shard matches the hash_split md5 convention
+    for _, r in df.head(20).iterrows():
+        d = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        assert r.shard == int(d[:8], 16) % 4
+    # positions are dense 0..n-1 per shard
+    for _s, g in df.groupby("shard"):
+        assert sorted(g.pos) == list(range(len(g)))
+    # order within a shard follows md5 rank
+    g0 = df[df.shard == 0].copy()
+    g0["rk"] = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in g0.doc_id]
+    assert g0.sort_values("pos").rk.is_monotonic_increasing
+    # stable across executions
+    df2 = shard_shuffle(ds, n_shards=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert df.equals(df2)
+
+
+def test_pack_sequences_concat_and_chunk(ray_session):
+    """Per-shard streams: begin_token is the exclusive prefix sum in
+    shuffle order, window range covers the span, zero-token docs span
+    no window, long docs span several."""
+    import ray.data
+    from readability_ray.functions import pack_sequences
+    rows = [{"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in enumerate([5, 0, 12, 3, 7, 30, 1, 4] * 8)]
+    ds = ray.data.from_items(rows)
+    df = pack_sequences(ds, seq_len=8, n_shards=2).to_pandas()
+    assert len(df) == len(rows)
+    for _s, g in df.groupby("shard"):
+        g = g.sort_values("pos").reset_index(drop=True)
+        # exclusive prefix sum
+        assert (g.begin_token == g.n_tokens.cumsum() - g.n_tokens).all()
+        nz = g[g.n_tokens > 0]
+        assert (nz.first_seq == nz.begin_token // 8).all()
+        assert (nz.last_seq ==
+                (nz.begin_token + nz.n_tokens - 1) // 8).all()
+        assert (nz.n_seqs == nz.last_seq - nz.first_seq + 1).all()
+        z = g[g.n_tokens == 0]
+        assert (z.n_seqs == 0).all()
+    # a 30-token doc must span >= 4 windows of 8
+    assert df[df.n_tokens == 30].n_seqs.min() >= 4
