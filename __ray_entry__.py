@@ -416,6 +416,14 @@ def _q_token_postings(sf_dir: str):
     return token_postings(_docs(sf_dir))
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (two keyed exchanges: token
+    co-location scores df+tfidf in one pass, doc co-location takes the
+    head-k; functions/textstats.py)."""
+    from readability_ray.functions import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
 def _q_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle: (shard, pos) per document by
     md5-of-id — the trainer-facing shard layout, reproducible across
@@ -803,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scan": _q_pii_scan,
         "token_postings": _q_token_postings,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "shard_shuffle": _q_shard_shuffle,
         "pack_sequences": _q_pack_sequences,
         "doc_length_percentiles": _q_doc_length_percentiles,
@@ -1267,6 +1276,28 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR), doc_id) <= 40
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (
+                SELECT count(*)::DOUBLE AS n FROM documents
+            )
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   floor(tf.tf * ln(n.n / df.df) * 1000000) / 1000000
+                       AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY floor(tf.tf * ln(n.n / df.df) * 1000000)
+                         / 1000000 DESC, tf.token) <= 5
         """,
         "shard_shuffle": """
             WITH t AS (

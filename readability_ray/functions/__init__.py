@@ -10,7 +10,7 @@ SQL oracle exists.
 from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
-    token_frequency_topk, token_postings, token_stats,
+    tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
@@ -51,5 +51,5 @@ __all__ = [
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "stratified_sample",
-    "pack_sequences", "shard_shuffle",
+    "pack_sequences", "shard_shuffle", "tfidf_top_terms",
 ]

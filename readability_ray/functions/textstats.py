@@ -530,3 +530,86 @@ def corpus_clean(ds: ray.data.Dataset, *, min_tokens: int = 30,
         return batch.select(cols)
 
     return out.map_batches(tidy, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, k: int = 5,
+                    n_docs: int | None = None,
+                    n_partitions: int | None = None) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document (tfidf = tf · ln(N/df)) — the
+    classic per-document keyword signal (corpus search, topic tags,
+    near-dup explanations).
+
+    Scale shape, two keyed exchanges and nothing else:
+
+    1. per-batch (doc_id, token, tf) partials — each document lives in
+       exactly one batch, so its tf rows are final; the raw token
+       stream never crosses a wire;
+    2. ``repartition(keys=["token"])`` co-locates each token, and ONE
+       per-partition pandas pass both computes df (the token's group
+       size — every doc row for it is present) and scores tfidf;
+    3. ``repartition(keys=["doc_id"])`` + per-partition head(k) by
+       (-tfidf, token) — deterministic ties, no Dataset-level
+       HashAggregate anywhere.
+
+    N is the one scalar: ``ds.count()`` (parquet metadata read) unless
+    passed in.  Scores are floor-6 so the DuckDB oracle hashes
+    identically (ln on float64 agrees bit-for-bit — same libm).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+    n = float(n_docs if n_docs is not None else ds.count())
+    token_re = _re.compile(r"\S+")
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        import collections
+        ids: list = []
+        toks: list = []
+        tfs: list = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for tok, c in collections.Counter(
+                    token_re.findall(text or "")).items():
+                ids.append(doc_id)
+                toks.append(tok)
+                tfs.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "token" not in batch.columns:
+            # hash-shuffle empty partitions arrive as schema-less blocks
+            return arrow_out(pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64"),
+                 "tfidf": pd.Series([], dtype="float64")}))
+        df = batch.groupby("token", sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        tfidf = np.floor(batch["tf"].to_numpy()
+                         * np.log(n / df) * 1e6) / 1e6
+        return arrow_out(batch.assign(tfidf=tfidf))
+
+    def topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "doc_id" not in batch.columns:
+            return arrow_out(pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64"),
+                 "tfidf": pd.Series([], dtype="float64")}))
+        kept = batch.sort_values(["doc_id", "tfidf", "token"],
+                                 ascending=[True, False, True]) \
+            .groupby("doc_id", sort=False).head(k)
+        return arrow_out(kept.reset_index(drop=True))
+
+    return ds.map_batches(tf_rows, batch_format="pyarrow") \
+        .repartition(num_blocks=n_parts, keys=["token"]) \
+        .map_batches(score, batch_format="pandas", batch_size=None) \
+        .repartition(num_blocks=n_parts, keys=["doc_id"]) \
+        .map_batches(topk, batch_format="pandas", batch_size=None)

@@ -256,3 +256,27 @@ def test_pack_sequences_concat_and_chunk(ray_session):
         assert (z.n_seqs == 0).all()
     # a 30-token doc must span >= 4 windows of 8
     assert df[df.n_tokens == 30].n_seqs.min() >= 4
+
+
+def test_tfidf_top_terms(ray_session):
+    """tfidf = tf·ln(N/df): corpus-wide terms score 0, rare terms
+    rank first, ties break by token asc, head-k respected."""
+    import ray.data
+    from readability_ray.functions import tfidf_top_terms
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "apple apple banana common"},
+        {"doc_id": 2, "text": "banana cherry common"},
+        {"doc_id": 3, "text": "cherry common"},
+    ])
+    df = tfidf_top_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "tfidf", "token"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    assert (df.groupby("doc_id").size() <= 2).all()
+    d1 = df[df.doc_id == 1]
+    # 'apple' (tf=2, df=1) dominates doc 1
+    assert d1.iloc[0].token == "apple"
+    assert d1.iloc[0].tf == 2
+    expected = math.floor(2 * math.log(3 / 1) * 1e6) / 1e6
+    assert d1.iloc[0].tfidf == expected
+    # 'common' is in every doc -> tfidf 0, never beats a rarer term
+    assert "common" not in set(df[df.doc_id == 1].token)
