@@ -273,6 +273,44 @@ def _q_pdf_text(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_warc_ingest(sf_dir: str):
+    """WARC source round trip (the Common-Crawl-native ingestion path,
+    sources/warc.py): deterministic CC-style ``.warc.gz`` shards are
+    synthesized from the documents table (one gzip member per record,
+    cached under /tmp), re-ingested through the streaming
+    ``WarcDatasource`` (one read task per shard, bounded blocks), and
+    digested — the SQL oracle re-derives url / payload md5 / byte
+    length / fetch time from the table, so the writer→gzip→parser→
+    HTTP-envelope chain is value-checked end-to-end."""
+    import pyarrow as pa
+    from readability_ray.sources.warc import (documents_warc_fixture,
+                                              read_warc)
+
+    shard_dir = documents_warc_fixture(sf_dir)
+    ds = read_warc(shard_dir, records_per_block=256)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import datetime
+        import hashlib
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        unix0 = datetime.datetime(1970, 1, 1)
+        return pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                               pa.int64()),
+            "url": batch.column("url"),
+            "html_md5": pa.array(
+                [hashlib.md5(h).hexdigest() for h in htmls], pa.string()),
+            "n_bytes": pa.array([len(h) for h in htmls], pa.int64()),
+            "fetch_epoch_s": pa.array(
+                [int((t - unix0).total_seconds()) for t in tss],
+                pa.int64()),
+        })
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # training-data ops (SQL-checked unless noted)
 # --------------------------------------------------------------------------
@@ -795,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frame_samples": _q_video_frames,
         "pdf_text_extract": _q_pdf_text,
+        "warc_ingest": _q_warc_ingest,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1298,6 +1337,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY floor(tf.tf * ln(n.n / df.df) * 1000000)
                          / 1000000 DESC, tf.token) <= 5
+        """,
+        "warc_ingest": """
+            WITH w AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || doc_id ||
+                       '</title></head><body><p>' || coalesce(text, '')
+                       || '</p></body></html>' AS payload
+                FROM documents
+            )
+            SELECT doc_id,
+                   'https://warc.test/doc/' || doc_id AS url,
+                   md5(payload) AS html_md5,
+                   strlen(payload)::BIGINT AS n_bytes,
+                   (1704067200 + doc_id)::BIGINT AS fetch_epoch_s
+            FROM w
         """,
         "shard_shuffle": """
             WITH t AS (

@@ -1,0 +1,215 @@
+"""WARC source/sink: writer↔parser round trips, streaming framing
+edges, the Ray datasource, the distributed sink, and the
+documents-table fixture the SQL-oracled ``warc_ingest`` query reads.
+"""
+
+import datetime
+import gzip
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from readability_ray.sources.warc import (
+    WarcStreamParser, doc_html_wrapper, documents_warc_fixture,
+    iter_warc_records, read_warc, split_http_response, warc_record_bytes,
+    write_warc, write_warc_shards)
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _recs(n=5):
+    out = []
+    for i in range(n):
+        html = f"<html><body><p>page {i} 記事</p></body></html>" \
+            .encode("utf-8")
+        out.append({"url": f"https://example.test/p/{i}",
+                    "warc_ts": EPOCH + datetime.timedelta(seconds=i),
+                    "html": html})
+    return out
+
+
+def _responses(records):
+    return [r for r in records if r["warc_type"] == "response"]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_round_trip(tmp_path, compress):
+    recs = _recs()
+    path = str(tmp_path / ("a.warc.gz" if compress else "a.warc"))
+    n, n_bytes = write_warc(path, recs, compress=compress)
+    assert n == 5 and n_bytes == os.path.getsize(path)
+    parsed = list(iter_warc_records(open(path, "rb").read()))
+    assert [r["warc_type"] for r in parsed][0] == "warcinfo"
+    resp = _responses(parsed)
+    assert len(resp) == 5
+    for want, got in zip(recs, resp):
+        assert got["url"] == want["url"]
+        assert got["warc_ts"] == want["warc_ts"]
+        status, ctype, body = split_http_response(got["payload"])
+        assert status == 200
+        assert ctype.startswith("text/html")
+        assert body == want["html"]
+
+
+def test_writer_deterministic(tmp_path):
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc(p1, _recs())
+    write_warc(p2, _recs())
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_binary_payload_and_empty(tmp_path):
+    recs = [{"url": "https://example.test/bin",
+             "warc_ts": EPOCH,
+             "html": bytes(range(256)) * 3},
+            {"url": "https://example.test/empty",
+             "warc_ts": EPOCH, "html": b""}]
+    path = str(tmp_path / "bin.warc.gz")
+    write_warc(path, recs)
+    resp = _responses(list(iter_warc_records(open(path, "rb").read())))
+    assert split_http_response(resp[0]["payload"])[2] == recs[0]["html"]
+    assert split_http_response(resp[1]["payload"])[2] == b""
+
+
+def test_streaming_parser_chunked():
+    """Records split at every possible 7-byte boundary still parse."""
+    raw = b"".join(warc_record_bytes(f"https://t/{i}", EPOCH,
+                                     f"body{i}".encode())
+                   for i in range(4))
+    p = WarcStreamParser()
+    got = []
+    for ofs in range(0, len(raw), 7):
+        got.extend(p.feed(raw[ofs:ofs + 7]))
+    got.extend(p.finish())
+    assert [g["url"] for g in got] == [f"https://t/{i}" for i in range(4)]
+    assert split_http_response(got[3]["payload"])[2] == b"body3"
+
+
+def test_truncated_tail_strict_vs_lenient():
+    raw = warc_record_bytes("https://t/0", EPOCH, b"x" * 100)
+    p = WarcStreamParser(strict=True)
+    p.feed(raw[:len(raw) - 40])
+    with pytest.raises(ValueError):
+        p.finish()
+    p2 = WarcStreamParser(strict=False)
+    out = p2.feed(raw[:len(raw) - 40])
+    out.extend(p2.finish())
+    assert len(out) == 1 and out[0]["warc_type"] == "error"
+    assert "truncated" in out[0]["error"]
+
+
+def test_garbage_prefix():
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"NOT A WARC FILE AT ALL\r\n\r\n"))
+    out = list(iter_warc_records(b"NOT A WARC FILE AT ALL\r\n\r\n",
+                                 strict=False))
+    assert out and out[0]["warc_type"] == "error"
+
+
+def test_oversize_record_drained_not_buffered():
+    big = warc_record_bytes("https://t/big", EPOCH, b"y" * 10_000)
+    small = warc_record_bytes("https://t/small", EPOCH, b"ok")
+    p = WarcStreamParser(max_record_bytes=1000)
+    got = []
+    for ofs in range(0, len(big) + len(small), 512):
+        got.extend(p.feed((big + small)[ofs:ofs + 512]))
+        assert len(p._buf) < 2048  # payload never accumulates
+    got.extend(p.finish())
+    assert got[0]["error"] and "oversize" in got[0]["error"]
+    assert got[1]["url"] == "https://t/small"
+    assert split_http_response(got[1]["payload"])[2] == b"ok"
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    recs = _recs(30)
+    write_warc(str(tmp_path / "s0.warc.gz"), recs[:17])
+    write_warc(str(tmp_path / "s1.warc.gz"), recs[17:])
+    ds = read_warc(str(tmp_path), records_per_block=8)
+    t = pa.concat_tables([pa.Table.from_pandas(b)
+                          for b in [ds.to_pandas()]])
+    df = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(df) == 30
+    assert df["error"].isna().all()
+    assert (df["http_status"] == 200).all()
+    want = sorted(recs, key=lambda r: r["url"])
+    assert list(df["url"]) == [r["url"] for r in want]
+    assert [bytes(h) for h in df["html"]] == [r["html"] for r in want]
+    assert list(df["warc_ts"]) == [r["warc_ts"] for r in want]
+
+
+def test_read_warc_feeds_extraction(ray_session, tmp_path):
+    """WARC ingest output plugs straight into the extraction stage."""
+    html = ("<html><head><title>T</title></head><body><main><article>"
+            + "".join(f"<p>Paragraph {i} with some real words in it, "
+                      f"enough to score as content.</p>" for i in range(8))
+            + "</article></main></body></html>").encode()
+    write_warc(str(tmp_path / "x.warc.gz"),
+               [{"url": "https://example.test/a", "warc_ts": EPOCH,
+                 "html": html}])
+    from readability_ray.stages.extract_stage import extract_batch_task
+    ds = read_warc(str(tmp_path)).drop_columns(
+        ["http_status", "content_type", "error"])
+    out = ds.map_batches(extract_batch_task, batch_format="pyarrow") \
+        .to_pandas()
+    assert len(out) == 1
+    assert "Paragraph 3" in out.iloc[0]["markdown"]
+
+
+def test_write_warc_shards_round_trip(ray_session, tmp_path):
+    import ray.data
+    recs = _recs(25)
+    src = pa.table({
+        "url": [r["url"] for r in recs],
+        "warc_ts": pa.array([r["warc_ts"] for r in recs],
+                            pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in recs], pa.binary())})
+    out_dir = str(tmp_path / "out")
+    manifest = write_warc_shards(ray.data.from_arrow(src), out_dir,
+                                 records_per_shard=10).to_pandas()
+    assert manifest["n_records"].sum() == 25
+    for p in manifest["shard_path"]:
+        assert os.path.isfile(p)
+    back = read_warc(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert len(back) == 25
+    assert [bytes(h) for h in back["html"]] == \
+        [r["html"] for r in sorted(recs, key=lambda r: r["url"])]
+
+
+def test_documents_fixture_matches_table(ray_session, tmp_path):
+    d = documents_warc_fixture(SF, cache_root=str(tmp_path))
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    got = read_warc(d).to_pandas()
+    assert len(got) == len(docs)
+    got["doc_id"] = got["url"].str.rsplit("/", n=1).str[1].astype("int64")
+    merged = got.merge(docs, on="doc_id")
+    assert len(merged) == len(docs)
+    for _, row in merged.head(50).iterrows():
+        want = doc_html_wrapper(int(row["doc_id"]), row["text"]) \
+            .encode("utf-8")
+        assert bytes(row["html"]) == want
+    # md5 check over ALL rows (what the SQL oracle hashes)
+    h_got = [hashlib.md5(bytes(h)).hexdigest() for h in merged["html"]]
+    h_want = [hashlib.md5(doc_html_wrapper(int(i), t).encode()).hexdigest()
+              for i, t in zip(merged["doc_id"], merged["text"])]
+    assert h_got == h_want
+
+
+def test_arrow_multi_member_gzip_assumption(tmp_path):
+    """read_warc relies on Arrow streaming across gzip members —
+    pin that behavior so a pyarrow upgrade can't silently truncate
+    ingestion to one record per shard."""
+    from pyarrow import fs
+    p = str(tmp_path / "m.gz")
+    with open(p, "wb") as f:
+        f.write(b"".join(gzip.compress(f"m{i}|".encode(), mtime=0)
+                         for i in range(3)))
+    got = fs.LocalFileSystem().open_input_stream(
+        p, compression="gzip").read()
+    assert got == b"m0|m1|m2|"
