@@ -315,6 +315,47 @@ def _q_warc_ingest(sf_dir: str):
 # training-data ops (SQL-checked unless noted)
 # --------------------------------------------------------------------------
 
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping token-window passage chunking (RAG / context-window
+    prep, functions/chunking.py) — ONE stateless vectorized map, no
+    exchange; the window arithmetic and per-chunk md5 are re-derived
+    in DuckDB list-slice SQL."""
+    from readability_ray.functions import chunk_documents
+    return chunk_documents(_docs(sf_dir), window=32, stride=24)
+
+
+def _q_markdown_line_dedup(sf_dir: str):
+    """CCNet-style cross-page boilerplate removal over the engine's
+    OWN extraction output: lines of extracted markdown occurring in
+    more than max_doc_freq distinct pages (site navigation, footers)
+    are dropped corpus-wide; kept lines reassemble in order.  Two hash
+    exchanges (line-key, then url).  Rows-only for the driver (the
+    pages table is engine-generated); the value-level DuckDB
+    differential lives in tests/test_chunking.py."""
+    import pyarrow as pa
+    from readability_ray.functions import line_dedup
+    from readability_ray.pipelines import extract_pipeline
+
+    md = extract_pipeline(_pages_ds(sf_dir), use_actors=False,
+                          batch_size=64) \
+        .select_columns(["url", "markdown"])
+    out = line_dedup(md, max_doc_freq=5)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+        texts = batch.column("clean_text").to_pylist()
+        return pa.table({
+            "url": batch.column("url"),
+            "clean_md5": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in texts], pa.string()),
+            "n_lines": batch.column("n_lines"),
+            "n_removed": batch.column("n_removed"),
+        })
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_token_stats(sf_dir: str):
     from readability_ray.functions import token_stats
     return token_stats(_docs(sf_dir))
@@ -834,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_samples": _q_video_frames,
         "pdf_text_extract": _q_pdf_text,
         "warc_ingest": _q_warc_ingest,
+        "doc_chunks": _q_doc_chunks,
+        "markdown_line_dedup": _q_markdown_line_dedup,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1337,6 +1380,29 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY floor(tf.tf * ln(n.n / df.df) * 1000000)
                          / 1000000 DESC, tf.token) <= 5
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n
+                FROM documents
+            ), meta AS (
+                SELECT doc_id, t, n,
+                       CASE WHEN n > 32
+                            THEN (n - 32 + 24 - 1) // 24 ELSE 0 END + 1
+                           AS n_chunks
+                FROM toks WHERE n > 0
+            ), c AS (
+                SELECT doc_id, t, n,
+                       unnest(generate_series(0, n_chunks - 1)) AS ci
+                FROM meta
+            )
+            SELECT doc_id, ci::BIGINT AS chunk_index,
+                   (ci * 24)::BIGINT AS begin_token,
+                   least(32, n - ci * 24)::BIGINT AS n_tokens,
+                   md5(array_to_string(
+                       t[ci * 24 + 1 : ci * 24 + 32], ' ')) AS chunk_md5
+            FROM c
         """,
         "warc_ingest": """
             WITH w AS (

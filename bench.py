@@ -101,7 +101,8 @@ def _run_benchmarks() -> None:
                      "token_frequency_top50", "events_sessionize",
                      "corpus_clean", "repetition_scores", "source_cap",
                      "decontaminate", "shard_shuffle", "pack_sequences",
-                     "tfidf_top_terms",
+                     "tfidf_top_terms", "warc_ingest", "doc_chunks",
+                     "markdown_line_dedup",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

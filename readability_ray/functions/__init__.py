@@ -28,6 +28,7 @@ from .corpus import (
     decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
     repetition_scores, source_cap, stratified_sample,
 )
+from .chunking import chunk_documents, line_dedup
 from .packing import pack_sequences, shard_shuffle
 from .relational import (
     pricing_summary, region_nation_revenue, segment_top_orders,
@@ -52,4 +53,5 @@ __all__ = [
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "stratified_sample",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
+    "chunk_documents", "line_dedup",
 ]

@@ -1,0 +1,196 @@
+"""Segment-level corpus operators: passage chunking (RAG / context-
+window prep) and cross-document line dedup (CCNet-style boilerplate
+removal over extracted page text).
+
+- ``chunk_documents``  overlapping fixed-size token windows per
+  document — the standard retrieval/packing chunker (window W, stride
+  S; the last chunk is the first one whose window reaches the end, so
+  no fully-redundant tail chunks).  Embarrassingly parallel: ONE
+  stateless vectorized map, no exchange; exactly reproducible, so it
+  carries a value-level DuckDB oracle (list-slice window arithmetic).
+
+- ``line_dedup``  removes lines whose document frequency across the
+  corpus exceeds a threshold (navigation, footers, cookie banners —
+  the boilerplate that survives per-page extraction because every
+  page of a site shares it; CCNet's paragraph dedup, Wenzek et al.
+  2020, at line granularity).  Scale shape: explode lines with their
+  order index → ONE hash exchange keyed on the line hash (all copies
+  of a line co-locate, so doc-frequency AND the drop decision are
+  partition-local — no join, no driver set) → ONE hash exchange keyed
+  on doc id to reassemble the kept lines in order.  Text crosses each
+  exchange once; no broadcast grows with the corpus.
+
+Reference: the per-document extraction these feed on is the engine's
+reimplementation of /root/reference/src/extract (see extract.py); the
+corpus-level segmentation itself has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .util import arrow_out, strip_schema_metadata
+
+_TOKEN_RE = re.compile(r"\S+")
+# the exact strip set mirrored by the SQL differential (ASCII
+# whitespace minus \n, which cannot occur inside a split line)
+_STRIP_CHARS = " \t\r\f\v"
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(ds: ray.data.Dataset, window: int = 32,
+                    stride: int = 24, include_text: bool = False,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Overlapping token-window chunks per document.
+
+    Whitespace tokens; chunk ``i`` covers tokens
+    ``[i*stride, i*stride + window)``; chunks are emitted for
+    ``i = 0 .. ceil(max(n - window, 0) / stride)`` (the first window
+    that reaches the document end is the last — a shorter stride-tail
+    that would add no new tokens is never emitted).  Zero-token
+    documents produce no chunks.
+
+    Output: (id_col, chunk_index, begin_token, n_tokens, chunk_md5
+    [, chunk_text]) — md5 of the space-rejoined window, so the whole
+    operator is value-checkable in SQL.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_ci, out_begin, out_n, out_md5 = [], [], [], [], []
+        out_text: list[str] = []
+        for i, t in zip(ids, texts):
+            toks = _TOKEN_RE.findall(t or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + max(0, -(-(n - window) // stride))
+            for ci in range(n_chunks):
+                s = ci * stride
+                piece = toks[s:s + window]
+                joined = " ".join(piece)
+                out_id.append(i)
+                out_ci.append(ci)
+                out_begin.append(s)
+                out_n.append(len(piece))
+                out_md5.append(hashlib.md5(joined.encode()).hexdigest())
+                if include_text:
+                    out_text.append(joined)
+        id_type = batch.schema.field(id_col).type
+        cols = {
+            id_col: pa.array(out_id, id_type),
+            "chunk_index": pa.array(out_ci, pa.int64()),
+            "begin_token": pa.array(out_begin, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        }
+        if include_text:
+            cols["chunk_text"] = pa.array(out_text, pa.string())
+        return pa.table(cols)
+
+    return strip_schema_metadata(ds.select_columns([id_col, text_col])) \
+        .map_batches(chunk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+def _explode_lines(batch: pa.Table, id_col: str,
+                   text_col: str) -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_idx, out_line, out_key = [], [], [], []
+    for i, t in zip(ids, texts):
+        for j, ln in enumerate((t or "").split("\n")):
+            s = ln.strip(_STRIP_CHARS)
+            out_id.append(i)
+            out_idx.append(j)
+            out_line.append(ln)
+            # empty-after-strip lines are formatting, not boilerplate:
+            # key them "" and never count/drop them
+            out_key.append(hashlib.md5(s.encode()).hexdigest()
+                           if s else "")
+    return pa.table({
+        id_col: pa.array(out_id, batch.schema.field(id_col).type),
+        "line_idx": pa.array(out_idx, pa.int64()),
+        "line": pa.array(out_line, pa.string()),
+        "line_key": pa.array(out_key, pa.string()),
+    })
+
+
+def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
+               id_col: str = "url", text_col: str = "markdown",
+               n_partitions: int | None = None) -> ray.data.Dataset:
+    """Cross-document boilerplate line removal: a (stripped, non-empty)
+    line occurring in MORE THAN ``max_doc_freq`` distinct documents is
+    dropped from every document; kept lines are rejoined with
+    ``\\n`` in their original order.
+
+    Output: (id_col, clean_text, n_lines, n_removed).  Documents whose
+    every line was removed (or that were empty) come back with
+    ``clean_text = ""``.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    lines = strip_schema_metadata(ds.select_columns([id_col, text_col])) \
+        .map_batches(_explode_lines, batch_format="pyarrow",
+                     fn_kwargs={"id_col": id_col, "text_col": text_col})
+
+    def drop_frequent(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "line_key" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                id_col: pd.Series([], dtype="object"),
+                "line_idx": pd.Series([], dtype="int64"),
+                "line": pd.Series([], dtype="object"),
+                "removed": pd.Series([], dtype="bool")}))
+        counted = batch[batch["line_key"] != ""]
+        df = counted.groupby("line_key", sort=False)[id_col].nunique()
+        hot = set(df[df > max_doc_freq].index)
+        removed = batch["line_key"].isin(hot) if hot else \
+            pd.Series(False, index=batch.index)
+        return arrow_out(batch.assign(removed=removed)
+                         [[id_col, "line_idx", "line", "removed"]])
+
+    marked = lines.repartition(num_blocks=n_parts, keys=["line_key"]) \
+        .map_batches(drop_frequent, batch_format="pandas",
+                     batch_size=None)
+
+    def reassemble(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "line" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                id_col: pd.Series([], dtype="object"),
+                "clean_text": pd.Series([], dtype="object"),
+                "n_lines": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64")}))
+        b = batch.sort_values([id_col, "line_idx"])
+        kept = b[~b["removed"]]
+        text = kept.groupby(id_col, sort=False)["line"] \
+            .agg("\n".join)
+        stats = b.groupby(id_col, sort=False).agg(
+            n_lines=("line_idx", "size"), n_removed=("removed", "sum"))
+        out = stats.join(text.rename("clean_text")).reset_index()
+        out["clean_text"] = out["clean_text"].fillna("")
+        out["n_removed"] = out["n_removed"].astype("int64")
+        return arrow_out(out[[id_col, "clean_text", "n_lines",
+                              "n_removed"]])
+
+    return marked.repartition(num_blocks=n_parts, keys=[id_col]) \
+        .map_batches(reassemble, batch_format="pandas", batch_size=None)
