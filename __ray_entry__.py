@@ -356,6 +356,26 @@ def _q_markdown_line_dedup(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_bloom_novelty(sf_dir: str):
+    """Incremental-snapshot dedup (functions/bloom.py): a Bloom filter
+    of the 'seen' snapshot (even doc_ids) is built distributed
+    (range-sharded partial bitmaps, one keyed OR exchange), broadcast
+    once via ray.put, and tested batch-locally against the full corpus
+    — zero shuffle on the corpus side.  Deterministic double hashing
+    means the oracle re-derives the exact bit pattern (false positives
+    included) in DuckDB HUGEINT SQL."""
+    import pyarrow.compute as pc
+    from readability_ray.functions import bloom_novelty
+
+    def evens(batch):
+        return batch.filter(pc.equal(
+            pc.bit_wise_and(batch.column("doc_id"), 1), 0))
+
+    docs = _docs(sf_dir)
+    seen = docs.map_batches(evens, batch_format="pyarrow")
+    return bloom_novelty(docs, seen, m_bits=1 << 16, k=4)
+
+
 def _q_token_stats(sf_dir: str):
     from readability_ray.functions import token_stats
     return token_stats(_docs(sf_dir))
@@ -877,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "doc_chunks": _q_doc_chunks,
         "markdown_line_dedup": _q_markdown_line_dedup,
+        "bloom_novelty": _q_bloom_novelty,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1380,6 +1401,32 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY floor(tf.tf * ln(n.n / df.df) * 1000000)
                          / 1000000 DESC, tf.token) <= 5
+        """,
+        "bloom_novelty": f"""
+            WITH hs AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS h
+                FROM documents
+            ), hp AS (
+                SELECT doc_id,
+                       {MD5_64_LE_SQL}::HUGEINT AS h1,
+                       ('0x' || substr(h,31,2)||substr(h,29,2)
+                        ||substr(h,27,2)||substr(h,25,2)||substr(h,23,2)
+                        ||substr(h,21,2)||substr(h,19,2)||substr(h,17,2)
+                       )::UBIGINT::HUGEINT AS h2
+                FROM hs
+            ), pos AS (
+                SELECT doc_id,
+                       ((h1 + i * h2) % {_W64}) % {1 << 16} AS p
+                FROM hp CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS i)
+            ), seen_bits AS (
+                SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0
+            )
+            SELECT pos.doc_id,
+                   bool_and(sb.p IS NOT NULL) AS maybe_seen,
+                   NOT bool_and(sb.p IS NOT NULL) AS novel
+            FROM pos LEFT JOIN seen_bits sb ON pos.p = sb.p
+            GROUP BY pos.doc_id
         """,
         "doc_chunks": r"""
             WITH toks AS (

@@ -102,7 +102,7 @@ def _run_benchmarks() -> None:
                      "corpus_clean", "repetition_scores", "source_cap",
                      "decontaminate", "shard_shuffle", "pack_sequences",
                      "tfidf_top_terms", "warc_ingest", "doc_chunks",
-                     "markdown_line_dedup",
+                     "markdown_line_dedup", "bloom_novelty",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -28,6 +28,7 @@ from .corpus import (
     decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
     repetition_scores, source_cap, stratified_sample,
 )
+from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
 from .packing import pack_sequences, shard_shuffle
 from .relational import (
@@ -54,4 +55,5 @@ __all__ = [
     "stratified_sample",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup",
+    "bloom_novelty", "build_bloom",
 ]
