@@ -356,6 +356,16 @@ def _q_markdown_line_dedup(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization (vector-store prep,
+    functions/similarity.py) — one stateless vectorized map; the
+    floor(x+0.5) rounding form is chosen BECAUSE it is bit-identical
+    between numpy float64 and DuckDB double, so every code byte is
+    value-checked via the md5 of the code list."""
+    from readability_ray.functions import embedding_quantize
+    return embedding_quantize(_embs(sf_dir))
+
+
 def _q_bloom_novelty(sf_dir: str):
     """Incremental-snapshot dedup (functions/bloom.py): a Bloom filter
     of the 'seen' snapshot (even doc_ids) is built distributed
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
+        "embedding_quantize": _q_embedding_quantize,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1401,6 +1412,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY floor(tf.tf * ln(n.n / df.df) * 1000000)
                          / 1000000 DESC, tf.token) <= 5
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> x::DOUBLE) AS v,
+                       list_max(list_transform(
+                           embedding, x -> abs(x::DOUBLE))) AS mx
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id, mx / 127 AS scale,
+                       CASE WHEN mx = 0
+                            THEN list_transform(v, x -> 0::BIGINT)
+                            ELSE list_transform(v, x ->
+                                greatest(-127, least(127,
+                                    floor(x / (mx / 127) + 0.5)))::BIGINT)
+                       END AS qv
+                FROM e
+            )
+            SELECT vec_id,
+                   floor(scale * 1000000) / 1000000 AS scale,
+                   list_sum(qv)::BIGINT AS q_sum,
+                   md5(array_to_string(qv, ',')) AS q_md5
+            FROM q
         """,
         "bloom_novelty": f"""
             WITH hs AS (

@@ -103,6 +103,7 @@ def _run_benchmarks() -> None:
                      "decontaminate", "shard_shuffle", "pack_sequences",
                      "tfidf_top_terms", "warc_ingest", "doc_chunks",
                      "markdown_line_dedup", "bloom_novelty",
+                     "embedding_quantize",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

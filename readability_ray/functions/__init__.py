@@ -17,7 +17,8 @@ from .dedup import (
     ngram_jaccard_pairs, simhash_near_pairs, simhash_signatures,
 )
 from .similarity import (
-    embedding_dup_pairs, ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
+    embedding_dup_pairs, embedding_quantize, ivf_ann_topk, kmeans_assign,
+    knn_topk, lsh_ann_topk,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
@@ -55,5 +56,5 @@ __all__ = [
     "stratified_sample",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup",
-    "bloom_novelty", "build_bloom",
+    "bloom_novelty", "build_bloom", "embedding_quantize",
 ]

@@ -518,3 +518,50 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 8, n_iter: int = 5,
         })
 
     return ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(ds: ray.data.Dataset,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    prep step for a billion-vector ANN index (4x smaller than float32,
+    8x smaller than the float64 math type).
+
+    Per vector: ``scale = max(|v|) / 127`` and
+    ``q_i = clamp(floor(v_i / scale + 0.5), -127, 127)`` — floor(x+0.5)
+    instead of round() because numpy rounds half-to-even while SQL
+    rounds half-away-from-zero; the explicit floor form is identical
+    in both, which is what makes the op value-checkable in DuckDB.
+    All-zero vectors get scale 0 and an all-zero code.
+
+    ONE stateless vectorized map, no exchange.  Output: (id_col,
+    scale [floor-6], q_sum, q_md5) — the md5 of the comma-joined int8
+    codes pins every code byte without shipping the codes to the
+    comparator.
+    """
+    import hashlib
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch, emb_col)                  # float64 exact
+        mx = np.abs(mat).max(axis=1)
+        scale = mx / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(mat / safe[:, None] + 0.5)
+        q = np.clip(q, -127, 127).astype(np.int64)
+        q[scale == 0] = 0
+        md5s = [hashlib.md5(",".join(str(int(x)) for x in row)
+                            .encode()).hexdigest() for row in q]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "scale": pa.array(_floor6(scale), pa.float64()),
+            "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+            "q_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ds.select_columns([id_col, emb_col]) \
+        .map_batches(quant, batch_format="pyarrow")

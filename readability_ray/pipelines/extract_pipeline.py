@@ -77,14 +77,33 @@ def extract_pipeline(ds: ray.data.Dataset, *, char_threshold: int = 500,
     return small_out.union(giant_out)
 
 
+def _is_warc_input(path: str) -> bool:
+    import os
+    if path.endswith((".warc", ".warc.gz")):
+        return True
+    if os.path.isdir(path):
+        return any(f.endswith((".warc", ".warc.gz"))
+                   for f in os.listdir(path))
+    return False
+
+
 def run_extraction(input_path: str, output_dir: str | None = None,
                    **kwargs) -> ray.data.Dataset:
     """Read → extract → optionally write partitioned Parquet.
 
+    Accepts Parquet pages tables OR raw WARC shards (a ``.warc[.gz]``
+    file or a directory of them — the Common-Crawl-native layout);
+    WARC records stream through ``sources/warc.py`` and failed records
+    surface as error rows, never job failures.
+
     Column pruning at the read: only (url, html) leave storage — the
     crawler's text/lang/warc_ts columns are never shipped.
     """
-    ds = ray.data.read_parquet(input_path, columns=["url", "html"])
+    if _is_warc_input(input_path):
+        from ..sources.warc import read_warc
+        ds = read_warc(input_path).select_columns(["url", "html"])
+    else:
+        ds = ray.data.read_parquet(input_path, columns=["url", "html"])
     out = extract_pipeline(ds, **kwargs)
     if output_dir is not None:
         out.write_parquet(output_dir)

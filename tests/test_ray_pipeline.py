@@ -867,3 +867,34 @@ def test_winnow_sql_oracle_short_doc_path(ray_session):
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.pos.tolist() == want.pos.tolist()
     assert [int(x) for x in got.fp] == [int(x) for x in want.fp]
+
+
+def test_embedding_quantize(ray_session):
+    import hashlib
+
+    import ray.data
+    from readability_ray.functions import embedding_quantize
+    rng = np.random.RandomState(3)
+    vecs = [rng.standard_normal(16).tolist() for _ in range(20)]
+    vecs.append([0.0] * 16)            # all-zero vector -> scale 0
+    vecs.append([-2.0, 1.0] + [0.0] * 14)  # max is negative side
+    ds = ray.data.from_items([
+        {"vec_id": i, "embedding": v} for i, v in enumerate(vecs)])
+    df = embedding_quantize(ds).to_pandas().set_index("vec_id")
+
+    for i, v in enumerate(vecs):
+        arr = np.asarray(v, dtype=np.float64)
+        mx = np.abs(arr).max()
+        if mx == 0:
+            q = np.zeros(len(arr), dtype=np.int64)
+            scale = 0.0
+        else:
+            scale = mx / 127.0
+            q = np.clip(np.floor(arr / scale + 0.5),
+                        -127, 127).astype(np.int64)
+        assert df.loc[i, "q_sum"] == q.sum()
+        assert df.loc[i, "q_md5"] == hashlib.md5(
+            ",".join(str(int(x)) for x in q).encode()).hexdigest()
+        assert df.loc[i, "scale"] == np.floor(scale * 1e6) / 1e6
+    # the negative-max vector: -2.0 is the magnitude -> code -127
+    assert df.loc[21, "q_sum"] == -127 + 64  # 1.0/ (2/127) = 63.5 -> 64

@@ -125,6 +125,25 @@ def test_oversize_record_drained_not_buffered():
     assert split_http_response(got[1]["payload"])[2] == b"ok"
 
 
+def test_non_response_records_skipped(ray_session, tmp_path):
+    """Real CC shards interleave request/metadata records with the
+    responses; the datasource must emit only the responses."""
+    resp = warc_record_bytes("https://t/page", EPOCH, b"<html>hi</html>")
+    req = resp.replace(b"WARC-Type: response",
+                       b"WARC-Type: request", 1)
+    meta = resp.replace(b"WARC-Type: response",
+                        b"WARC-Type: metadata", 1)
+    raw = req + resp + meta
+    parsed = _responses(list(iter_warc_records(raw)))
+    assert len(parsed) == 1 and parsed[0]["url"] == "https://t/page"
+    p = str(tmp_path / "mix.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(raw, mtime=0))
+    df = read_warc(str(tmp_path)).to_pandas()
+    assert len(df) == 1
+    assert bytes(df.iloc[0]["html"]) == b"<html>hi</html>"
+
+
 def test_read_warc_dataset(ray_session, tmp_path):
     recs = _recs(30)
     write_warc(str(tmp_path / "s0.warc.gz"), recs[:17])
@@ -179,6 +198,39 @@ def test_write_warc_shards_round_trip(ray_session, tmp_path):
     assert len(back) == 25
     assert [bytes(h) for h in back["html"]] == \
         [r["html"] for r in sorted(recs, key=lambda r: r["url"])]
+
+
+def test_run_extraction_accepts_warc_input(ray_session, tmp_path):
+    """run_extraction on a directory of .warc.gz shards — the
+    CC-native end-to-end path (WARC → extract → parquet)."""
+    from readability_ray.pipelines.extract_pipeline import run_extraction
+    from readability_ray.sources.pages import generate_pages
+
+    pages = generate_pages(40, seed=7)
+    warc_dir = str(tmp_path / "crawl")
+    urls = pages.column("url").to_pylist()
+    tss = pages.column("warc_ts").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    write_warc(warc_dir + "/seg0.warc.gz",
+               [{"url": u, "warc_ts": t, "html": h}
+                for u, t, h in zip(urls[:20], tss[:20], htmls[:20])])
+    write_warc(warc_dir + "/seg1.warc.gz",
+               [{"url": u, "warc_ts": t, "html": h}
+                for u, t, h in zip(urls[20:], tss[20:], htmls[20:])])
+
+    out_dir = str(tmp_path / "out")
+    got = run_extraction(warc_dir, output_dir=out_dir,
+                         use_actors=False).to_pandas()
+    assert len(got) == 40
+    assert set(got["url"]) == set(urls)
+    # same bytes as the parquet path for a sample page
+    import ray.data
+    from readability_ray.pipelines import extract_pipeline
+    want = extract_pipeline(ray.data.from_arrow(pages),
+                            use_actors=False).to_pandas()
+    merged = got.merge(want, on="url", suffixes=("_w", "_p"))
+    assert (merged["markdown_w"] == merged["markdown_p"]).all()
+    assert (merged["extracted_text_w"] == merged["extracted_text_p"]).all()
 
 
 def test_documents_fixture_matches_table(ray_session, tmp_path):

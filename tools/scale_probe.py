@@ -24,7 +24,14 @@ Round-3 additions (run alone with --new-only):
   - segment_top_orders      (6M lineitem ⋈ 150k orders ⋈ 15k
     customers, consistent key strides across the replicated trio)
 
-Usage: python tools/scale_probe.py [num_cpus] [--new-only]
+Round-3 fourth-session additions (run alone with --s4):
+  - doc_chunks / bloom_novelty        (50k docs)
+  - warc sink + streaming re-read     (120k pages, one gzip member
+    per record — ~1.1k shards)
+  - line_dedup over extracted markdown (120k pages; boilerplate df is
+    10x sf0.1's since every copy shares its original's footer lines)
+
+Usage: python tools/scale_probe.py [num_cpus] [--new-only|--s4]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -127,6 +134,70 @@ def main() -> None:
             n_rows += batch.num_rows
         results[name] = {"sec": round(time.time() - t0, 1),
                          "rows": n_rows}
+
+    if "--s4" in sys.argv:
+        # round-3 fourth-session ops: WARC sink+source, passage
+        # chunking, line dedup over extracted markdown, Bloom novelty
+        from readability_ray.functions import (bloom_novelty,
+                                               chunk_documents,
+                                               line_dedup)
+        from readability_ray.pipelines import extract_pipeline
+        from readability_ray.sources.warc import (read_warc,
+                                                  write_warc_shards)
+
+        timed("doc_chunks_50k", lambda: chunk_documents(
+            ray.data.read_parquet(docs10), window=32, stride=24))
+
+        def bloom():
+            docs = ray.data.read_parquet(docs10)
+
+            def evens(batch):
+                ids = batch.column("doc_id") \
+                    .to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 2 == 0))
+
+            seen = docs.map_batches(evens, batch_format="pyarrow")
+            return bloom_novelty(docs, seen, m_bits=1 << 22, k=4)
+
+        timed("bloom_novelty_50k", bloom)
+
+        # pages 10x (120k real pages) for the WARC + line-dedup probes
+        pages = pages_path_for_sf(sf)
+        base = pa.concat_tables(
+            [pq.read_table(os.path.join(pages, f))
+             for f in sorted(os.listdir(pages)) if f.endswith(".parquet")]
+        ).select(["url", "warc_ts", "html"])
+        parts = []
+        for i in range(10):
+            urls = [f"{u}?copy={i}" if i else u
+                    for u in base.column("url").to_pylist()]
+            parts.append(base.set_column(
+                base.schema.get_field_index("url"), "url",
+                pa.array(urls, pa.string())))
+        pages10 = os.path.join(tmp, "pages10.parquet")
+        pq.write_table(pa.concat_tables(parts), pages10)
+
+        warc_dir = os.path.join(tmp, "warc_shards")
+        timed("warc_sink_120k", lambda: write_warc_shards(
+            ray.data.read_parquet(pages10), warc_dir,
+            records_per_shard=1024))
+        timed("warc_read_120k", lambda: read_warc(
+            warc_dir, records_per_block=256))
+
+        md_dir = os.path.join(tmp, "markdown")
+        extract_pipeline(
+            ray.data.read_parquet(pages10, columns=["url", "html"]),
+            use_actors=False, batch_size=64) \
+            .select_columns(["url", "markdown"]).write_parquet(md_dir)
+        timed("line_dedup_120k", lambda: line_dedup(
+            ray.data.read_parquet(md_dir), max_doc_freq=5))
+
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
 
     if new_only:
         from readability_ray.functions import (
