@@ -13,12 +13,14 @@ removal over extracted page text).
   corpus exceeds a threshold (navigation, footers, cookie banners —
   the boilerplate that survives per-page extraction because every
   page of a site shares it; CCNet's paragraph dedup, Wenzek et al.
-  2020, at line granularity).  Scale shape: explode lines with their
-  order index → ONE hash exchange keyed on the line hash (all copies
-  of a line co-locate, so doc-frequency AND the drop decision are
-  partition-local — no join, no driver set) → ONE hash exchange keyed
-  on doc id to reassemble the kept lines in order.  Text crosses each
-  exchange once; no broadcast grows with the corpus.
+  2020, at line granularity).  Two value-identical scale shapes (see
+  the function docstring): the default ``broadcast`` strategy moves
+  only (id, line_key) pairs through one exchange and broadcasts the
+  tiny hot set back — the document text never crosses any exchange;
+  ``colocate`` ships the lines through a line-key exchange (df count
+  and drop partition-local, no driver set) and reassembles via a
+  doc-key exchange — the fallback when the hot set itself could be
+  corpus-sized.
 
 Reference: the per-document extraction these feed on is the engine's
 reimplementation of /root/reference/src/extract (see extract.py); the
@@ -134,13 +136,47 @@ def _explode_lines(batch: pa.Table, id_col: str,
     })
 
 
+def _explode_keys(batch: pa.Table, id_col: str,
+                  text_col: str) -> pa.Table:
+    """Lean exploder for the broadcast strategy: (id, line_key) pairs
+    only — 40 bytes/line on the wire instead of the line text."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_key = [], []
+    for i, t in zip(ids, texts):
+        for ln in (t or "").split("\n"):
+            s = ln.strip(_STRIP_CHARS)
+            if s:
+                out_id.append(i)
+                out_key.append(hashlib.md5(s.encode()).hexdigest())
+    return pa.table({
+        id_col: pa.array(out_id, batch.schema.field(id_col).type),
+        "line_key": pa.array(out_key, pa.string()),
+    })
+
+
 def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
                id_col: str = "url", text_col: str = "markdown",
+               strategy: str = "broadcast",
                n_partitions: int | None = None) -> ray.data.Dataset:
     """Cross-document boilerplate line removal: a (stripped, non-empty)
     line occurring in MORE THAN ``max_doc_freq`` distinct documents is
     dropped from every document; kept lines are rejoined with
     ``\\n`` in their original order.
+
+    Two value-identical strategies:
+
+    - ``"broadcast"`` (default): the document text NEVER moves.  One
+      ids-only exchange ((id, line_key) pairs, ~40 B/line) computes
+      per-partition doc frequencies; the hot keys (df > max_doc_freq)
+      — bounded by total_lines / max_doc_freq, and in practice the
+      handful of genuinely shared boilerplate lines — are collected
+      once, ``ray.put``, and every document is cleaned batch-locally.
+    - ``"colocate"``: no driver-side set at all — the exploded lines
+      (with text) cross a line-key exchange where the df count AND the
+      drop are partition-local, then a doc-key exchange reassembles.
+      The fallback when max_doc_freq is tiny enough that the hot set
+      itself could be corpus-sized.
 
     Output: (id_col, clean_text, n_lines, n_removed).  Documents whose
     every line was removed (or that were empty) come back with
@@ -149,6 +185,12 @@ def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
     from ..state import default_partitions, ensure_hash_shuffle
     ensure_hash_shuffle(ds)
     n_parts = n_partitions or default_partitions()
+
+    if strategy == "broadcast":
+        return _line_dedup_broadcast(ds, max_doc_freq, id_col, text_col,
+                                     n_parts)
+    if strategy != "colocate":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     lines = strip_schema_metadata(ds.select_columns([id_col, text_col])) \
         .map_batches(_explode_lines, batch_format="pyarrow",
@@ -194,3 +236,56 @@ def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
 
     return marked.repartition(num_blocks=n_parts, keys=[id_col]) \
         .map_batches(reassemble, batch_format="pandas", batch_size=None)
+
+
+def _line_dedup_broadcast(ds: ray.data.Dataset, max_doc_freq: int,
+                          id_col: str, text_col: str,
+                          n_parts: int) -> ray.data.Dataset:
+    import ray
+
+    keys = strip_schema_metadata(ds.select_columns([id_col, text_col])) \
+        .map_batches(_explode_keys, batch_format="pyarrow",
+                     fn_kwargs={"id_col": id_col, "text_col": text_col})
+
+    def hot_keys(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "line_key" not in batch.columns:
+            return pa.table({"line_key": pa.array([], pa.string())})
+        df = batch.groupby("line_key", sort=False)[id_col].nunique()
+        return pa.table({"line_key": pa.array(
+            df[df > max_doc_freq].index.to_numpy(), pa.string())})
+
+    hot = keys.repartition(num_blocks=n_parts, keys=["line_key"]) \
+        .map_batches(hot_keys, batch_format="pandas", batch_size=None) \
+        .take_all()  # the boilerplate set itself — the one driver hop
+    hot_ref = ray.put(frozenset(r["line_key"] for r in hot))
+    _memo: dict = {}  # per-worker ray.get memo (one fetch each)
+
+    def clean(batch: pa.Table, *, ref) -> pa.Table:
+        hot_set = _memo.get("h")
+        if hot_set is None:
+            hot_set = _memo["h"] = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_text, out_n, out_rm = [], [], []
+        for t in texts:
+            lines = (t or "").split("\n")
+            kept, removed = [], 0
+            for ln in lines:
+                s = ln.strip(_STRIP_CHARS)
+                if s and hashlib.md5(s.encode()).hexdigest() in hot_set:
+                    removed += 1
+                else:
+                    kept.append(ln)
+            out_text.append("\n".join(kept))
+            out_n.append(len(lines))
+            out_rm.append(removed)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": pa.array(out_text, pa.string()),
+            "n_lines": pa.array(out_n, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    return strip_schema_metadata(ds.select_columns([id_col, text_col])) \
+        .map_batches(clean, batch_format="pyarrow",
+                     fn_kwargs={"ref": hot_ref})

@@ -154,8 +154,27 @@ FROM marked GROUP BY url
 """
 
 
-@pytest.mark.parametrize("k", [3, 5])
-def test_line_dedup_matches_duckdb_on_extracted_markdown(ray_session, k):
+def test_line_dedup_strategies_identical(ray_session):
+    footer = "shared footer line"
+    rows = [(f"u{i}", f"body {i}\n{footer}\n\ntail {i}")
+            for i in range(8)]
+    a = line_dedup(_md_ds(ray_session, rows), max_doc_freq=3,
+                   strategy="broadcast").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    b = line_dedup(_md_ds(ray_session, rows), max_doc_freq=3,
+                   strategy="colocate").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_removed"] == 1).all()
+    with pytest.raises(ValueError):
+        line_dedup(_md_ds(ray_session, rows), strategy="nope")
+
+
+@pytest.mark.parametrize("k,strategy", [(3, "broadcast"),
+                                        (5, "broadcast"),
+                                        (5, "colocate")])
+def test_line_dedup_matches_duckdb_on_extracted_markdown(ray_session, k,
+                                                         strategy):
     """Differential against DuckDB over REAL extraction output: 150
     synthetic pages share site footers/navigation across pages — the
     exact boilerplate the operator exists to remove."""
@@ -167,7 +186,8 @@ def test_line_dedup_matches_duckdb_on_extracted_markdown(ray_session, k):
     md = extract_pipeline(ray.data.from_arrow(pages), use_actors=False,
                           batch_size=64) \
         .select_columns(["url", "markdown"]).to_pandas()
-    got = line_dedup(ray.data.from_pandas(md), max_doc_freq=k) \
+    got = line_dedup(ray.data.from_pandas(md), max_doc_freq=k,
+                     strategy=strategy) \
         .to_pandas().sort_values("url").reset_index(drop=True)
 
     con = duckdb.connect()
