@@ -336,9 +336,11 @@ def _q_markdown_line_dedup(sf_dir: str):
     from readability_ray.functions import line_dedup
     from readability_ray.pipelines import extract_pipeline
 
+    # materialize the (url, markdown) projection: the broadcast
+    # strategy scans its input twice and must not re-run extraction
     md = extract_pipeline(_pages_ds(sf_dir), use_actors=False,
                           batch_size=64) \
-        .select_columns(["url", "markdown"])
+        .select_columns(["url", "markdown"]).materialize()
     out = line_dedup(md, max_doc_freq=5)
 
     def digest(batch: pa.Table) -> pa.Table:

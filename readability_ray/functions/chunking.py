@@ -178,6 +178,12 @@ def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
       The fallback when max_doc_freq is tiny enough that the hot set
       itself could be corpus-sized.
 
+    Broadcast caveat: ``ds`` is scanned TWICE (the ids-only frequency
+    pass, then the clean pass), so feed it a stored table — e.g. the
+    written extraction output, as a real pipeline would — not an
+    expensive live plan, or Ray will recompute that plan both times
+    (``colocate`` scans once).
+
     Output: (id_col, clean_text, n_lines, n_removed).  Documents whose
     every line was removed (or that were empty) come back with
     ``clean_text = ""``.
