@@ -358,6 +358,20 @@ def _q_markdown_line_dedup(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_url_canonical(sf_dir: str):
+    """URL canonicalization over the pages table (crawl dedup-key
+    normalization, functions/urltools.py): one stateless map — RFC
+    3986 syntax normalization + tracking-param strip.  Rows-only
+    (dot-segment/percent state machines aren't SQL-expressible);
+    pinned by unit + hypothesis idempotence tests."""
+    import ray.data
+    from readability_ray.functions import canonicalize_urls
+    from readability_ray.sources import pages_path_for_sf
+    ds = ray.data.read_parquet(pages_path_for_sf(sf_dir),
+                               columns=["url"])
+    return canonicalize_urls(ds)
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization (vector-store prep,
     functions/similarity.py) — one stateless vectorized map; the
@@ -911,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
         "embedding_quantize": _q_embedding_quantize,
+        "url_canonical": _q_url_canonical,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

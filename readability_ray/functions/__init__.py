@@ -32,6 +32,7 @@ from .corpus import (
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
 from .packing import pack_sequences, shard_shuffle
+from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     pricing_summary, region_nation_revenue, segment_top_orders,
 )
@@ -57,4 +58,5 @@ __all__ = [
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup",
     "bloom_novelty", "build_bloom", "embedding_quantize",
+    "canonical_url", "canonicalize_urls",
 ]
