@@ -28,7 +28,11 @@ MANIFEST_NAME = "_manifest.json"
 
 
 def _shard_key(input_file: str) -> str:
-    return os.path.splitext(os.path.basename(input_file))[0]
+    name = os.path.basename(input_file)
+    for ext in (".warc.gz", ".warc", ".parquet"):
+        if name.endswith(ext):
+            return name[:-len(ext)]
+    return os.path.splitext(name)[0]
 
 
 def completed_shards(out_dir: str) -> dict[str, dict]:
@@ -92,7 +96,12 @@ def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
     if os.path.isdir(shard_dir):  # dir without manifest = incomplete
         shutil.rmtree(shard_dir)
 
-    ds = ray.data.read_parquet(input_file, columns=["url", "html"])
+    if input_file.endswith((".warc", ".warc.gz")):
+        # CC-native shard: stream records straight off the crawl file
+        from ..sources.warc import read_warc
+        ds = read_warc(input_file).select_columns(["url", "html"])
+    else:
+        ds = ray.data.read_parquet(input_file, columns=["url", "html"])
     out = extract_pipeline(ds, concurrency=concurrency,
                            batch_size=batch_size, **extract_kwargs)
     # Distributed sink: write tasks stream blocks straight to parquet —
@@ -132,7 +141,8 @@ def run_resumable_extraction(input_files: list[str], out_dir: str,
                              concurrency=(1, 8),
                              batch_size: int = 64,
                              shard_parallelism: int = 1) -> dict:
-    """Process input parquet shards, skipping ones already completed.
+    """Process input shards (parquet pages tables or raw ``.warc[.gz]``
+    crawl files), skipping ones already completed.
 
     Returns a summary {processed: [...], skipped: [...], total_rows: n}.
     Each shard is one Ray Data pipeline (read → extract → distributed

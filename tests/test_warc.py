@@ -233,6 +233,35 @@ def test_run_extraction_accepts_warc_input(ray_session, tmp_path):
     assert (merged["extracted_text_w"] == merged["extracted_text_p"]).all()
 
 
+def test_resumable_extraction_over_warc_shards(ray_session, tmp_path):
+    """run_resumable_extraction on raw crawl files: per-shard lineage
+    manifests, and a rerun skips the finished WARC shard."""
+    from readability_ray.pipelines.resume import run_resumable_extraction
+    from readability_ray.sources.pages import generate_pages
+
+    pages = generate_pages(24, seed=11)
+    rows = list(zip(pages.column("url").to_pylist(),
+                    pages.column("warc_ts").to_pylist(),
+                    pages.column("html").to_pylist()))
+    shards = []
+    for si in range(2):
+        p = str(tmp_path / f"crawl-{si}.warc.gz")
+        write_warc(p, [{"url": u, "warc_ts": t, "html": h}
+                       for u, t, h in rows[si * 12:(si + 1) * 12]])
+        shards.append(p)
+
+    out_dir = str(tmp_path / "out")
+    summary = run_resumable_extraction(shards, out_dir)
+    assert summary["processed"] == ["crawl-0", "crawl-1"]
+    assert summary["total_rows"] == 24
+    for si in range(2):
+        assert os.path.isfile(os.path.join(
+            out_dir, f"shard=crawl-{si}", "_manifest.json"))
+    again = run_resumable_extraction(shards, out_dir)
+    assert again["processed"] == [] and \
+        again["skipped"] == ["crawl-0", "crawl-1"]
+
+
 def test_documents_fixture_matches_table(ray_session, tmp_path):
     d = documents_warc_fixture(SF, cache_root=str(tmp_path))
     docs = pq.read_table(os.path.join(SF, "documents.parquet"),

@@ -6,7 +6,8 @@ cluster"):
 
     ray job submit --address http://<head>:8265 --working-dir . -- \
         python tools/extract_job.py \
-            --input  /data/pages/          # dir (or single file) of parquet shards
+            --input  /data/pages/          # dir (or single file) of
+                                           # parquet or .warc[.gz] shards
             --output /data/extracted/      # one sub-dir + lineage manifest per shard
 
 In this sandbox the same entrypoint runs single-node
@@ -44,11 +45,13 @@ if _ROOT not in sys.path:
 
 def _shard_list(input_path: str) -> list[str]:
     if os.path.isdir(input_path):
-        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+        files = sorted(
+            f for pat in ("*.parquet", "*.warc", "*.warc.gz")
+            for f in glob.glob(os.path.join(input_path, pat)))
     else:
         files = sorted(glob.glob(input_path)) or [input_path]
     if not files:
-        raise SystemExit(f"no parquet shards under {input_path!r}")
+        raise SystemExit(f"no parquet/WARC shards under {input_path!r}")
     return files
 
 
