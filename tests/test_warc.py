@@ -282,6 +282,49 @@ def test_documents_fixture_matches_table(ray_session, tmp_path):
     assert h_got == h_want
 
 
+def test_parser_fuzz_lenient_never_raises():
+    """Arbitrary byte soup through the lenient parser: no exception,
+    no unbounded buffering — crawl-tail garbage must cost one error
+    row, never the job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400), st.integers(1, 64))
+    def run(data, chunk):
+        p = WarcStreamParser(strict=False, max_record_bytes=1000)
+        out = []
+        for ofs in range(0, len(data), chunk):
+            out.extend(p.feed(data[ofs:ofs + chunk]))
+        out.extend(p.finish())
+        for rec in out:
+            assert rec["warc_type"] == "error" or "warc-" not in rec
+
+    run()
+
+
+def test_parser_fuzz_valid_records_with_garbage_tail():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(max_size=60), min_size=1, max_size=4),
+           st.binary(min_size=1, max_size=50))
+    def run(payloads, tail):
+        raw = b"".join(warc_record_bytes(f"https://t/{i}", EPOCH, p)
+                       for i, p in enumerate(payloads))
+        p = WarcStreamParser(strict=False)
+        out = p.feed(raw + b"GARBAGE" + tail)
+        out.extend(p.finish())
+        ok = [r for r in out if r["warc_type"] == "response"]
+        # every valid record before the garbage is recovered intact
+        assert len(ok) == len(payloads)
+        for i, (rec, want) in enumerate(zip(ok, payloads)):
+            assert split_http_response(rec["payload"])[2] == want
+
+    run()
+
+
 def test_arrow_multi_member_gzip_assumption(tmp_path):
     """read_warc relies on Arrow streaming across gzip members —
     pin that behavior so a pyarrow upgrade can't silently truncate
