@@ -358,6 +358,27 @@ def _q_markdown_line_dedup(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_training_chunks(sf_dir: str):
+    """The composed crawl→training-chunks pipeline
+    (pipelines/training.py): URL dedup → extraction → checkpoint →
+    boilerplate line dedup (broadcast) → quality gate → exact content
+    dedup → passage chunking, in one call.  Rows-only for the driver
+    (extraction isn't SQL-expressible); each stage carries its own
+    oracle, and the composition is pinned by deterministic end-to-end
+    tests (tests/test_training_pipeline.py)."""
+    from readability_ray.pipelines import training_data_pipeline
+    return training_data_pipeline(
+        _pages_ds_full(sf_dir), min_chars=200, boilerplate_df=5,
+        window=64, stride=48)
+
+
+def _pages_ds_full(sf_dir: str):
+    import ray.data
+    from readability_ray.sources import pages_path_for_sf
+    return ray.data.read_parquet(pages_path_for_sf(sf_dir),
+                                 columns=["url", "warc_ts", "html"])
+
+
 def _q_url_canonical(sf_dir: str):
     """URL canonicalization over the pages table (crawl dedup-key
     normalization, functions/urltools.py): one stateless map — RFC
@@ -926,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_novelty": _q_bloom_novelty,
         "embedding_quantize": _q_embedding_quantize,
         "url_canonical": _q_url_canonical,
+        "training_chunks": _q_training_chunks,
         # training-data ops
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

@@ -2,6 +2,8 @@ from .extract_pipeline import (
     dedup_pages_by_url, extract_pipeline, full_analysis_pipeline,
     run_extraction,
 )
+from .training import training_data_pipeline
 
 __all__ = ["dedup_pages_by_url", "extract_pipeline",
-           "full_analysis_pipeline", "run_extraction"]
+           "full_analysis_pipeline", "run_extraction",
+           "training_data_pipeline"]
