@@ -324,6 +324,21 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), window=32, stride=24)
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, token-gram
+    granularity, functions/substring.py): every 8-token run occurring
+    ≥2 times corpus-wide (within-doc repeats count) is cut from every
+    document — drop-all semantics, order-independent.  Colocate
+    strategy: one gram-key exchange (count + hit emission partition-
+    local) and one doc-key exchange (union + keyed repartition; hits
+    are ids-only).  The whole operator — gram windows, occurrence
+    counting, covered-span union, token cut — is re-derived in DuckDB
+    window/md5 SQL for a value-level oracle."""
+    from readability_ray.functions import substring_dedup
+    return substring_dedup(_docs(sf_dir), k=8, min_count=2,
+                           strategy="colocate")
+
+
 def _q_markdown_line_dedup(sf_dir: str):
     """CCNet-style cross-page boilerplate removal over the engine's
     OWN extraction output: lines of extracted markdown occurring in
@@ -943,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_text_extract": _q_pdf_text,
         "warc_ingest": _q_warc_ingest,
         "doc_chunks": _q_doc_chunks,
+        "substring_dedup": _q_substring_dedup,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
         "embedding_quantize": _q_embedding_quantize,
@@ -1501,6 +1517,56 @@ def oracle_sql() -> dict[str, str]:
                    NOT bool_and(sb.p IS NOT NULL) AS novel
             FROM pos LEFT JOIN seen_bits sb ON pos.p = sb.p
             GROUP BY pos.doc_id
+        """,
+        "substring_dedup": r"""
+            -- ExactSubstr drop-all at 8-token-gram granularity:
+            -- gram md5 via a window string_agg (CURRENT ROW .. k-1
+            -- FOLLOWING), duplicated = total occurrences >= 2,
+            -- covered tokens = union of hit windows (range join),
+            -- clean_text = kept tokens space-rejoined in order.
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, n - 1)) AS i,
+                       unnest(t) AS tok
+                FROM toks WHERE n > 0
+            ), gram_all AS (
+                SELECT doc_id, n, i AS p,
+                       string_agg(tok, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING
+                       ) AS gtext
+                FROM tok
+            ), grams AS (
+                SELECT doc_id, p, md5(gtext) AS g
+                FROM gram_all WHERE p <= n - 8
+            ), dup AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, p FROM grams
+                WHERE g IN (SELECT g FROM dup)
+            ), covered AS (
+                SELECT DISTINCT tok.doc_id, tok.i
+                FROM tok JOIN hits ON tok.doc_id = hits.doc_id
+                     AND tok.i BETWEEN hits.p AND hits.p + 7
+            ), agg AS (
+                SELECT tok.doc_id,
+                       coalesce(string_agg(tok.tok, ' ' ORDER BY tok.i)
+                                FILTER (WHERE c.i IS NULL), '')
+                           AS clean_text,
+                       count(*)::BIGINT AS n_tokens,
+                       count(c.i)::BIGINT AS n_removed
+                FROM tok LEFT JOIN covered c
+                     ON tok.doc_id = c.doc_id AND tok.i = c.i
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_removed, 0)::BIGINT AS n_removed
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "doc_chunks": r"""
             WITH toks AS (

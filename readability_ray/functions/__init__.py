@@ -31,6 +31,7 @@ from .corpus import (
 )
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
+from .substring import substring_dedup
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -56,7 +57,7 @@ __all__ = [
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "stratified_sample",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
-    "chunk_documents", "line_dedup",
+    "chunk_documents", "line_dedup", "substring_dedup",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
