@@ -339,6 +339,22 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_lm_quality_scores(sf_dir: str):
+    """CCNet-style LM quality scoring (functions/lmscore.py): an
+    add-one-smoothed bigram model is TRAINED ON THE CORPUS (top-16
+    vocab by frequency, deterministic ties; bigrams pruned below 2
+    occurrences; OOV → UNK), broadcast once, and every document scored
+    by average bigram ln-probability — the perplexity-filter shape,
+    with the KenLM stand-in self-trained.  Training: one vocab-keyed +
+    one pair-keyed exchange of per-batch partials; scoring: one
+    stateless map, no exchange.  Value-level DuckDB oracle (top-V
+    vocab, UNK mapping and smoothed arithmetic re-derived in SQL;
+    floor-6 float)."""
+    from readability_ray.functions import lm_quality_scores
+    return lm_quality_scores(_docs(sf_dir), vocab_size=16,
+                             min_bigram_count=2)
+
+
 def _q_markdown_line_dedup(sf_dir: str):
     """CCNet-style cross-page boilerplate removal over the engine's
     OWN extraction output: lines of extracted markdown occurring in
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "doc_chunks": _q_doc_chunks,
         "substring_dedup": _q_substring_dedup,
+        "lm_quality_scores": _q_lm_quality_scores,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
         "embedding_quantize": _q_embedding_quantize,
@@ -1517,6 +1534,57 @@ def oracle_sql() -> dict[str, str]:
                    NOT bool_and(sb.p IS NOT NULL) AS novel
             FROM pos LEFT JOIN seen_bits sb ON pos.p = sb.p
             GROUP BY pos.doc_id
+        """,
+        "lm_quality_scores": r"""
+            -- self-trained add-one bigram LM: top-16 vocab
+            -- (count desc, token asc), OOV -> UNK (empty
+            -- string), bigrams pruned below 2, avg ln-prob
+            -- per doc, floor-6.
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i,
+                       unnest(t) AS tok
+                FROM toks WHERE n > 0
+            ), vocab AS (
+                SELECT tok AS token, count(*)::BIGINT AS c
+                FROM tok GROUP BY tok ORDER BY c DESC, token ASC LIMIT 16
+            ), vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+            m AS (
+                SELECT tok.doc_id, tok.n, tok.i, coalesce(v.token, '') AS tk,
+                       coalesce(v.c, 0) AS uc
+                FROM tok LEFT JOIN vocab v ON tok.tok = v.token
+            ), big AS (
+                SELECT doc_id, i, tk AS a, uc AS ua,
+                       lead(tk) OVER (PARTITION BY doc_id ORDER BY i) AS b
+                FROM m
+            ), bc AS (
+                SELECT a, b, count(*)::BIGINT AS c FROM big WHERE b IS NOT NULL
+                GROUP BY a, b HAVING count(*) >= 2
+            ), lp AS (
+                SELECT big.doc_id,
+                       sum(ln((coalesce(bc.c, 0) + 1)::DOUBLE /
+                              (big.ua + (SELECT v FROM vsz) + 1)::DOUBLE)) AS s,
+                       count(*)::BIGINT AS nb
+                FROM big LEFT JOIN bc ON big.a = bc.a AND big.b = bc.b
+                WHERE big.b IS NOT NULL
+                GROUP BY big.doc_id
+            ), stats AS (
+                SELECT doc_id, max(n) AS n_tokens,
+                       sum(CASE WHEN tk = '' THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                FROM m GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(greatest(s.n_tokens - 1, 0), 0)::BIGINT AS n_bigrams,
+                   coalesce(s.n_oov, 0)::BIGINT AS n_oov,
+                   coalesce(floor(l.s / greatest(s.n_tokens - 1, 1) * 1e6) / 1e6,
+                            0.0)::DOUBLE AS avg_logprob
+            FROM documents d
+            LEFT JOIN stats s ON d.doc_id = s.doc_id
+            LEFT JOIN lp l ON d.doc_id = l.doc_id
         """,
         "substring_dedup": r"""
             -- ExactSubstr drop-all at 8-token-gram granularity:

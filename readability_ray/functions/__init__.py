@@ -32,6 +32,7 @@ from .corpus import (
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
 from .substring import substring_dedup
+from .lmscore import lm_quality_scores, train_bigram_lm
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -58,6 +59,7 @@ __all__ = [
     "stratified_sample",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup", "substring_dedup",
+    "lm_quality_scores", "train_bigram_lm",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
