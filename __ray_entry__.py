@@ -339,6 +339,30 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (functions/bpe.py, Sennrich
+    2016): one corpus-sized word-count exchange, then n_merges
+    iterations of (vectorized pair-stat map over the DISTINCT-WORD
+    table → tiny driver argmax with deterministic ties → stateless
+    merge apply, re-materialized per round).  Iterative argmax — not
+    SQL-expressible (rows-only); pinned by an EXACT differential
+    against the textbook single-process learner in tests/test_bpe.py."""
+    from readability_ray.functions import learn_bpe
+    return learn_bpe(_docs(sf_dir), n_merges=24)
+
+
+def _q_bpe_encode_stats(sf_dir: str):
+    """Corpus token-budget numbers under a LEARNED BPE tokenizer:
+    learn 24 merges, broadcast the rank table once, encode every doc
+    in one stateless map with a per-worker word memo (functions/
+    bpe.py).  Rows-only (the encoder is the iterative BPE algorithm);
+    the encoder itself is differential-tested against the reference
+    encode in tests/test_bpe.py."""
+    from readability_ray.functions import bpe_encode_stats, learn_bpe
+    merges = learn_bpe(_docs(sf_dir), n_merges=24)
+    return bpe_encode_stats(_docs(sf_dir), merges)
+
+
 def _q_lm_quality_scores(sf_dir: str):
     """CCNet-style LM quality scoring (functions/lmscore.py): an
     add-one-smoothed bigram model is TRAINED ON THE CORPUS (top-16
@@ -976,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "substring_dedup": _q_substring_dedup,
         "lm_quality_scores": _q_lm_quality_scores,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
         "embedding_quantize": _q_embedding_quantize,
