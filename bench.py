@@ -104,6 +104,8 @@ def _run_benchmarks() -> None:
                      "tfidf_top_terms", "warc_ingest", "doc_chunks",
                      "markdown_line_dedup", "bloom_novelty",
                      "embedding_quantize",
+                     "substring_dedup", "lm_quality_scores",
+                     "bpe_merges", "training_chunks",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
