@@ -339,6 +339,23 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance log-ratios (Xie et al. 2023, functions/
+    dsir.py): two bigram models over a SHARED raw-pool vocabulary —
+    raw = all documents, target = the lang='en' subset — broadcast
+    once; every raw doc scored log P_target − log P_raw in one
+    stateless map.  Training: two token-keyed + two pair-keyed
+    exchanges of partials.  Value-level DuckDB oracle (both models
+    re-derived in SQL; floor-6)."""
+    from readability_ray.functions import dsir_weights
+    raw = _docs(sf_dir)
+    import ray.data
+    target = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"]).filter(expr="lang == 'en'")
+    return dsir_weights(raw, target, vocab_size=16, min_bigram_count=2)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge learning (functions/bpe.py, Sennrich
     2016): one corpus-sized word-count exchange, then n_merges
@@ -1001,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "lm_quality_scores": _q_lm_quality_scores,
         "bpe_merges": _q_bpe_merges,
+        "dsir_weights": _q_dsir_weights,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -1560,6 +1578,63 @@ def oracle_sql() -> dict[str, str]:
                    NOT bool_and(sb.p IS NOT NULL) AS novel
             FROM pos LEFT JOIN seen_bits sb ON pos.p = sb.p
             GROUP BY pos.doc_id
+        """,
+        "dsir_weights": r"""
+            -- DSIR: two add-one bigram LMs over the shared
+            -- raw-pool top-16 vocab (target = lang=en subset);
+            -- per-doc summed ln-prob under each + the ratio,
+            -- floor-6.
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, lang, n,
+                       unnest(generate_series(0, n - 1)) AS i, unnest(t) AS tok
+                FROM toks WHERE n > 0
+            ), vocab AS (
+                SELECT tok AS token, count(*)::BIGINT AS c
+                FROM tok GROUP BY tok ORDER BY c DESC, token ASC LIMIT 16
+            ), vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+            m AS (
+                SELECT tok.doc_id, tok.lang, tok.i, coalesce(v.token, '') AS tk,
+                       coalesce(v.c, 0) AS uc
+                FROM tok LEFT JOIN vocab v ON tok.tok = v.token
+            ), big AS (
+                SELECT doc_id, lang, i, tk AS a, uc AS ua,
+                       lead(tk) OVER (PARTITION BY doc_id ORDER BY i) AS b
+                FROM m
+            ), bc_r AS (
+                SELECT a, b, count(*)::BIGINT AS c FROM big WHERE b IS NOT NULL
+                GROUP BY a, b HAVING count(*) >= 2
+            ), bc_t AS (
+                SELECT a, b, count(*)::BIGINT AS c FROM big
+                WHERE b IS NOT NULL AND lang = 'en'
+                GROUP BY a, b HAVING count(*) >= 2
+            ), u_t AS (
+                SELECT tk, count(*)::BIGINT AS n FROM m
+                WHERE lang = 'en' AND tk <> '' GROUP BY tk
+            ), lp AS (
+                SELECT big.doc_id,
+                       sum(ln((coalesce(bt.c, 0) + 1)::DOUBLE /
+                              (coalesce(ut.n, 0) + (SELECT v FROM vsz) + 1)::DOUBLE))
+                           AS s_t,
+                       sum(ln((coalesce(br.c, 0) + 1)::DOUBLE /
+                              (big.ua + (SELECT v FROM vsz) + 1)::DOUBLE)) AS s_r,
+                       count(*)::BIGINT AS nb
+                FROM big
+                LEFT JOIN bc_t bt ON big.a = bt.a AND big.b = bt.b
+                LEFT JOIN bc_r br ON big.a = br.a AND big.b = br.b
+                LEFT JOIN u_t ut ON big.a = ut.tk
+                WHERE big.b IS NOT NULL
+                GROUP BY big.doc_id
+            )
+            SELECT d.doc_id, coalesce(l.nb, 0)::BIGINT AS n_bigrams,
+                   coalesce(floor(l.s_t * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_target,
+                   coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
+                   coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
+            FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
         """,
         "lm_quality_scores": r"""
             -- self-trained add-one bigram LM: top-16 vocab

@@ -34,6 +34,7 @@ from .chunking import chunk_documents, line_dedup
 from .substring import substring_dedup
 from .lmscore import lm_quality_scores, train_bigram_lm
 from .bpe import bpe_encode_stats, learn_bpe, word_counts
+from .dsir import dsir_weights
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -61,7 +62,7 @@ __all__ = [
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup", "substring_dedup",
     "lm_quality_scores", "train_bigram_lm",
-    "bpe_encode_stats", "learn_bpe", "word_counts",
+    "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
