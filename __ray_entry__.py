@@ -339,6 +339,20 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_nb_classify(sf_dir: str):
+    """Distributed multinomial Naive Bayes (functions/nbayes.py) — the
+    deterministic member of the fasttext-style model-based-filter
+    family: top-16 vocab + per-label conditional counts trained in two
+    token-keyed exchanges of partials, model broadcast once, one
+    stateless argmax map (ties label asc).  Value-level DuckDB oracle
+    (priors, smoothed conditionals and the argmax re-derived in SQL)."""
+    import ray.data
+    from readability_ray.functions import naive_bayes_classify
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return naive_bayes_classify(docs, vocab_size=16)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance log-ratios (Xie et al. 2023, functions/
     dsir.py): two bigram models over a SHARED raw-pool vocabulary —
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_scores": _q_lm_quality_scores,
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
+        "nb_classify": _q_nb_classify,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -1578,6 +1593,62 @@ def oracle_sql() -> dict[str, str]:
                    NOT bool_and(sb.p IS NOT NULL) AS novel
             FROM pos LEFT JOIN seen_bits sb ON pos.p = sb.p
             GROUP BY pos.doc_id
+        """,
+        "nb_classify": r"""
+            -- multinomial NB over the top-16 vocab: ln prior
+            -- + sum of add-one-smoothed conditional ln-probs
+            -- over in-vocab occurrences; argmax ties label asc.
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS tok FROM toks WHERE n > 0
+            ), vocab AS (
+                SELECT tok AS token, count(*)::BIGINT AS c
+                FROM tok GROUP BY tok ORDER BY c DESC, token ASC LIMIT 16
+            ), vsz AS (SELECT count(*)::BIGINT AS v FROM vocab),
+            m AS (
+                SELECT tok.doc_id, tok.tok
+                FROM tok JOIN vocab v ON tok.tok = v.token
+            ), cls AS (
+                SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+            ), ntot AS (SELECT sum(n_docs)::BIGINT AS nd FROM cls),
+            cond AS (
+                SELECT d.lang, m.tok, count(*)::BIGINT AS c
+                FROM m JOIN documents d ON m.doc_id = d.doc_id
+                GROUP BY d.lang, m.tok
+            ), tot AS (
+                SELECT lang, sum(c)::BIGINT AS s FROM cond GROUP BY lang
+            ), pairs AS (
+                SELECT doc.doc_id, cls.lang, cls.n_docs
+                FROM documents doc CROSS JOIN cls
+            ), occ AS (
+                SELECT p.doc_id, p.lang,
+                       sum(ln((coalesce(cd.c, 0) + 1)::DOUBLE /
+                              (coalesce(tt.s, 0) + (SELECT v FROM vsz))::DOUBLE))
+                           AS lsum
+                FROM pairs p
+                JOIN m ON m.doc_id = p.doc_id
+                LEFT JOIN cond cd ON cd.lang = p.lang AND cd.tok = m.tok
+                LEFT JOIN tot tt ON tt.lang = p.lang
+                GROUP BY p.doc_id, p.lang
+            ), scores AS (
+                SELECT p.doc_id, p.lang,
+                       ln(p.n_docs::DOUBLE / (SELECT nd FROM ntot))
+                           + coalesce(o.lsum, 0.0) AS score
+                FROM pairs p
+                LEFT JOIN occ o ON o.doc_id = p.doc_id AND o.lang = p.lang
+            ), pick AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang ASC) AS rn
+                FROM scores
+            )
+            SELECT doc_id, lang AS pred_label,
+                   (floor(score * 1e6) / 1e6)::DOUBLE AS logprob
+            FROM pick WHERE rn = 1
         """,
         "dsir_weights": r"""
             -- DSIR: two add-one bigram LMs over the shared
