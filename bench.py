@@ -105,6 +105,7 @@ def _run_benchmarks() -> None:
                      "markdown_line_dedup", "bloom_novelty",
                      "embedding_quantize",
                      "substring_dedup", "lm_quality_scores",
+                     "dsir_weights", "nb_classify",
                      "bpe_merges", "training_chunks",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()

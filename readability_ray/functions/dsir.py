@@ -121,7 +121,8 @@ def _train_with_vocab(train_ds: ray.data.Dataset, vocab: frozenset, *,
     vocab_ref = ray.put(vocab)
 
     def uni_partials(batch: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
+        from .lmscore import _get_broadcast
+        v = _get_broadcast(vocab_ref)
         counter: collections.Counter = collections.Counter()
         for text in batch.column(text_col).to_pylist():
             counter.update(t for t in _TOKEN_RE.findall(text or "")

@@ -57,12 +57,23 @@ _TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 _UNK = ""  # unreachable as a real token (tokens are non-empty)
 
 
+_vocab_memo: dict = {}  # per-worker broadcast memo (one fetch/deser)
+
+
+def _get_broadcast(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    got = _vocab_memo.get(key)
+    if got is None:
+        import ray
+        got = _vocab_memo[key] = ray.get(ref)
+    return got
+
+
 def _bigram_partials(batch: pa.Table, *, vocab_ref,
                      text_col: str) -> pa.Table:
     import collections
 
-    import ray
-    vocab = ray.get(vocab_ref)
+    vocab = _get_broadcast(vocab_ref)
     counter: collections.Counter = collections.Counter()
     for text in batch.column(text_col).to_pylist():
         toks = _TOKEN_RE.findall(text or "")

@@ -61,7 +61,8 @@ def train_naive_bayes(train_ds: ray.data.Dataset, *,
     vocab_ref = ray.put(vocab)
 
     def cond_partials(batch: pa.Table, *, ref) -> pa.Table:
-        v = ray.get(ref)
+        from .lmscore import _get_broadcast
+        v = _get_broadcast(ref)
         counter: collections.Counter = collections.Counter()
         label_docs: collections.Counter = collections.Counter()
         labels = batch.column(label_col).to_pylist()

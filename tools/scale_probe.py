@@ -28,6 +28,13 @@ Round-3 fourth-session additions (run alone with --s4):
   - doc_chunks / bloom_novelty        (50k docs)
   - warc sink + streaming re-read     (120k pages, one gzip member
     per record — ~1.1k shards)
+
+Round-3 fifth-session additions (run alone with --s5):
+  - substring_dedup                   (50k docs — DENSE worst case:
+    replicas share every gram with their original, so ~all tokens
+    are covered hits)
+  - lm_quality_scores / nb_classify / dsir_weights / learn_bpe
+    (50k docs; model-training exchanges at 10x corpus)
   - line_dedup over extracted markdown (120k pages; boilerplate df is
     10x sf0.1's since every copy shares its original's footer lines)
 
@@ -191,6 +198,53 @@ def main() -> None:
             .select_columns(["url", "markdown"]).write_parquet(md_dir)
         timed("line_dedup_120k", lambda: line_dedup(
             ray.data.read_parquet(md_dir), max_doc_freq=5))
+
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s5" in sys.argv:
+        # round-3 fifth-session ops.  The replicated corpus is the
+        # DENSE worst case for substring_dedup: every copy shares all
+        # 8-gram windows with its original except the perturbed tail,
+        # so nearly every token of every document is covered by a
+        # duplicated gram (~2.7M gram rows through the gram-key
+        # exchange, ~2.5M ids-only hits through the doc-key exchange).
+        from readability_ray.functions import (
+            dsir_weights, learn_bpe, lm_quality_scores,
+            naive_bayes_classify, substring_dedup)
+
+        timed("substring_dedup_50k", lambda: substring_dedup(
+            ray.data.read_parquet(docs10), k=8, min_count=2))
+        timed("lm_quality_50k", lambda: lm_quality_scores(
+            ray.data.read_parquet(docs10), vocab_size=50_000,
+            min_bigram_count=2))
+        timed("nb_classify_50k", lambda: naive_bayes_classify(
+            ray.data.read_parquet(docs10), vocab_size=50_000))
+
+        def dsir():
+            docs = ray.data.read_parquet(docs10)
+
+            def evens(batch):
+                ids = batch.column("doc_id") \
+                    .to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 2 == 0))
+
+            target = docs.map_batches(evens, batch_format="pyarrow")
+            return dsir_weights(docs, target, vocab_size=50_000,
+                                min_bigram_count=2)
+
+        timed("dsir_weights_50k", dsir)
+
+        def bpe():
+            merges = learn_bpe(ray.data.read_parquet(docs10),
+                               n_merges=16)
+            return ray.data.from_arrow(merges)
+
+        timed("bpe_merges_50k", bpe)
 
         results["n_docs"] = n_docs
         print(json.dumps(results))
