@@ -339,6 +339,30 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_link_pagerank(sf_dir: str):
+    """PageRank over the EXTRACTED link graph (functions/graph.py):
+    edges come from this engine's own link extraction + hierarchy
+    analysis over the pages table (url → href), then 6 power-iteration
+    rounds — per round, two keyed exchanges of (node, float) rows and
+    a one-float dangling tree-reduce; rank table re-materialized per
+    round.  Rows-only (pages are engine-generated and distributed float
+    sums are order-dependent); the iteration is pinned against a dense
+    numpy power iteration in tests/test_graph.py."""
+    import pyarrow as pa
+    from readability_ray.functions import pagerank
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.not_equal(batch.column("href"), ""))
+        return pa.table({"src": t.column("url"),
+                         "dst": t.column("href")})
+
+    edges = _pages_ds(sf_dir) \
+        .map_batches(_link_hierarchy_batch, batch_format="pyarrow",
+                     batch_size=64) \
+        .map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, damping=0.85, n_iter=6)
+
+
 def _q_nb_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes (functions/nbayes.py) — the
     deterministic member of the fasttext-style model-based-filter
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
+        "link_pagerank": _q_link_pagerank,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,

@@ -36,6 +36,7 @@ from .lmscore import lm_quality_scores, train_bigram_lm
 from .bpe import bpe_encode_stats, learn_bpe, word_counts
 from .dsir import dsir_weights
 from .nbayes import naive_bayes_classify, train_naive_bayes
+from .graph import pagerank
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -64,7 +65,7 @@ __all__ = [
     "chunk_documents", "line_dedup", "substring_dedup",
     "lm_quality_scores", "train_bigram_lm",
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
-    "naive_bayes_classify", "train_naive_bayes",
+    "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

@@ -1,0 +1,85 @@
+"""PageRank: differential vs a dense numpy power iteration (same
+damping / dangling semantics), hand-checkable structures, duplicate
+edges, empty graph.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from readability_ray.functions.graph import pagerank
+
+
+def _edges(pairs):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string())}))
+
+
+def _dense(pairs, damping, n_iter):
+    nodes = sorted({x for e in pairs for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj: dict = {}
+    for s, d in set(pairs):
+        adj.setdefault(s, set()).add(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        new = np.full(n, (1 - damping) / n)
+        dangling = sum(r[idx[x]] for x in nodes if x not in adj)
+        new += damping * dangling / n
+        for s, ds_ in adj.items():
+            for d in ds_:
+                new[idx[d]] += damping * r[idx[s]] / len(ds_)
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _run(pairs, damping=0.85, n_iter=8):
+    # tiny graphs: 2 partitions, or per-round exchange spin-up dwarfs
+    # the work and the suite crawls
+    return {r["node"]: r["rank"]
+            for r in pagerank(_edges(pairs), damping=damping,
+                              n_iter=n_iter,
+                              n_partitions=2).take_all()}
+
+
+def test_matches_dense_reference(ray_session):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e"), ("e", "a"), ("b", "e")]
+    got = _run(pairs)
+    exp = _dense(pairs, 0.85, 8)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_mass_redistributed(ray_session):
+    # b is dangling: its mass must not vanish — ranks still sum to 1
+    got = _run([("a", "b")], n_iter=6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    exp = _dense([("a", "b")], 0.85, 6)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_duplicate_edges_count_once(ray_session):
+    # a links b twice and c once: after dedup, b and c split a's mass
+    got = _run([("a", "b"), ("a", "b"), ("a", "c")], n_iter=8)
+    assert got["b"] == pytest.approx(got["c"], abs=1e-12)
+
+
+def test_hub_ranks_highest(ray_session):
+    # star: everyone links to h
+    pairs = [(x, "h") for x in "abcde"]
+    got = _run(pairs, n_iter=8)
+    assert got["h"] == max(got.values())
+    exp = _dense(pairs, 0.85, 8)
+    assert got["h"] == pytest.approx(exp["h"], abs=1e-9)
+
+
+def test_empty_graph(ray_session):
+    out = pagerank(_edges([]), n_iter=3, n_partitions=2).take_all()
+    assert out == []
