@@ -324,6 +324,51 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), window=32, stride=24)
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange round trip — the other corpus-native format
+    besides Parquet/WARC: the documents table is written to JSONL
+    shards (Ray's distributed JSON sink), re-ingested with
+    ``ray.data.read_json`` (one read task per shard), and digested;
+    the SQL oracle re-derives doc_id / utf-8 text md5 / char length /
+    lang from the table, so the serialize→escape→parse chain is
+    value-checked end-to-end."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    try:
+        _docs_full(sf_dir).write_json(out_dir)
+        ds = ray.data.read_json(out_dir)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts],
+                                    pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+            })
+
+        # materialize before the temp dir disappears
+        return ds.map_batches(digest, batch_format="pyarrow") \
+            .materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _docs_full(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+
 def _q_substring_dedup(sf_dir: str):
     """Exact substring dedup (Lee et al. 2022 ExactSubstr, token-gram
     granularity, functions/substring.py): every 8-token run occurring
@@ -337,6 +382,16 @@ def _q_substring_dedup(sf_dir: str):
     from readability_ray.functions import substring_dedup
     return substring_dedup(_docs(sf_dir), k=8, min_count=2,
                            strategy="colocate")
+
+
+def _q_corpus_report(sf_dir: str):
+    """One-row corpus metrics summary (functions/report.py): docs /
+    empties / tokens / chars / lang histogram head in one stateless
+    partial-agg map + tiny driver reduce, plus an EXACT distinct-text
+    count through one md5-keyed exchange (the exact_dedup shape).
+    Value-level SQL oracle."""
+    from readability_ray.functions import corpus_report
+    return corpus_report(_docs_full(sf_dir))
 
 
 def _q_link_pagerank(sf_dir: str):
@@ -1054,11 +1109,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "doc_chunks": _q_doc_chunks,
         "substring_dedup": _q_substring_dedup,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "lm_quality_scores": _q_lm_quality_scores,
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "link_pagerank": _q_link_pagerank,
+        "corpus_report": _q_corpus_report,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -1782,6 +1839,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats s ON d.doc_id = s.doc_id
             LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "corpus_report": r"""
+            WITH base AS (
+                SELECT count(*)::BIGINT AS n_docs,
+                       sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0
+                           END)::BIGINT AS n_empty,
+                       sum(len(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')))::BIGINT
+                           AS total_tokens,
+                       sum(length(text))::BIGINT AS total_chars,
+                       count(DISTINCT lang)::BIGINT AS n_langs,
+                       count(DISTINCT md5(text))::BIGINT
+                           AS distinct_texts
+                FROM documents
+            ), top AS (
+                SELECT lang, count(*)::BIGINT AS c FROM documents
+                GROUP BY lang ORDER BY c DESC, lang ASC LIMIT 1
+            )
+            SELECT n_docs, n_empty, total_tokens, total_chars, n_langs,
+                   (SELECT lang FROM top) AS top_lang,
+                   (SELECT c FROM top) AS top_lang_docs,
+                   distinct_texts,
+                   (n_docs - distinct_texts)::BIGINT AS dup_docs
+            FROM base
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   length(text)::BIGINT AS n_chars, lang
+            FROM documents
         """,
         "substring_dedup": r"""
             -- ExactSubstr drop-all at 8-token-gram granularity:

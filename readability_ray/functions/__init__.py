@@ -37,6 +37,7 @@ from .bpe import bpe_encode_stats, learn_bpe, word_counts
 from .dsir import dsir_weights
 from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
+from .report import corpus_report
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -66,6 +67,7 @@ __all__ = [
     "lm_quality_scores", "train_bigram_lm",
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
+    "corpus_report",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
