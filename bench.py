@@ -23,6 +23,10 @@ import time
 def _run_benchmarks() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # host-capacity control (shared sandbox swings ±30-40%): a reading
+    # well below the session-to-session band in BASELINE.md means the
+    # box was loaded and the absolute walls below are inflated
+    probe_before = round(_cpu_probe(), 1)
 
     import ray
     if not ray.is_initialized():
@@ -112,10 +116,14 @@ def _run_benchmarks() -> None:
     for name in bench_queries:
         t0 = time.time()
         result = qs[name](sf_dir)
-        # consume fully
-        for _ in result.iter_batches(batch_format="pyarrow",
-                                     batch_size=8192):
-            pass
+        # consume fully (pa.Table / pandas results are already
+        # materialized — e.g. bpe_merges)
+        if hasattr(result, "iter_batches"):
+            for _ in result.iter_batches(batch_format="pyarrow",
+                                         batch_size=8192):
+                pass
+        else:
+            len(result)
         queries[name] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
@@ -129,6 +137,8 @@ def _run_benchmarks() -> None:
         "num_cpus": num_cpus,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / extract_sec, 1),
+        "cpu_probe_before": probe_before,
+        "cpu_probe_after": round(_cpu_probe(), 1),
     }))
     ray.shutdown()
 
