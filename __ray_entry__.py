@@ -324,6 +324,66 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), window=32, stride=24)
 
 
+def _q_wet_export(sf_dir: str):
+    """WET export round trip (sources/warc.py): the documents table is
+    written as Common-Crawl WET shards (``conversion`` records,
+    plain-text payload, one gzip member each) through the distributed
+    sink, re-ingested through the streaming WARC source, and digested;
+    the SQL oracle re-derives url / text md5 / byte length from the
+    table, so the conversion-record writer→gzip→parser chain is
+    value-checked end-to-end — the output format a 100 TB extraction
+    run publishes."""
+    import datetime
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from readability_ray.sources.warc import read_warc, write_wet_shards
+
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://warc.test/doc/{i}" for i in ids],
+                            pa.string()),
+            "warc_ts": pa.array(
+                [epoch + datetime.timedelta(seconds=int(i))
+                 for i in ids], pa.timestamp("us")),
+            "extracted_text": batch.column("text").cast(pa.string()),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="wet_export_")
+    try:
+        rows = _docs(sf_dir).map_batches(to_rows, batch_format="pyarrow")
+        write_wet_shards(rows, out_dir,
+                         records_per_shard=500).materialize()
+        ds = read_warc(out_dir, records_per_block=256)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            payloads = batch.column("html").to_pylist()
+            return pa.table({
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[1]) for u in urls],
+                    pa.int64()),
+                "text_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads],
+                    pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads],
+                                    pa.int64()),
+                "http_status": batch.column("http_status")
+                    .cast(pa.int64()),
+            })
+
+        # materialize before the temp dir disappears
+        return ds.map_batches(digest, batch_format="pyarrow") \
+            .materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL interchange round trip — the other corpus-native format
     besides Parquet/WARC: the documents table is written to JSONL
@@ -1110,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "substring_dedup": _q_substring_dedup,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "wet_export": _q_wet_export,
         "lm_quality_scores": _q_lm_quality_scores,
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
@@ -1863,6 +1924,14 @@ def oracle_sql() -> dict[str, str]:
                    distinct_texts,
                    (n_docs - distinct_texts)::BIGINT AS dup_docs
             FROM base
+        """,
+        "wet_export": """
+            -- conversion records carry the raw utf-8 text, no HTTP
+            -- envelope → http_status 0 from the reader
+            SELECT doc_id, md5(text) AS text_md5,
+                   strlen(text)::BIGINT AS n_bytes,
+                   0::BIGINT AS http_status
+            FROM documents
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, md5(text) AS text_md5,

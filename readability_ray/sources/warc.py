@@ -85,6 +85,26 @@ def warc_record_bytes(url: str, warc_ts: datetime.datetime, html: bytes,
     return head + http + _HDR_END
 
 
+def wet_record_bytes(url: str, warc_ts: datetime.datetime,
+                     text: bytes) -> bytes:
+    """One deterministic uncompressed ``conversion`` record — the WET
+    (extracted-text) flavor Common Crawl publishes next to its WARCs:
+    plain-text payload, no HTTP envelope, ``WARC-Refers-To`` pointing
+    at the response record the same (url, ts) would produce."""
+    rid = hashlib.md5(
+        f"conv|{url}|{warc_ts.isoformat()}".encode()).hexdigest()
+    ref = hashlib.md5(f"{url}|{warc_ts.isoformat()}".encode()).hexdigest()
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+            f"WARC-Refers-To: <urn:md5:{ref}>\r\n"
+            f"WARC-Date: {_fmt_warc_date(warc_ts)}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(text)}\r\n\r\n").encode("utf-8")
+    return head + text + _HDR_END
+
+
 def _warcinfo_bytes(warc_ts: datetime.datetime) -> bytes:
     body = (f"software: {_SOFTWARE}\r\n"
             "format: WARC File Format 1.0\r\n").encode("ascii")
@@ -100,12 +120,17 @@ def _warcinfo_bytes(warc_ts: datetime.datetime) -> bytes:
 
 
 def write_warc(path: str, records: Iterable[dict], compress: bool = True,
-               warcinfo: bool = True) -> tuple[int, int]:
+               warcinfo: bool = True,
+               record_type: str = "response") -> tuple[int, int]:
     """Write records (dicts with url, warc_ts, html and optional
     content_type/status) as a WARC file.  ``compress=True`` gives the
     Common-Crawl layout: every record its own gzip member
-    (``mtime=0`` → byte-deterministic).  Returns (n_records, n_bytes).
+    (``mtime=0`` → byte-deterministic).  ``record_type="conversion"``
+    writes WET-style extracted-text records (the ``html`` value is the
+    plain-text payload bytes).  Returns (n_records, n_bytes).
     """
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"unknown record_type {record_type!r}")
     n = 0
     first_ts: Optional[datetime.datetime] = None
     chunks: list[bytes] = []
@@ -119,11 +144,14 @@ def write_warc(path: str, records: Iterable[dict], compress: bool = True,
                 info = _warcinfo_bytes(first_ts)
                 chunks.append(gzip.compress(info, 6, mtime=0)
                               if compress else info)
-        raw = warc_record_bytes(
-            rec["url"], ts, rec["html"],
-            content_type=rec.get("content_type",
-                                 "text/html; charset=utf-8"),
-            status=int(rec.get("status", 200)))
+        if record_type == "conversion":
+            raw = wet_record_bytes(rec["url"], ts, rec["html"])
+        else:
+            raw = warc_record_bytes(
+                rec["url"], ts, rec["html"],
+                content_type=rec.get("content_type",
+                                     "text/html; charset=utf-8"),
+                status=int(rec.get("status", 200)))
         chunks.append(gzip.compress(raw, 6, mtime=0) if compress else raw)
         n += 1
     data = b"".join(chunks)
@@ -344,7 +372,8 @@ try:  # import-gated so pure-parser users don't need ray
         records (warcinfo/request/metadata) are skipped; malformed or
         oversize records become error ROWS, not job failures."""
 
-        _FILE_EXTENSIONS = ["warc", "warc.gz"]
+        _FILE_EXTENSIONS = ["warc", "warc.gz", "warc.wet",
+                            "warc.wet.gz"]
 
         def __init__(self, paths, records_per_block: int = 256,
                      strict: bool = False,
@@ -365,7 +394,10 @@ try:  # import-gated so pure-parser users don't need ray
 
             def emit(recs):
                 for rec in recs:
-                    if rec["warc_type"] not in ("response", "error"):
+                    # response = crawl WARC; conversion = WET
+                    # (extracted text; no HTTP envelope → status 0)
+                    if rec["warc_type"] not in ("response",
+                                                "conversion", "error"):
                         continue
                     err = rec.get("error")
                     if err is None and rec["payload"] is not None:
@@ -452,6 +484,53 @@ def write_warc_shards(ds, out_dir: str, compress: bool = True,
             ({"url": u, "warc_ts": t, "html": h or b""}
              for u, t, h in zip(urls, tss, htmls)),
             compress=compress)
+        return pa.table({"shard_path": pa.array([path], pa.string()),
+                         "n_records": pa.array([n], pa.int64()),
+                         "n_bytes": pa.array([n_bytes], pa.int64()),
+                         "first_url": pa.array([urls[0]], pa.string()),
+                         "last_url": pa.array([urls[-1]], pa.string())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow",
+                          batch_size=records_per_shard)
+
+
+def write_wet_shards(ds, out_dir: str, compress: bool = True,
+                     records_per_shard: int = 1024,
+                     text_col: str = "extracted_text",
+                     ts_col: str = "warc_ts"):
+    """Distributed WET sink — the Common-Crawl extracted-text layout
+    the extraction pipeline's output naturally exports to: one
+    ``conversion`` record per row (plain-text payload, WARC-Refers-To
+    the matching response record), one ``.warc.wet.gz`` per batch,
+    atomic rename, deterministic content-derived shard names.  Rows
+    need (url, ts_col, text_col); missing timestamps default to the
+    fixture epoch.  Returns the manifest Dataset like
+    :func:`write_warc_shards`."""
+    os.makedirs(out_dir, exist_ok=True)
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"shard_path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64()),
+                             "first_url": pa.array([], pa.string()),
+                             "last_url": pa.array([], pa.string())})
+        urls = batch.column("url").to_pylist()
+        tss = (batch.column(ts_col).to_pylist()
+               if ts_col in batch.schema.names
+               else [epoch] * batch.num_rows)
+        texts = batch.column(text_col).to_pylist()
+        name = hashlib.md5(("\n".join(urls)).encode()).hexdigest()[:16]
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        path = os.path.join(out_dir, f"part-{name}-{len(urls)}{ext}")
+        n, n_bytes = write_warc(
+            path,
+            ({"url": u, "warc_ts": t or epoch,
+              "html": (x or "").encode("utf-8")
+              if not isinstance(x, bytes) else x}
+             for u, t, x in zip(urls, tss, texts)),
+            compress=compress, record_type="conversion")
         return pa.table({"shard_path": pa.array([path], pa.string()),
                          "n_records": pa.array([n], pa.int64()),
                          "n_bytes": pa.array([n_bytes], pa.int64()),

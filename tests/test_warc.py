@@ -337,3 +337,51 @@ def test_arrow_multi_member_gzip_assumption(tmp_path):
     got = fs.LocalFileSystem().open_input_stream(
         p, compression="gzip").read()
     assert got == b"m0|m1|m2|"
+
+
+def test_wet_record_roundtrip():
+    """conversion records: plain-text payload, no HTTP envelope,
+    Refers-To the matching response record's id."""
+    from readability_ray.sources.warc import (WarcStreamParser,
+                                              warc_record_bytes,
+                                              wet_record_bytes)
+    text = "extracted text — unicode ok".encode()
+    raw = wet_record_bytes("https://t/1", EPOCH, text)
+    p = WarcStreamParser()
+    recs = p.feed(raw) + p.finish()
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["warc_type"] == "conversion"
+    assert r["payload"] == text
+    status, ctype, body = split_http_response(r["payload"])
+    assert status == 0 and body == text
+    # Refers-To matches the response record's derived id
+    resp = warc_record_bytes("https://t/1", EPOCH, b"x")
+    rid = resp.split(b"WARC-Record-ID: ")[1].split(b"\r\n")[0]
+    assert rid in raw
+    # deterministic bytes
+    assert raw == wet_record_bytes("https://t/1", EPOCH, text)
+
+
+def test_wet_shards_roundtrip(ray_session, tmp_path):
+    """write_wet_shards → read_warc: extracted text survives byte-
+    for-byte; conversion records surface with http_status 0."""
+    import ray.data
+
+    from readability_ray.sources.warc import read_warc, write_wet_shards
+    texts = [f"doc {i} text with words" for i in range(7)]
+    ds = ray.data.from_items([
+        {"url": f"https://t/{i}", "warc_ts": EPOCH,
+         "extracted_text": t} for i, t in enumerate(texts)])
+    out = str(tmp_path / "wet")
+    manifest = write_wet_shards(ds, out, records_per_shard=3) \
+        .to_pandas()
+    assert manifest["n_records"].sum() == 7
+    assert all(p.endswith(".warc.wet.gz")
+               for p in manifest["shard_path"])
+    back = read_warc(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert len(back) == 7
+    assert (back["http_status"] == 0).all()
+    got = {u: h.decode() for u, h in zip(back["url"], back["html"])}
+    assert got == {f"https://t/{i}": t for i, t in enumerate(texts)}
