@@ -88,13 +88,19 @@ def _is_warc_input(path: str) -> bool:
 
 
 def run_extraction(input_path: str, output_dir: str | None = None,
+                   wet_dir: str | None = None,
+                   wet_text_col: str = "markdown",
                    **kwargs) -> ray.data.Dataset:
-    """Read → extract → optionally write partitioned Parquet.
+    """Read → extract → optionally write partitioned Parquet and/or
+    Common-Crawl WET shards.
 
     Accepts Parquet pages tables OR raw WARC shards (a ``.warc[.gz]``
     file or a directory of them — the Common-Crawl-native layout);
     WARC records stream through ``sources/warc.py`` and failed records
-    surface as error rows, never job failures.
+    surface as error rows, never job failures.  ``wet_dir`` publishes
+    the ``wet_text_col`` column as ``conversion`` records
+    (``sources/warc.py:write_wet_shards``) — the WARC-in → WET-out
+    shape of Common Crawl's own extraction.
 
     Column pruning at the read: only (url, html) leave storage — the
     crawler's text/lang/warc_ts columns are never shipped.
@@ -107,7 +113,14 @@ def run_extraction(input_path: str, output_dir: str | None = None,
     out = extract_pipeline(ds, **kwargs)
     if output_dir is not None:
         out.write_parquet(output_dir)
-        return ray.data.read_parquet(output_dir)
+        out = ray.data.read_parquet(output_dir)
+    elif wet_dir is not None:
+        out = out.materialize()  # one extraction run feeds both sinks
+    if wet_dir is not None:
+        from ..sources.warc import write_wet_shards
+        write_wet_shards(
+            out.select_columns(["url", wet_text_col]),
+            wet_dir, text_col=wet_text_col).materialize()
     return out
 
 

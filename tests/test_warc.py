@@ -385,3 +385,32 @@ def test_wet_shards_roundtrip(ray_session, tmp_path):
     assert (back["http_status"] == 0).all()
     got = {u: h.decode() for u, h in zip(back["url"], back["html"])}
     assert got == {f"https://t/{i}": t for i, t in enumerate(texts)}
+
+
+def test_run_extraction_warc_in_wet_out(ray_session, tmp_path):
+    """The Common-Crawl job shape end-to-end: WARC shards in →
+    extraction → WET conversion shards out; the WET payload is the
+    page's extracted markdown."""
+    from readability_ray.pipelines import run_extraction
+    from readability_ray.sources.warc import read_warc, write_warc
+
+    html = ("<html><head><title>T</title></head><body><main><article>"
+            + "".join(f"<p>Paragraph {i} with enough words to pass the "
+                      f"extractor threshold easily.</p>"
+                      for i in range(6))
+            + "</article></main></body></html>").encode()
+    in_dir = tmp_path / "in"
+    write_warc(str(in_dir / "s.warc.gz"),
+               [{"url": f"https://t/{i}", "warc_ts": EPOCH,
+                 "html": html} for i in range(4)])
+    wet_dir = str(tmp_path / "wet")
+    out = run_extraction(str(in_dir), wet_dir=wet_dir,
+                         use_actors=False).to_pandas()
+    assert len(out) == 4
+    back = read_warc(wet_dir).to_pandas()
+    assert len(back) == 4
+    assert (back["http_status"] == 0).all()
+    md = {u: h.decode() for u, h in zip(back["url"], back["html"])}
+    got = {u: m for u, m in zip(out["url"], out["markdown"])}
+    assert md == got
+    assert all("Paragraph 0" in m for m in md.values())
