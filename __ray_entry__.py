@@ -165,10 +165,13 @@ def _q_dedup_pages(sf_dir: str):
 def _q_image_features(sf_dir: str):
     import ray.data
     from readability_ray.functions.multimodal import (
-        image_features, make_fake_media_table)
+        image_features, make_real_media_table)
     n = 200 if "0.1" in sf_dir else 60
-    ds = ray.data.from_arrow(make_fake_media_table(n))
-    feats = image_features(ds, fake_decode=True, use_actors=False)
+    ds = ray.data.from_arrow(make_real_media_table(n)) \
+        .filter(expr="media_type == 'image'")
+    # REAL decode: 24-bit BMP through the pure-stdlib parser +
+    # nearest-neighbor resize (compressed codecs stay stubbed)
+    feats = image_features(ds, fake_decode=False, use_actors=False)
 
     import pyarrow as pa
 
@@ -186,15 +189,16 @@ def _q_image_features(sf_dir: str):
 
 def _q_audio_features(sf_dir: str):
     """Audio feature extraction (RMS/ZCR/spectral centroid+rolloff on
-    the decoded waveform; decode itself is the documented stub
-    boundary).  Rows-only check (floor-3 sums for stability)."""
+    the decoded waveform) over REAL PCM WAV payloads — the stdlib
+    ``wave`` decode path; compressed codecs stay stubbed.  Rows-only
+    check (floor-3 sums for stability)."""
     import ray.data
     from readability_ray.functions.multimodal import (
-        audio_features, make_fake_media_table)
+        audio_features, make_real_media_table)
     n = 200 if "0.1" in sf_dir else 60
-    ds = ray.data.from_arrow(make_fake_media_table(n)) \
+    ds = ray.data.from_arrow(make_real_media_table(n)) \
         .filter(expr="media_type == 'audio'")
-    feats = audio_features(ds, fake_decode=True, use_actors=False)
+    feats = audio_features(ds, fake_decode=False, use_actors=False)
 
     import pyarrow as pa
 

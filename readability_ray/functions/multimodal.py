@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment — see NotImplementedError below); the Ray-side
-plumbing is real and tested: schema, actor-pool signatures, batch
-sizing for large binary payloads, and deterministic fake decoding for
-tests.  Swapping ``_decode_image_real`` in for the fake is the only
-change needed on a cluster with Pillow/torchaudio installed.
+Decode status (honest boundary): uncompressed 24-bit BMP and PCM WAV
+decode NATIVELY through the pure-stdlib codecs in
+``functions/media_codecs.py`` — the driver's image/audio feature
+queries run REAL decode end to end.  Compressed formats
+(JPEG/PNG/MP3/Opus) and video need Pillow/soundfile/ffmpeg, which this
+container does not ship; those raise the NotImplementedError below
+(swap the real decoders on a cluster with the codec libs — nothing
+downstream changes, the feature math is format-agnostic).  The
+deterministic fake decoders remain for payload-agnostic plumbing
+tests.
 """
 
 from __future__ import annotations
@@ -29,15 +33,18 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real decode path — requires an image library.
-
-    STUB: this container ships no codec libraries; on a real cluster
-    replace with PIL.Image.open(BytesIO(payload)).
-    """
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode path.  Uncompressed 24-bit BMP decodes NATIVELY
+    (pure-stdlib parser, functions/media_codecs.py); compressed
+    formats (JPEG/PNG/WebP) need Pillow/libjpeg, which this container
+    does not ship — they stay behind the honest error below."""
+    if payload[:2] == b"BM":
+        from .media_codecs import decode_bmp
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires Pillow/libjpeg; not available in this "
-        "environment — use fake_decode=True for the deterministic stub")
+        "compressed image decoding requires Pillow/libjpeg (not in this "
+        "environment); BMP decodes natively — or use fake_decode=True "
+        "for the deterministic stub")
 
 
 def _decode_image_fake(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
@@ -65,7 +72,8 @@ class ImageFeatureStage:
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.fake_decode:
             return _decode_image_fake(payload, self.out_hw)
-        return _decode_image_real(payload)
+        from .media_codecs import resize_nearest
+        return resize_nearest(_decode_image_real(payload), self.out_hw)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -116,14 +124,17 @@ class FrameSampleStage:
         })
 
 
-def _decode_audio_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real decode path — requires an audio library.
-
-    STUB: this container ships no codecs; on a real cluster replace
-    with soundfile.read(BytesIO(payload)) / torchaudio.load."""
+def _decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real decode path: PCM WAV decodes NATIVELY (stdlib ``wave``,
+    functions/media_codecs.py) with its true sample rate; compressed
+    audio (MP3/Opus/AAC) needs soundfile/ffmpeg, absent here."""
+    if payload[:4] == b"RIFF":
+        from .media_codecs import decode_wav
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio decoding requires soundfile/ffmpeg; not available in "
-        "this environment — use fake_decode=True for the stub")
+        "compressed audio decoding requires soundfile/ffmpeg (not in "
+        "this environment); PCM WAV decodes natively — or use "
+        "fake_decode=True for the stub")
 
 
 def _decode_audio_fake(payload: bytes, duration_ms: int,
@@ -155,10 +166,14 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
         self.fake_decode = fake_decode
 
-    def _decode(self, payload: bytes, duration_ms: int) -> np.ndarray:
+    def _decode(self, payload: bytes,
+                duration_ms: int) -> tuple[np.ndarray, int]:
+        """(samples, sample_rate) — the real path reports the WAV's
+        own rate; the fake synthesizes at the configured one."""
         if self.fake_decode:
-            return _decode_audio_fake(payload, duration_ms,
-                                      self.sample_rate)
+            return (_decode_audio_fake(payload, duration_ms,
+                                       self.sample_rate),
+                    self.sample_rate)
         return _decode_audio_real(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -167,12 +182,12 @@ class AudioFeatureStage:
         durations = batch.column("duration_ms").to_pylist()
         feats = []
         for payload, duration in zip(payloads, durations):
-            wave = self._decode(bytes(payload), int(duration or 1000))
+            wave, rate = self._decode(bytes(payload),
+                                      int(duration or 1000))
             rms = float(np.sqrt(np.mean(wave ** 2)))
             zcr = float(np.mean(np.abs(np.diff(np.signbit(wave)))))
             spectrum = np.abs(np.fft.rfft(wave[:1 << 14]))
-            freqs = np.fft.rfftfreq(min(len(wave), 1 << 14),
-                                    1 / self.sample_rate)
+            freqs = np.fft.rfftfreq(min(len(wave), 1 << 14), 1 / rate)
             power = spectrum.sum() or 1.0
             centroid = float((freqs * spectrum).sum() / power)
             cumulative = np.cumsum(spectrum)
@@ -244,6 +259,46 @@ def frame_samples(ds: ray.data.Dataset, *, every_n_ms: int = 1000,
     return _media_map(ds, FrameSampleStage,
                       dict(every_n_ms=every_n_ms, fake_decode=fake_decode),
                       use_actors, concurrency, batch_size)
+
+
+def make_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table with REAL payloads the stdlib codecs
+    decode: seeded-gradient 24-bit BMPs and seeded-sine PCM WAVs
+    (functions/media_codecs.py).  Video rows keep the opaque fake
+    payload — no stdlib video codec exists."""
+    from .media_codecs import encode_bmp, encode_wav_pcm16
+    rng = np.random.RandomState(seed)
+    types = [["image", "audio", "video"][i % 3] for i in range(n)]
+    payloads, mimes, durations = [], [], []
+    for i, t in enumerate(types):
+        if t == "image":
+            h, w = int(rng.randint(16, 48)), int(rng.randint(16, 48))
+            base = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(base))
+            mimes.append("image/bmp")
+            durations.append(0)
+        elif t == "audio":
+            rate = 16_000
+            dur_ms = int(rng.randint(200, 800))
+            tt = np.arange(int(rate * dur_ms / 1000)) / rate
+            f = float(rng.uniform(100, 3000))
+            payloads.append(encode_wav_pcm16(
+                0.7 * np.sin(2 * np.pi * f * tt), rate))
+            mimes.append("audio/wav")
+            durations.append(dur_ms)
+        else:
+            payloads.append(rng.bytes(512))
+            mimes.append("application/octet-stream")
+            durations.append(3000)
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(mimes, pa.string()),
+        "width": pa.array([64] * n, pa.int32()),
+        "height": pa.array([64] * n, pa.int32()),
+        "duration_ms": pa.array(durations, pa.int32()),
+    })
 
 
 def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
