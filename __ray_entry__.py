@@ -328,6 +328,63 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), window=32, stride=24)
 
 
+def _q_charset_decode(sf_dir: str):
+    """Crawl charset-sniff ingestion (sources/charset.py): each
+    document's HTML wrapper is encoded in a rotating charset —
+    doc_id%4 → utf-8 (meta tag), utf-16-le (BOM beats the lying meta),
+    utf-8-sig, utf-16-be — and decoded back through the WHATWG sniff
+    ladder in one stateless map.  All four encodings are lossless for
+    any unicode text, so the decoded string is byte-reconstructable in
+    SQL: the oracle rebuilds the wrapper and the charset label
+    value-for-value."""
+    import pyarrow as pa
+    from readability_ray.sources.charset import charset_decode
+
+    import codecs as _codecs
+
+    def encode_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            html = (f'<html><head><meta charset="utf-8">'
+                    f'<title>Doc {i}</title></head><body><p>{t or ""}'
+                    f'</p></body></html>')
+            v = i % 4
+            if v == 0:
+                payloads.append(html.encode("utf-8"))
+            elif v == 1:
+                payloads.append(_codecs.BOM_UTF16_LE
+                                + html.encode("utf-16-le"))
+            elif v == 2:
+                payloads.append(_codecs.BOM_UTF8
+                                + html.encode("utf-8"))
+            else:
+                payloads.append(_codecs.BOM_UTF16_BE
+                                + html.encode("utf-16-be"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(payloads, pa.large_binary()),
+        })
+
+    pages = _docs(sf_dir).map_batches(encode_rows,
+                                      batch_format="pyarrow")
+    decoded = charset_decode(pages)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html_md5": pa.array(
+                [hashlib.md5(h).hexdigest()
+                 for h in batch.column("html").to_pylist()],
+                pa.string()),
+            "charset": batch.column("charset"),
+        })
+
+    return decoded.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_wet_export(sf_dir: str):
     """WET export round trip (sources/warc.py): the documents table is
     written as Common-Crawl WET shards (``conversion`` records,
@@ -1175,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "wet_export": _q_wet_export,
+        "charset_decode": _q_charset_decode,
         "lm_quality_scores": _q_lm_quality_scores,
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
@@ -1928,6 +1986,21 @@ def oracle_sql() -> dict[str, str]:
                    distinct_texts,
                    (n_docs - distinct_texts)::BIGINT AS dup_docs
             FROM base
+        """,
+        "charset_decode": """
+            -- all four rotated encodings are lossless, so the decoded
+            -- text re-encoded utf-8 equals the rebuilt wrapper string
+            SELECT doc_id,
+                   md5('<html><head><meta charset="utf-8"><title>Doc '
+                       || doc_id || '</title></head><body><p>'
+                       || coalesce(text, '')
+                       || '</p></body></html>') AS html_md5,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'utf-16-le'
+                        WHEN 2 THEN 'utf-8-sig'
+                        ELSE 'utf-16-be' END AS charset
+            FROM documents
         """,
         "wet_export": """
             -- conversion records carry the raw utf-8 text, no HTTP
