@@ -90,6 +90,7 @@ def _is_warc_input(path: str) -> bool:
 def run_extraction(input_path: str, output_dir: str | None = None,
                    wet_dir: str | None = None,
                    wet_text_col: str = "markdown",
+                   sniff_charset: bool = False,
                    **kwargs) -> ray.data.Dataset:
     """Read → extract → optionally write partitioned Parquet and/or
     Common-Crawl WET shards.
@@ -107,9 +108,19 @@ def run_extraction(input_path: str, output_dir: str | None = None,
     """
     if _is_warc_input(input_path):
         from ..sources.warc import read_warc
-        ds = read_warc(input_path).select_columns(["url", "html"])
+        cols = ["url", "html"] + (["content_type"] if sniff_charset
+                                  else [])
+        ds = read_warc(input_path).select_columns(cols)
     else:
         ds = ray.data.read_parquet(input_path, columns=["url", "html"])
+    if sniff_charset:
+        # WHATWG sniff ladder → clean UTF-8 for the parser; pages from
+        # a non-UTF-8 crawl decode correctly instead of as mojibake
+        from ..sources.charset import charset_decode
+        ds = charset_decode(
+            ds, content_type_col="content_type"
+            if "content_type" in ds.schema().names else None) \
+            .select_columns(["url", "html"])
     out = extract_pipeline(ds, **kwargs)
     if output_dir is not None:
         out.write_parquet(output_dir)

@@ -88,3 +88,32 @@ def test_charset_decode_op(ray_session):
     assert list(out["charset"]) == ["utf-8", "utf-16-be"]
     assert out.loc[0, "html"] == out.loc[1, "html"] \
         == DOC.encode("utf-8")
+
+
+def test_run_extraction_sniffs_charset(ray_session, tmp_path):
+    """A cp1252 page with a meta charset extracts real accented text
+    (not mojibake) when sniff_charset=True."""
+    import datetime
+
+    from readability_ray.pipelines import run_extraction
+    from readability_ray.sources.warc import write_warc
+
+    body = "".join(f"<p>Un caf\xe9 fran\xe7ais num\xe9ro {i} avec "
+                   f"beaucoup de mots pour l'extracteur.</p>"
+                   for i in range(6))
+    html = ('<html><head><meta charset="windows-1252">'
+            '<title>Caf\xe9</title></head><body><main><article>'
+            + body + "</article></main></body></html>").encode("cp1252")
+    in_dir = tmp_path / "in"
+    write_warc(str(in_dir / "s.warc.gz"),
+               [{"url": "https://t/1",
+                 "warc_ts": datetime.datetime(2024, 1, 1),
+                 "html": html,
+                 "content_type": "text/html"}])
+    out = run_extraction(str(in_dir), sniff_charset=True,
+                         use_actors=False).to_pandas()
+    assert len(out) == 1
+    assert "café français" in out.loc[0, "markdown"]
+    # without sniffing the same page decodes as mojibake
+    raw = run_extraction(str(in_dir), use_actors=False).to_pandas()
+    assert "café français" not in raw.loc[0, "markdown"]
