@@ -505,6 +505,18 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_gopher_rules(sf_dir: str):
+    """The classic Gopher/MassiveText document filters (Rae et al.
+    2021 App. A — word-count/mean-length bands, symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    presence; functions/corpus.py) — one stateless batch-local map,
+    every rule's measured value emitted floor-6 plus the composite
+    verdict computed on the floored values.  Value-level DuckDB
+    oracle (list_filter/regexp SQL)."""
+    from readability_ray.functions import gopher_rules
+    return gopher_rules(_docs(sf_dir))
+
+
 def _q_corpus_report(sf_dir: str):
     """One-row corpus metrics summary (functions/report.py): docs /
     empties / tokens / chars / lang histogram head in one stateless
@@ -1239,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "link_pagerank": _q_link_pagerank,
         "corpus_report": _q_corpus_report,
+        "gopher_rules": _q_gopher_rules,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -1962,6 +1975,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats s ON d.doc_id = s.doc_id
             LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "gopher_rules": r"""
+            -- Gopher App. A filters; verdict computed on the
+            -- floor-6 values so it is bit-reproducible
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), m AS (
+                SELECT doc_id, t,
+                       len(regexp_extract_all(t, '[^ \t\n\r\f\v]+'))::BIGINT AS nw,
+                       length(regexp_replace(t, '[ \t\n\r\f\v]+', '', 'g'))::BIGINT
+                           AS nonws,
+                       (len(regexp_extract_all(t, '#'))
+                        + len(regexp_extract_all(t, '\.\.\.')))::BIGINT AS nsym,
+                       len(list_filter(regexp_extract_all(t, '[^ \t\n\r\f\v]+'),
+                                       w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                           AS nalpha,
+                       CASE WHEN t = '' THEN []
+                            ELSE list_transform(string_split(t, chr(10)),
+                                                l -> trim(l, ' ' || chr(9) || chr(13)
+                                                          || chr(12) || chr(11)))
+                       END AS lines
+                FROM base
+            ), l AS (
+                SELECT doc_id, t, nw, nonws, nsym, nalpha,
+                       len(lines)::BIGINT AS nl,
+                       len(list_filter(lines,
+                                       l -> regexp_matches(l, '^[-*•]')))::BIGINT
+                           AS nbullet,
+                       len(list_filter(lines,
+                                       l -> regexp_matches(l, '(\.\.\.|…)$')))::BIGINT
+                           AS nellip
+                FROM m
+            ), v AS (
+                SELECT doc_id, nw,
+                       floor(CASE WHEN nw > 0 THEN nonws::DOUBLE / nw ELSE 0 END
+                             * 1e6) / 1e6 AS mean_word_len,
+                       floor(CASE WHEN nw > 0 THEN nsym::DOUBLE / nw ELSE 0 END
+                             * 1e6) / 1e6 AS symbol_ratio,
+                       floor(CASE WHEN nl > 0 THEN nbullet::DOUBLE / nl ELSE 0 END
+                             * 1e6) / 1e6 AS bullet_frac,
+                       floor(CASE WHEN nl > 0 THEN nellip::DOUBLE / nl ELSE 0 END
+                             * 1e6) / 1e6 AS ellipsis_frac,
+                       floor(CASE WHEN nw > 0 THEN nalpha::DOUBLE / nw ELSE 0 END
+                             * 1e6) / 1e6 AS alpha_frac,
+                       ((CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+                       )::BIGINT AS n_stop_distinct
+                FROM l
+            )
+            SELECT doc_id, nw AS n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, n_stop_distinct,
+                   (nw BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio < 0.1
+                    AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3
+                    AND alpha_frac >= 0.8
+                    AND n_stop_distinct >= 2) AS pass_gopher
+            FROM v
         """,
         "corpus_report": r"""
             WITH base AS (

@@ -26,8 +26,8 @@ from .windows import (
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
-    decontaminate, hash_split, normalize_text, pii_redact, pii_scan,
-    repetition_scores, source_cap, stratified_sample,
+    decontaminate, gopher_rules, hash_split, normalize_text, pii_redact,
+    pii_scan, repetition_scores, source_cap, stratified_sample,
 )
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
@@ -57,7 +57,8 @@ __all__ = [
     "fingerprint_overlap_pairs", "winnow_fingerprints",
     "events_asof_join", "events_range_join", "events_rolling_counts",
     "bpe_token_stats",
-    "decontaminate", "hash_split", "normalize_text", "pii_redact",
+    "decontaminate", "gopher_rules", "hash_split", "normalize_text",
+    "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",

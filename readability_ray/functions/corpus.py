@@ -22,6 +22,7 @@ driver materialization is that small side).
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -348,3 +349,83 @@ def pii_redact(ds: ray.data.Dataset,
         })
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# gopher_rules (the classic Gopher/MassiveText document filters)
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_ASCII_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+_LINE_STRIP = " \t\r\f\v"
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_words, mean_len, sym, bullet, ellip, alpha, stops, passed = \
+        [], [], [], [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        words = _ASCII_TOKEN_RE.findall(t)
+        nw = len(words)
+        nonws = sum(len(w) for w in words)
+        mw = math.floor((nonws / nw if nw else 0.0) * 1e6) / 1e6
+        sy = math.floor(((t.count("#") + len(_ELLIPSIS_RE.findall(t)))
+                         / nw if nw else 0.0) * 1e6) / 1e6
+        lines = [ln.strip(_LINE_STRIP) for ln in t.split("\n")] \
+            if t else []
+        nl = len(lines)
+        bf = math.floor((sum(ln.startswith(("-", "*", "•"))
+                             for ln in lines) / nl if nl else 0.0)
+                        * 1e6) / 1e6
+        ef = math.floor((sum(ln.endswith(("...", "…"))
+                             for ln in lines) / nl if nl else 0.0)
+                        * 1e6) / 1e6
+        af = math.floor((sum(1 for w in words if _ALPHA_RE.search(w))
+                         / nw if nw else 0.0) * 1e6) / 1e6
+        low = t.lower()
+        ns = sum(1 for s in _GOPHER_STOPS
+                 if re.search(rf"\b{s}\b", low))
+        ok = (50 <= nw <= 100_000 and 3.0 <= mw <= 10.0
+              and sy < 0.1 and bf <= 0.9 and ef <= 0.3
+              and af >= 0.8 and ns >= 2)
+        n_words.append(nw)
+        mean_len.append(mw)
+        sym.append(sy)
+        bullet.append(bf)
+        ellip.append(ef)
+        alpha.append(af)
+        stops.append(ns)
+        passed.append(ok)
+    return pa.table({
+        "doc_id": ids,
+        "n_words": pa.array(n_words, pa.int64()),
+        "mean_word_len": pa.array(mean_len, pa.float64()),
+        "symbol_ratio": pa.array(sym, pa.float64()),
+        "bullet_frac": pa.array(bullet, pa.float64()),
+        "ellipsis_frac": pa.array(ellip, pa.float64()),
+        "alpha_frac": pa.array(alpha, pa.float64()),
+        "n_stop_distinct": pa.array(stops, pa.int64()),
+        "pass_gopher": pa.array(passed, pa.bool_()),
+    })
+
+
+def gopher_rules(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The classic Gopher / MassiveText document filters (Rae et al.
+    2021, Appendix A) beyond the repetition signals already in
+    :func:`repetition_scores`: word-count band [50, 100k], mean word
+    length band [3, 10], symbol-to-word ratio (# and ...) < 0.1,
+    bullet-started lines ≤ 90%, ellipsis-ended lines ≤ 30%, ≥ 80% of
+    words containing an alphabetic character, and ≥ 2 distinct
+    stop-words from the canonical 8-word list.  Emits every rule's
+    measured value (floor-6 floats) plus the composite
+    ``pass_gopher`` verdict — the decision thresholds are applied to
+    the FLOORED values so the verdict is bit-reproducible in SQL.
+
+    One stateless batch-local map — no shuffle at any corpus size.
+    """
+    return strip_schema_metadata(ds.select_columns(["doc_id", "text"])) \
+        .map_batches(_gopher_batch, batch_format="pyarrow")
