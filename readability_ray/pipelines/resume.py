@@ -83,7 +83,8 @@ def _shard_stats(tmp_dir: str) -> tuple[int, dict[str, int], int]:
 
 
 def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
-                   concurrency, batch_size: int) -> tuple[str, int]:
+                   concurrency, batch_size: int, wet: bool = False,
+                   sniff_charset: bool = False) -> tuple[str, int]:
     from .extract_pipeline import extract_pipeline
 
     shard = _shard_key(input_file)
@@ -99,9 +100,17 @@ def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
     if input_file.endswith((".warc", ".warc.gz")):
         # CC-native shard: stream records straight off the crawl file
         from ..sources.warc import read_warc
-        ds = read_warc(input_file).select_columns(["url", "html"])
+        cols = ["url", "html"] + (["content_type"] if sniff_charset
+                                  else [])
+        ds = read_warc(input_file).select_columns(cols)
     else:
         ds = ray.data.read_parquet(input_file, columns=["url", "html"])
+    if sniff_charset:
+        from ..sources.charset import charset_decode
+        ds = charset_decode(
+            ds, content_type_col="content_type"
+            if "content_type" in ds.schema().names else None) \
+            .select_columns(["url", "html"])
     out = extract_pipeline(ds, concurrency=concurrency,
                            batch_size=batch_size, **extract_kwargs)
     # Distributed sink: write tasks stream blocks straight to parquet —
@@ -119,9 +128,32 @@ def _process_shard(input_file: str, out_dir: str, extract_kwargs: dict,
     else:
         rows, page_types, errors = 0, {}, 0
 
+    wet_dir = None
+    if wet and has_parts:
+        # WET twin of the parquet output, in a parallel _wet tree so
+        # read_parquet over the shard dir never sees gzip files; the
+        # shard manifest (written after) is the commit point for BOTH
+        # sinks, so a crash between them re-runs the whole shard
+        from ..sources.warc import write_wet_shards
+        wet_dir = os.path.join(out_dir, "_wet", f"shard={shard}")
+        wet_tmp = wet_dir + ".tmp"
+        import shutil as _sh
+        for d in (wet_tmp, wet_dir):
+            if os.path.isdir(d):
+                _sh.rmtree(d)
+        text_col = "markdown" if "markdown" in set(
+            ray.data.read_parquet(tmp_dir).schema().names) \
+            else "extracted_text"
+        write_wet_shards(
+            ray.data.read_parquet(tmp_dir,
+                                  columns=["url", text_col]),
+            wet_tmp, text_col=text_col).materialize()
+        os.replace(wet_tmp, wet_dir)
+
     manifest = {
         "shard": shard,
         "input_file": os.path.abspath(input_file),
+        "wet_dir": wet_dir,
         "rows": rows,
         "page_types": page_types,
         "errors": errors,
@@ -140,7 +172,9 @@ def run_resumable_extraction(input_files: list[str], out_dir: str,
                              extract_kwargs: dict | None = None,
                              concurrency=(1, 8),
                              batch_size: int = 64,
-                             shard_parallelism: int = 1) -> dict:
+                             shard_parallelism: int = 1,
+                             wet: bool = False,
+                             sniff_charset: bool = False) -> dict:
     """Process input shards (parquet pages tables or raw ``.warc[.gz]``
     crawl files), skipping ones already completed.
 
@@ -171,13 +205,17 @@ def run_resumable_extraction(input_files: list[str], out_dir: str,
         with ThreadPoolExecutor(max_workers=shard_parallelism) as pool:
             for shard, rows in pool.map(
                     lambda f: _process_shard(f, out_dir, extract_kwargs,
-                                             concurrency, batch_size), todo):
+                                             concurrency, batch_size,
+                                             wet=wet,
+                                             sniff_charset=sniff_charset),
+                    todo):
                 results[shard] = rows
     else:
         for input_file in todo:
             shard, rows = _process_shard(input_file, out_dir,
                                          extract_kwargs, concurrency,
-                                         batch_size)
+                                         batch_size, wet=wet,
+                                         sniff_charset=sniff_charset)
             results[shard] = rows
 
     # report in input order

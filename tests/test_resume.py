@@ -133,3 +133,33 @@ def test_extract_job_entrypoint(ray_session, tmp_path, capsys):
     assert metrics2["processed"] == []
     assert sorted(metrics2["skipped"]) == ["shard0", "shard1"]
     assert metrics2["pages"] == 20
+
+
+def test_resume_wet_twin(ray_session, tmp_path):
+    """wet=True publishes each shard's markdown as WET conversion
+    records in the parallel _wet tree; resume leaves them intact."""
+    from readability_ray.pipelines.resume import (
+        completed_shards, run_resumable_extraction)
+    from readability_ray.sources.warc import read_warc
+
+    files = _make_shards(tmp_path, n_shards=2, pages_per_shard=20)
+    out_dir = str(tmp_path / "out")
+    run_resumable_extraction(files, out_dir, concurrency=(1, 2),
+                             batch_size=32, wet=True)
+    manifests = completed_shards(out_dir)
+    assert all(m["wet_dir"] for m in manifests.values())
+
+    for shard, m in manifests.items():
+        wet = read_warc(m["wet_dir"]).to_pandas()
+        pq_df = __import__("ray").data.read_parquet(
+            os.path.join(out_dir, f"shard={shard}"),
+            columns=["url", "markdown"]).to_pandas()
+        assert len(wet) == len(pq_df) == 20
+        got = {u: h.decode() for u, h in zip(wet["url"], wet["html"])}
+        want = dict(zip(pq_df["url"], pq_df["markdown"]))
+        assert got == want
+
+    # the _wet tree must not confuse shard discovery; resume skips all
+    summary = run_resumable_extraction(files, out_dir, wet=True)
+    assert summary["processed"] == []
+    assert sorted(summary["skipped"]) == ["shard0", "shard1"]

@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shard-parallelism", type=int, default=2,
                     help="concurrent shard pipelines (driver threads)")
     ap.add_argument("--markdown", action="store_true", default=True)
+    ap.add_argument("--wet", action="store_true",
+                    help="also publish each shard's extracted text as "
+                         "Common-Crawl WET shards (out/_wet/shard=*)")
+    ap.add_argument("--sniff-charset", action="store_true",
+                    help="WHATWG charset sniff before parsing "
+                         "(non-UTF-8 crawls)")
     args = ap.parse_args(argv)
 
     import ray
@@ -93,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     summary = run_resumable_extraction(
         shards, args.output, batch_size=args.batch_size,
-        shard_parallelism=args.shard_parallelism)
+        shard_parallelism=args.shard_parallelism, wet=args.wet,
+        sniff_charset=args.sniff_charset)
     wall = time.time() - t0
 
     from readability_ray.pipelines.resume import completed_shards
