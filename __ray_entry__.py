@@ -505,6 +505,20 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_semdedup_keepers(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, functions/similarity.py):
+    distributed k-means clusters the embedding space, then ONE
+    cluster-keyed exchange prunes cosine near-duplicates cluster-
+    locally (vectorized gram + union-find — pairs never leave the
+    partition).  Rows-only (k-means float sums are order-dependent);
+    planted-blob semantics pinned in tests/test_semdedup.py."""
+    import ray.data
+    from readability_ray.functions import semdedup_keepers
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semdedup_keepers(ds, k=8, threshold=0.95)
+
+
 def _q_gopher_rules(sf_dir: str):
     """The classic Gopher/MassiveText document filters (Rae et al.
     2021 App. A — word-count/mean-length bands, symbol ratio,
@@ -1252,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "corpus_report": _q_corpus_report,
         "gopher_rules": _q_gopher_rules,
+        "semdedup_keepers": _q_semdedup_keepers,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,

@@ -18,7 +18,7 @@ from .dedup import (
 )
 from .similarity import (
     embedding_dup_pairs, embedding_quantize, ivf_ann_topk, kmeans_assign,
-    knn_topk, lsh_ann_topk,
+    knn_topk, lsh_ann_topk, semdedup_keepers,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
@@ -52,7 +52,7 @@ __all__ = [
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
     "near_dup_keepers", "ngram_jaccard_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
-    "knn_topk", "lsh_ann_topk", "ivf_ann_topk",
+    "knn_topk", "lsh_ann_topk", "ivf_ann_topk", "semdedup_keepers",
     "extract_pdf_text", "make_pdf", "pdf_text",
     "fingerprint_overlap_pairs", "winnow_fingerprints",
     "events_asof_join", "events_range_join", "events_rolling_counts",

@@ -565,3 +565,103 @@ def embedding_quantize(ds: ray.data.Dataset,
 
     return ds.select_columns([id_col, emb_col]) \
         .map_batches(quant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup: k-means + within-cluster cosine pruning)
+# ---------------------------------------------------------------------------
+
+def semdedup_keepers(ds: ray.data.Dataset, *, k: int = 8,
+                     threshold: float = 0.95, n_iter: int = 5,
+                     id_col: str = "vec_id",
+                     n_partitions: int | None = None) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    prune cosine-near-duplicates WITHIN each cluster — the web-scale
+    shortcut that turns an O(N²) semantic dedup into k independent
+    cluster-local ones.
+
+    Shape: centroids train via the existing distributed Lloyd pass
+    (per-batch partial sums, driver reduces k×dim); one stateless map
+    assigns clusters and keeps the embedding beside the id; ONE
+    cluster-keyed exchange co-locates each cluster; a per-partition
+    vectorized pass computes the cluster-local gram matrix, unions the
+    ≥ threshold pairs (union-find — pairs never leave the partition,
+    no global label propagation needed), and keeps the min-id member
+    of every duplicate group.
+
+    Partitioning assumption (documented SemDeDup trade): one cluster's
+    vectors fit in one partition — size ``k`` so N/k does (the paper
+    uses k in the tens of thousands at web scale).  Cross-cluster
+    near-dups are NOT pruned; that is SemDeDup's stated recall trade
+    for linear cost.
+
+    Output: (id_col, cluster, keeper_id, is_keeper) — every row keeps
+    its duplicate-group representative; ``is_keeper`` selects the
+    deduplicated corpus.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+
+    centroids = _train_centroids(ds, k, n_iter, id_col)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _matrix(batch)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int32)),
+            "embedding": batch.column("embedding"),
+        })
+
+    import pandas as pd
+
+    def prune(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "cluster" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int32"),
+                "keeper_id": pd.Series([], dtype="int64"),
+                "is_keeper": pd.Series([], dtype="bool")}))
+        out_id, out_cl, out_keep, out_is = [], [], [], []
+        for cl, grp in batch.groupby("cluster", sort=False):
+            ids = grp[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = _normalize(np.asarray(
+                [np.asarray(e, dtype=np.float64)
+                 for e in grp["embedding"].to_numpy()[order]]))
+            sims = mat @ mat.T
+            # union-find over >= threshold pairs (cluster-local)
+            parent = np.arange(len(ids))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ai, bi = np.nonzero(np.triu(sims >= threshold, 1))
+            for a, b in zip(ai, bi):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # ids sorted asc → smaller index = smaller id
+                    parent[max(ra, rb)] = min(ra, rb)
+            keepers = ids[[find(i) for i in range(len(ids))]]
+            out_id.extend(ids.tolist())
+            out_cl.extend([cl] * len(ids))
+            out_keep.extend(keepers.tolist())
+            out_is.extend((keepers == ids).tolist())
+        return arrow_out(pd.DataFrame({
+            id_col: pd.Series(out_id, dtype="int64"),
+            "cluster": pd.Series(out_cl, dtype="int32"),
+            "keeper_id": pd.Series(out_keep, dtype="int64"),
+            "is_keeper": pd.Series(out_is, dtype="bool")}))
+
+    return ds.select_columns([id_col, "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .repartition(num_blocks=n_parts, keys=["cluster"]) \
+        .map_batches(prune, batch_format="pandas", batch_size=None)
