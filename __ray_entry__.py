@@ -505,6 +505,33 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, functions/corpus.py): top-50 documents by the deterministic
+    md5-uniform A-ES key with token-count weights — long docs
+    proportionally more likely, the standard corpus-subsampling draw.
+    Batch-local keys + the two-level top-k shape; keys floor-6 BEFORE
+    selection so the chosen set is bit-reproducible.  Value-level
+    DuckDB oracle."""
+    import pyarrow as pa
+    from readability_ray.functions import weighted_sample_k
+    import re as _re
+    tok = _re.compile(r"[^ \t\n\r\f\v]+")
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(
+                [len(tok.findall(t or "")) for t in texts],
+                pa.int64()),
+        })
+
+    weighted = _docs(sf_dir).map_batches(add_weight,
+                                         batch_format="pyarrow")
+    return weighted_sample_k(weighted, k=50, weight_col="n_tokens")
+
+
 def _q_semdedup_keepers(sf_dir: str):
     """SemDeDup (Abbas et al. 2023, functions/similarity.py):
     distributed k-means clusters the embedding space, then ONE
@@ -1267,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": _q_corpus_report,
         "gopher_rules": _q_gopher_rules,
         "semdedup_keepers": _q_semdedup_keepers,
+        "weighted_sample": _q_weighted_sample,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -1990,6 +2018,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats s ON d.doc_id = s.doc_id
             LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "weighted_sample": r"""
+            -- A-ES: key = ln(md5-uniform)/weight, floor-6
+            -- BEFORE the top-k so selection is reproducible
+            WITH w AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, n_tokens,
+                       floor(ln(CASE WHEN x = 0 THEN pow(2.0, -64)
+                                     ELSE x::DOUBLE / 18446744073709551616.0 END)
+                             / n_tokens * 1e6) / 1e6 AS sample_key
+                FROM (SELECT doc_id, n_tokens,
+                             ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                                 AS x
+                      FROM w WHERE n_tokens > 0)
+            )
+            SELECT doc_id, n_tokens, sample_key
+            FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
         """,
         "gopher_rules": r"""
             -- Gopher App. A filters; verdict computed on the

@@ -28,6 +28,7 @@ from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
     decontaminate, gopher_rules, hash_split, normalize_text, pii_redact,
     pii_scan, repetition_scores, source_cap, stratified_sample,
+    weighted_sample_k,
 )
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
@@ -62,7 +63,7 @@ __all__ = [
     "pii_scan", "repetition_scores", "source_cap",
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
-    "stratified_sample",
+    "stratified_sample", "weighted_sample_k",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup", "substring_dedup",
     "lm_quality_scores", "train_bigram_lm",

@@ -429,3 +429,73 @@ def gopher_rules(ds: ray.data.Dataset) -> ray.data.Dataset:
     """
     return strip_schema_metadata(ds.select_columns(["doc_id", "text"])) \
         .map_batches(_gopher_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# weighted_sample_k (Efraimidis–Spirakis A-ES, deterministic)
+# --------------------------------------------------------------------------
+
+def _aes_key(doc_id, weight: float) -> float:
+    """A-ES key ln(u)/w with u a deterministic md5-uniform in (0, 1):
+    top-k by key desc IS a weighted sample without replacement
+    (Efraimidis & Spirakis 2006).  md5-derived u makes the draw
+    reproducible across runs, partitionings and cluster sizes, and
+    bit-reconstructable in SQL."""
+    x = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:16], 16)
+    # float(x)/2^64 is an exact power-of-two scaling of the rounded
+    # mantissa — bit-identical to SQL's UBIGINT::DOUBLE / 2^64; the
+    # x == 0 guard (p = 2^-64) keeps ln defined
+    u = float(x) / float(1 << 64) if x else 2.0 ** -64
+    return math.log(u) / weight
+
+
+def weighted_sample_k(ds: ray.data.Dataset, *, k: int = 50,
+                      weight_col: str, id_col: str = "doc_id",
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Weighted sample WITHOUT replacement of exactly min(k, N)
+    rows — inclusion probability proportional to ``weight_col``
+    (e.g. token count: long documents proportionally more likely, the
+    standard corpus-subsampling draw).  Rows with weight ≤ 0 are
+    excluded.
+
+    Shape: the A-ES key is computed batch-locally (ids + weights only);
+    a per-block vectorized top-k then ONE single-block merge picks the
+    global head — the token_frequency_topk two-level shape; nothing
+    corpus-sized moves.  Keys are floor-6 truncated BEFORE selection
+    and ties break id asc, so the chosen set is bit-reproducible in
+    SQL (ln is cross-engine-stable at floor-6 on this stack — the
+    tfidf/lmscore precedent).
+
+    Output: (id_col, weight_col, sample_key) ordered by
+    (sample_key desc, id asc).
+    """
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        rows = [(i, w, math.floor(_aes_key(i, float(w)) * 1e6) / 1e6)
+                for i, w in zip(ids, ws) if w is not None and w > 0]
+        return pa.table({
+            id_col: pa.array([r[0] for r in rows], pa.int64()),
+            weight_col: pa.array(
+                [r[1] for r in rows],
+                batch.schema.field(weight_col).type),
+            "sample_key": pa.array([r[2] for r in rows], pa.float64()),
+        })
+
+    def topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "sample_key" not in batch.columns:
+            return arrow_out(pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 weight_col: pd.Series([], dtype="float64"),
+                 "sample_key": pd.Series([], dtype="float64")}))
+        return arrow_out(batch.sort_values(
+            ["sample_key", id_col], ascending=[False, True]).head(k)
+            .reset_index(drop=True))
+
+    local = strip_schema_metadata(
+        ds.select_columns([id_col, weight_col])) \
+        .map_batches(keyed, batch_format="pyarrow") \
+        .map_batches(topk, batch_format="pandas")
+    return local.repartition(1).map_batches(topk, batch_format="pandas",
+                                            batch_size=None)

@@ -280,3 +280,39 @@ def test_tfidf_top_terms(ray_session):
     assert d1.iloc[0].tfidf == expected
     # 'common' is in every doc -> tfidf 0, never beats a rarer term
     assert "common" not in set(df[df.doc_id == 1].token)
+
+
+def test_weighted_sample_k(ray_session):
+    """A-ES weighted sampling: deterministic, honors weights
+    statistically (heavy rows sampled far more often across disjoint
+    id universes), excludes non-positive weights, exact k."""
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.functions.corpus import weighted_sample_k
+
+    n = 400
+    ids = list(range(n))
+    # weight 100 for even ids, 1 for odd
+    ws = [100 if i % 2 == 0 else 1 for i in ids]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(ws, pa.int64())}))
+    out = weighted_sample_k(ds, k=50, weight_col="n_tokens") \
+        .to_pandas()
+    assert len(out) == 50
+    heavy = (out["doc_id"] % 2 == 0).sum()
+    assert heavy >= 45  # ~99:1 odds per slot
+
+    # deterministic
+    out2 = weighted_sample_k(ds, k=50, weight_col="n_tokens") \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    # zero/negative weights never selected; k caps at eligible rows
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n_tokens": pa.array([5, 0, -1], pa.int64())}))
+    out3 = weighted_sample_k(ds2, k=10, weight_col="n_tokens") \
+        .to_pandas()
+    assert list(out3["doc_id"]) == [1]
