@@ -505,6 +505,40 @@ def _q_substring_dedup(sf_dir: str):
                            strategy="colocate")
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Crawl snapshot diff (functions/crawldiff.py): old = the
+    documents table; new = the same table with deterministic planted
+    edits (doc_id%5==1 removed, %7==0 text changed, ids+100000 for
+    %11==3 added).  Full-outer-join semantics via the union idiom —
+    one key-keyed exchange of (key, md5, side) rows, page bytes never
+    move.  Value-level DuckDB oracle (the same planted edits re-derived
+    in SQL)."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import crawl_diff
+
+    old = _docs(sf_dir)
+
+    def edit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_t = [], []
+        for i, t in zip(ids, texts):
+            if i % 5 == 1:
+                continue  # removed in the new crawl
+            out_id.append(i)
+            out_t.append((t or "") + " [edited]" if i % 7 == 0
+                         else (t or ""))
+            if i % 11 == 3:  # new page discovered
+                out_id.append(i + 100000)
+                out_t.append(f"brand new page {i}")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    new = _docs(sf_dir).map_batches(edit, batch_format="pyarrow")
+    return crawl_diff(old, new, id_col="doc_id", content_col="text")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES, functions/corpus.py): top-50 documents by the deterministic
@@ -1295,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "semdedup_keepers": _q_semdedup_keepers,
         "weighted_sample": _q_weighted_sample,
+        "crawl_diff": _q_crawl_diff,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
         "bloom_novelty": _q_bloom_novelty,
@@ -2018,6 +2053,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN stats s ON d.doc_id = s.doc_id
             LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "crawl_diff": r"""
+            -- the same planted edits re-derived: %5==1 removed,
+            -- %7==0 changed, +100000 for kept %11==3 added
+            WITH old_side AS (
+                SELECT doc_id::VARCHAR AS k,
+                       md5(coalesce(text, '')) AS h
+                FROM documents
+            ), new_rows AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN coalesce(text, '') || ' [edited]'
+                            ELSE coalesce(text, '') END AS text
+                FROM documents WHERE doc_id % 5 <> 1
+                UNION ALL
+                SELECT doc_id + 100000, 'brand new page ' || doc_id
+                FROM documents
+                WHERE doc_id % 5 <> 1 AND doc_id % 11 = 3
+            ), new_side AS (
+                SELECT doc_id::VARCHAR AS k, md5(text) AS h
+                FROM new_rows
+            )
+            SELECT coalesce(o.k, n.k) AS doc_id,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   coalesce(o.h, '') AS old_md5,
+                   coalesce(n.h, '') AS new_md5
+            FROM old_side o FULL OUTER JOIN new_side n ON o.k = n.k
         """,
         "weighted_sample": r"""
             -- A-ES: key = ln(md5-uniform)/weight, floor-6

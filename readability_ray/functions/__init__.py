@@ -39,6 +39,7 @@ from .dsir import dsir_weights
 from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .report import corpus_report
+from .crawldiff import crawl_diff
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
@@ -69,7 +70,7 @@ __all__ = [
     "lm_quality_scores", "train_bigram_lm",
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
-    "corpus_report",
+    "corpus_report", "crawl_diff",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
