@@ -22,7 +22,7 @@ from collections.abc import Callable
 from typing import Any
 
 STOPWORD_RE_SQL = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
-TOKEN_RE_SQL = r"\S+"
+TOKEN_RE_SQL = r"[^ \t\n\r\f\v]+"
 # textstats.BPE_TOKEN_RE with the SQL-literal quote doubling applied
 BPE_RE_SQL = (r"'(?:s|t|re|ve|m|ll|d)"
               r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
@@ -722,6 +722,25 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target, vocab_size=16, min_bigram_count=2)
 
 
+def _q_dsir_hashed(sf_dir: str):
+    """DSIR with the paper's hashed n-gram features (functions/
+    dsir.dsir_weights_hashed): bigrams md5-LE-hashed into a FIXED
+    1024-bucket space — the variant whose model is CONSTANT in corpus
+    size (round-3 verdict #3; the classic dsir_weights dict grows with
+    distinct bigrams).  Raw = all documents, target = the lang='en'
+    subset.  Training is two bounded-cardinality merges (no hash
+    shuffle); scoring one stateless map.  Value-level DuckDB oracle:
+    bucket ids re-derived with the shared MD5-LE SQL, add-one bucket
+    probabilities, ln-sums floor-6."""
+    import ray.data
+    from readability_ray.functions import dsir_weights_hashed
+    raw = _docs(sf_dir)
+    target = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"]).filter(expr="lang == 'en'")
+    return dsir_weights_hashed(raw, target, n_buckets=1024)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge learning (functions/bpe.py, Sennrich
     2016): one corpus-sized word-count exchange, then n_merges
@@ -1325,12 +1344,11 @@ def _q_events_hourly(sf_dir: str):
             "mx": grouped.column("value_max"),
         })
 
-    # partial-merge as keyed repartition + per-partition pandas agg —
-    # same exchange as Ray's HashAggregate without its lingering
-    # aggregator actors (BASELINE.md round-3 bench finding)
-    from readability_ray.state import (default_partitions,
-                                       ensure_hash_shuffle)
-    ensure_hash_shuffle(ds)
+    # map-side partials collapse each block to ≤ |event_type|×|hours|
+    # rows, so the merge input is bounded by key cardinality, not by
+    # corpus size — one merge block suffices (the pricing_summary
+    # shape, relational.py).  Round-3 verdict #4: the keyed repartition
+    # used here before bought nothing but ~4 s hash-shuffle spin-up.
     import pyarrow as _pa
 
     def merge(batch) -> _pa.Table:
@@ -1350,8 +1368,7 @@ def _q_events_hourly(sf_dir: str):
         return arrow_out(g)
 
     return ds.map_batches(partials, batch_format="pyarrow") \
-        .repartition(num_blocks=default_partitions(),
-                     keys=["event_type", "hour"]) \
+        .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
@@ -1407,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "lm_quality_scores": _q_lm_quality_scores,
         "dsir_weights": _q_dsir_weights,
+        "dsir_weights_hashed": _q_dsir_hashed,
         "nb_classify": _q_nb_classify,
         "corpus_report": _q_corpus_report,
         "gopher_rules": _q_gopher_rules,
@@ -1423,9 +1441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": _q_pii_scan,
         "token_postings": _q_token_postings,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "content_hashes": _q_content_hashes,
         # -- SQL-oracled, past the 50-entry window (all were driver-green
         #    in CORRECTNESS_r03; cheapest stateless maps live here) ------
+        "content_hashes": _q_content_hashes,
         "normalize_text": _q_normalize_text,
         "hash_split": _q_hash_split,
         "repetition_scores": _q_repetition_scores,
@@ -1780,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_scores": r"""
             WITH t AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ts
                 FROM documents
             ), tok AS (
                 SELECT doc_id, unnest(ts) AS tok FROM t
@@ -1824,7 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": r"""
             WITH t AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS ts
                 FROM documents
             ), g AS (
                 SELECT doc_id,
@@ -1894,7 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(regexp_extract_all(text, '\S+')) AS token
+                       unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
                 FROM documents
             ), tf AS (
                 SELECT doc_id, token, count(*)::BIGINT AS tf
@@ -2074,6 +2092,55 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(l.s_t * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_target,
                    coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
                    coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
+            FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "dsir_weights_hashed": f"""
+            -- hashed-feature DSIR: bigram "a b" -> md5-LE uint64
+            -- % 1024 buckets; per-corpus add-one bucket
+            -- probabilities (target = lang=en subset); per-doc
+            -- ln-sums + ratio, floor-6.
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+                FROM documents
+            ), big AS (
+                SELECT doc_id, lang,
+                       t[i] || ' ' || t[i + 1] AS bg
+                FROM (SELECT doc_id, lang, t,
+                             unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM toks WHERE len(t) >= 2)
+            ), bk AS (
+                SELECT doc_id, lang,
+                       ({MD5_64_LE_SQL} % 1024)::BIGINT AS b
+                FROM (SELECT doc_id, lang, md5(bg) AS h FROM big)
+            ), rawc AS (
+                SELECT b, count(*)::BIGINT AS c FROM bk GROUP BY b
+            ), rtot AS (SELECT count(*)::BIGINT AS n FROM bk),
+            tgtc AS (
+                SELECT b, count(*)::BIGINT AS c FROM bk
+                WHERE lang = 'en' GROUP BY b
+            ), ttot AS (
+                SELECT count(*)::BIGINT AS n FROM bk WHERE lang = 'en'
+            ), lp AS (
+                SELECT bk.doc_id, count(*)::BIGINT AS nb,
+                       sum(ln((coalesce(t.c, 0) + 1)::DOUBLE /
+                              ((SELECT n FROM ttot) + 1024)::DOUBLE))
+                           AS s_t,
+                       sum(ln((coalesce(r.c, 0) + 1)::DOUBLE /
+                              ((SELECT n FROM rtot) + 1024)::DOUBLE))
+                           AS s_r
+                FROM bk
+                LEFT JOIN rawc r ON bk.b = r.b
+                LEFT JOIN tgtc t ON bk.b = t.b
+                GROUP BY bk.doc_id
+            )
+            SELECT d.doc_id, coalesce(l.nb, 0)::BIGINT AS n_bigrams,
+                   coalesce(floor(l.s_t * 1e6) / 1e6, 0.0)::DOUBLE
+                       AS logprob_target,
+                   coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE
+                       AS logprob_raw,
+                   coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6,
+                            0.0)::DOUBLE AS log_ratio
             FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
         """,
         "lm_quality_scores": r"""
@@ -2302,8 +2369,8 @@ def oracle_sql() -> dict[str, str]:
             -- covered tokens = union of hit windows (range join),
             -- clean_text = kept tokens space-rejoined in order.
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
-                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n
                 FROM documents
             ), tok AS (
                 SELECT doc_id, n,
@@ -2347,8 +2414,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS t,
-                       len(regexp_extract_all(text, '\S+'))::BIGINT AS n
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t,
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT AS n
                 FROM documents
             ), meta AS (
                 SELECT doc_id, t, n,
@@ -2432,7 +2499,7 @@ def oracle_sql() -> dict[str, str]:
                        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
                         ::UBIGINT % 8)::BIGINT AS shard,
                        md5(doc_id::VARCHAR) AS rk,
-                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                       len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))::BIGINT
                            AS n_tokens
                 FROM documents
             ), w AS (
@@ -2472,7 +2539,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_postings": r"""
             WITH tok AS (
-                SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+                SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
                        AS token
                 FROM documents
             ), td AS (

@@ -35,7 +35,7 @@ from .chunking import chunk_documents, line_dedup
 from .substring import substring_dedup
 from .lmscore import lm_quality_scores, train_bigram_lm
 from .bpe import bpe_encode_stats, learn_bpe, word_counts
-from .dsir import dsir_weights
+from .dsir import dsir_weights, dsir_weights_hashed
 from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .report import corpus_report
@@ -69,6 +69,7 @@ __all__ = [
     "chunk_documents", "line_dedup", "substring_dedup",
     "lm_quality_scores", "train_bigram_lm",
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
+    "dsir_weights_hashed",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "corpus_report", "crawl_diff",
     "bloom_novelty", "build_bloom", "embedding_quantize",

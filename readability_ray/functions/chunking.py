@@ -39,7 +39,7 @@ import ray.data
 
 from .util import arrow_out, strip_schema_metadata
 
-_TOKEN_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 # the exact strip set mirrored by the SQL differential (ASCII
 # whitespace minus \n, which cannot occur inside a split line)
 _STRIP_CHARS = " \t\r\f\v"
@@ -119,15 +119,20 @@ def _explode_lines(batch: pa.Table, id_col: str,
     texts = batch.column(text_col).to_pylist()
     out_id, out_idx, out_line, out_key = [], [], [], []
     for i, t in zip(ids, texts):
+        # empty-after-strip lines are formatting, not boilerplate:
+        # never counted or dropped, their key is transit-only — salt
+        # it per document ("b:"+id, distinguishable from 32-hex real
+        # keys) so the corpus's blank lines spread across the line-key
+        # exchange instead of all hashing to ONE partition (round-3
+        # advice: markdown makes blank lines ubiquitous)
+        blank_key = f"b:{i}"
         for j, ln in enumerate((t or "").split("\n")):
             s = ln.strip(_STRIP_CHARS)
             out_id.append(i)
             out_idx.append(j)
             out_line.append(ln)
-            # empty-after-strip lines are formatting, not boilerplate:
-            # key them "" and never count/drop them
             out_key.append(hashlib.md5(s.encode()).hexdigest()
-                           if s else "")
+                           if s else blank_key)
     return pa.table({
         id_col: pa.array(out_id, batch.schema.field(id_col).type),
         "line_idx": pa.array(out_idx, pa.int64()),
@@ -209,7 +214,7 @@ def line_dedup(ds: ray.data.Dataset, max_doc_freq: int = 5,
                 "line_idx": pd.Series([], dtype="int64"),
                 "line": pd.Series([], dtype="object"),
                 "removed": pd.Series([], dtype="bool")}))
-        counted = batch[batch["line_key"] != ""]
+        counted = batch[~batch["line_key"].str.startswith("b:")]
         df = counted.groupby("line_key", sort=False)[id_col].nunique()
         hot = set(df[df > max_doc_freq].index)
         removed = batch["line_key"].isin(hot) if hot else \

@@ -34,7 +34,7 @@ import ray.data
 
 from .util import arrow_out, strip_schema_metadata
 
-_TOKEN_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 
 def _floor6(x: np.ndarray) -> np.ndarray:
@@ -470,25 +470,30 @@ def weighted_sample_k(ds: ray.data.Dataset, *, k: int = 50,
     Output: (id_col, weight_col, sample_key) ordered by
     (sample_key desc, id asc).
     """
+    # plan-time schema peek so string-keyed datasets work and the
+    # empty-block guard emits the right dtypes (round-3 advice: the id
+    # column was hardcoded int64 despite the generic id_col API)
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    weight_type = sch.types[sch.names.index(weight_col)]
+
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         ws = batch.column(weight_col).to_pylist()
         rows = [(i, w, math.floor(_aes_key(i, float(w)) * 1e6) / 1e6)
                 for i, w in zip(ids, ws) if w is not None and w > 0]
         return pa.table({
-            id_col: pa.array([r[0] for r in rows], pa.int64()),
-            weight_col: pa.array(
-                [r[1] for r in rows],
-                batch.schema.field(weight_col).type),
+            id_col: pa.array([r[0] for r in rows], id_type),
+            weight_col: pa.array([r[1] for r in rows], weight_type),
             "sample_key": pa.array([r[2] for r in rows], pa.float64()),
         })
 
     def topk(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0 or "sample_key" not in batch.columns:
-            return arrow_out(pd.DataFrame(
-                {id_col: pd.Series([], dtype="int64"),
-                 weight_col: pd.Series([], dtype="float64"),
-                 "sample_key": pd.Series([], dtype="float64")}))
+            return pa.table({
+                id_col: pa.array([], id_type),
+                weight_col: pa.array([], weight_type),
+                "sample_key": pa.array([], pa.float64())})
         return arrow_out(batch.sort_values(
             ["sample_key", id_col], ascending=[False, True]).head(k)
             .reset_index(drop=True))

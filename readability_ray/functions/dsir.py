@@ -39,13 +39,19 @@ def dsir_weights(raw_ds: ray.data.Dataset,
                  target_ds: ray.data.Dataset, *,
                  vocab_size: int = 50_000, min_bigram_count: int = 1,
                  id_col: str = "doc_id", text_col: str = "text",
-                 n_partitions: int | None = None) -> ray.data.Dataset:
+                 n_partitions: int | None = None,
+                 max_model_entries: int = 5_000_000) -> ray.data.Dataset:
     """Importance log-ratios for every raw document.
 
     Output: (id_col, n_bigrams, logprob_target, logprob_raw,
     log_ratio) — log probabilities are SUMS over the document's
     bigrams (DSIR weighs whole documents), floor-6 truncated; higher
     ``log_ratio`` = more target-like.  Docs with < 2 tokens score 0.
+
+    Driver-memory bound: both trainings stream their count pulls and
+    raise past ``max_model_entries`` (see train_bigram_lm).  For a
+    model whose size is CONSTANT in corpus size — the DSIR paper's
+    actual construction — use ``dsir_weights_hashed``.
     """
     import ray
 
@@ -58,10 +64,11 @@ def dsir_weights(raw_ds: ray.data.Dataset,
     uni_raw, big_raw, v = train_bigram_lm(
         docs, vocab_size=vocab_size,
         min_bigram_count=min_bigram_count, text_col=text_col,
-        n_partitions=n_partitions)
+        n_partitions=n_partitions, max_model_entries=max_model_entries)
     uni_t, big_t, _ = _train_with_vocab(
         target_ds, frozenset(uni_raw), min_bigram_count=min_bigram_count,
-        text_col=text_col, n_partitions=n_partitions)
+        text_col=text_col, n_partitions=n_partitions,
+        max_model_entries=max_model_entries)
     model_ref = ray.put((uni_raw, big_raw, uni_t, big_t, v))
     _memo: dict = {}
 
@@ -100,7 +107,9 @@ def dsir_weights(raw_ds: ray.data.Dataset,
 
 def _train_with_vocab(train_ds: ray.data.Dataset, vocab: frozenset, *,
                       min_bigram_count: int, text_col: str,
-                      n_partitions: int | None) -> tuple[dict, dict, int]:
+                      n_partitions: int | None,
+                      max_model_entries: int = 5_000_000
+                      ) -> tuple[dict, dict, int]:
     """Bigram-LM counts over ``train_ds`` against a FIXED vocabulary
     (unigram counts recounted on this corpus, same UNK mapping) — the
     shared-event-space variant DSIR's target model needs.  One
@@ -159,13 +168,135 @@ def _train_with_vocab(train_ds: ray.data.Dataset, vocab: frozenset, *,
         return arrow_out(g[g["n"] >= min_bigram_count]
                          .reset_index(drop=True))
 
-    bigram_rows = docs.map_batches(
+    from .lmscore import pull_bigram_rows
+    merged = docs.map_batches(
         _bigram_partials, batch_format="pyarrow",
         fn_kwargs={"vocab_ref": vocab_ref, "text_col": text_col}) \
         .repartition(num_blocks=n_parts, keys=["tok_a", "tok_b"]) \
         .map_batches(sum_prune, batch_format="pandas",
-                     batch_size=None) \
-        .take_all()
-    bigram = {(r["tok_a"], r["tok_b"]): int(r["n"])
-              for r in bigram_rows}
+                     batch_size=None)
+    bigram = pull_bigram_rows(merged, max_model_entries)
     return unigram, bigram, len(vocab)
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature DSIR (the paper's actual fixed-bucket construction)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_bucket_counts(ds: ray.data.Dataset, *, n_buckets: int,
+                          text_col: str) -> tuple["np.ndarray", int]:
+    """Distributed hashed-bigram counts: per-batch partials collapse
+    each block to ≤ n_buckets rows, merged in ONE single-block pandas
+    pass (the pricing_summary shape — bounded-cardinality key, no hash
+    shuffle).  Returns (counts[n_buckets], total)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _md5_64
+    from .util import arrow_out
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for t in batch.column(text_col).to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            for a, b in zip(toks, toks[1:]):
+                counts[_md5_64(f"{a} {b}".encode("utf-8"))
+                       % n_buckets] += 1
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "bucket" not in batch.columns:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return arrow_out(batch.groupby("bucket", as_index=False,
+                                       sort=False)["n"].sum())
+
+    rows = strip_schema_metadata(ds.select_columns([text_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None) \
+        .take_all()  # ≤ n_buckets rows — constant in corpus size
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bucket"])] = int(r["n"])
+    return counts, int(counts.sum())
+
+
+def dsir_weights_hashed(raw_ds: ray.data.Dataset,
+                        target_ds: ray.data.Dataset, *,
+                        n_buckets: int = 10_000,
+                        id_col: str = "doc_id", text_col: str = "text"
+                        ) -> ray.data.Dataset:
+    """DSIR with the paper's hashed n-gram features (Xie et al. 2023
+    §3: bigrams hashed into a FIXED 10k-bucket space) — the variant
+    whose model size is constant in corpus size, so the driver dict
+    bound that limits ``dsir_weights`` at 100 TB disappears.
+
+    Bucket: md5 of ``"tok_a tok_b"`` (tokens never contain spaces),
+    first 8 bytes little-endian uint64, mod ``n_buckets`` — the same
+    md5-LE construction every other oracle-checked hash here uses, so
+    DuckDB re-derives the bucket ids exactly.  Per-corpus bucket
+    distributions are add-one smoothed over the bucket space:
+    ``p(b) = (c[b] + 1) / (total + n_buckets)``.
+
+    Output: (id_col, n_bigrams, logprob_target, logprob_raw,
+    log_ratio), ln-sums floor-6 truncated; docs with < 2 tokens
+    score 0.  Both trainings are one stateless partial pass + one
+    single-block merge — no hash shuffle, no unbounded driver state.
+    """
+    import ray
+
+    import numpy as np
+
+    from .dedup import _md5_64
+
+    c_raw, n_raw = _hashed_bucket_counts(
+        raw_ds, n_buckets=n_buckets, text_col=text_col)
+    c_tgt, n_tgt = _hashed_bucket_counts(
+        target_ds, n_buckets=n_buckets, text_col=text_col)
+    # ship the two ln-probability tables, not the raw counts: the
+    # per-bucket ln is precomputed once (vectorized) instead of per
+    # document occurrence
+    ln_raw = np.log((c_raw + 1.0) / (n_raw + n_buckets))
+    ln_tgt = np.log((c_tgt + 1.0) / (n_tgt + n_buckets))
+    model_ref = ray.put((ln_tgt, ln_raw))
+
+    docs = strip_schema_metadata(
+        raw_ds.select_columns([id_col, text_col]))
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        from .lmscore import _get_broadcast
+        lt, lr = _get_broadcast(ref)
+        texts = batch.column(text_col).to_pylist()
+        out_nb, out_t, out_r, out_lr = [], [], [], []
+        for t in texts:
+            toks = _TOKEN_RE.findall(t or "")
+            if len(toks) < 2:
+                out_nb.append(0)
+                out_t.append(0.0)
+                out_r.append(0.0)
+                out_lr.append(0.0)
+                continue
+            bks = np.fromiter(
+                (_md5_64(f"{a} {b}".encode("utf-8")) % n_buckets
+                 for a, b in zip(toks, toks[1:])),
+                dtype=np.int64, count=len(toks) - 1)
+            lp_t = float(lt[bks].sum())
+            lp_r = float(lr[bks].sum())
+            out_nb.append(len(toks) - 1)
+            out_t.append(math.floor(lp_t * 1e6) / 1e6)
+            out_r.append(math.floor(lp_r * 1e6) / 1e6)
+            out_lr.append(math.floor((lp_t - lp_r) * 1e6) / 1e6)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_bigrams": pa.array(out_nb, pa.int64()),
+            "logprob_target": pa.array(out_t, pa.float64()),
+            "logprob_raw": pa.array(out_r, pa.float64()),
+            "log_ratio": pa.array(out_lr, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            fn_kwargs={"ref": model_ref})

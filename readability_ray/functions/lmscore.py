@@ -94,7 +94,8 @@ def _bigram_partials(batch: pa.Table, *, vocab_ref,
 def train_bigram_lm(train_ds: ray.data.Dataset, *,
                     vocab_size: int = 50_000, min_bigram_count: int = 1,
                     text_col: str = "text",
-                    n_partitions: int | None = None
+                    n_partitions: int | None = None,
+                    max_model_entries: int = 5_000_000
                     ) -> tuple[dict, dict, int]:
     """(unigram counts, bigram counts, V) — the broadcastable model.
 
@@ -102,6 +103,16 @@ def train_bigram_lm(train_ds: ray.data.Dataset, *,
     vocabulary; ``bigram`` maps (tok_a, tok_b) → count for UNK-mapped
     adjacent pairs seen ≥ ``min_bigram_count`` times; ``V`` is the
     realized vocab size (so the smoothing denominator is ``c + V + 1``).
+
+    Scale bound (round-3 verdict #3): the bigram dict lives on the
+    DRIVER, and with ``min_bigram_count=1`` it grows with the corpus's
+    distinct-bigram count — vocab_size caps the event SPACE (V² pairs)
+    but not the realized dict.  The pull is streamed and aborts with a
+    clear error once ``max_model_entries`` is exceeded instead of
+    OOMing the driver; at corpus scale either raise
+    ``min_bigram_count`` (a count cutoff scaled to corpus size) or use
+    the fixed-size hashed-feature model (``dsir.dsir_weights_hashed``,
+    the DSIR paper's actual 10k-bucket construction).
     """
     import ray
 
@@ -128,16 +139,36 @@ def train_bigram_lm(train_ds: ray.data.Dataset, *,
         return arrow_out(g[g["n"] >= min_bigram_count]
                          .reset_index(drop=True))
 
-    bigram_rows = docs.map_batches(
+    merged = docs.map_batches(
         _bigram_partials, batch_format="pyarrow",
         fn_kwargs={"vocab_ref": vocab_ref, "text_col": "text"}) \
         .repartition(num_blocks=n_parts, keys=["tok_a", "tok_b"]) \
         .map_batches(sum_prune, batch_format="pandas",
-                     batch_size=None) \
-        .take_all()
-    bigram = {(r["tok_a"], r["tok_b"]): int(r["n"])
-              for r in bigram_rows}
+                     batch_size=None)
+    bigram = pull_bigram_rows(merged, max_model_entries)
     return unigram, bigram, len(unigram)
+
+
+def pull_bigram_rows(merged: ray.data.Dataset,
+                     max_model_entries: int) -> dict:
+    """Stream the merged (tok_a, tok_b, n) rows into the driver dict,
+    raising — not OOMing — the moment the model exceeds the cap."""
+    bigram: dict = {}
+    for b in merged.iter_batches(batch_format="pandas",
+                                 batch_size=65_536):
+        if len(b) == 0 or "tok_a" not in b.columns:
+            continue
+        if len(bigram) + len(b) > max_model_entries:
+            raise RuntimeError(
+                f"bigram model exceeds max_model_entries="
+                f"{max_model_entries}: the driver-side count dict "
+                "grows with the corpus's distinct-bigram count. "
+                "Raise min_bigram_count (count cutoff scaled to "
+                "corpus size) or switch to the fixed-size hashed "
+                "model (dsir.dsir_weights_hashed).")
+        for a, t, n in zip(b["tok_a"], b["tok_b"], b["n"]):
+            bigram[(a, t)] = int(n)
+    return bigram
 
 
 def lm_quality_scores(ds: ray.data.Dataset,
@@ -145,7 +176,8 @@ def lm_quality_scores(ds: ray.data.Dataset,
                       vocab_size: int = 50_000,
                       min_bigram_count: int = 1,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n_partitions: int | None = None
+                      n_partitions: int | None = None,
+                      max_model_entries: int = 5_000_000
                       ) -> ray.data.Dataset:
     """Score every document by average bigram ln-probability under the
     corpus-trained model (CCNet's perplexity filter, self-trained).
@@ -160,7 +192,8 @@ def lm_quality_scores(ds: ray.data.Dataset,
     unigram, bigram, v = train_bigram_lm(
         train_ds if train_ds is not None else docs,
         vocab_size=vocab_size, min_bigram_count=min_bigram_count,
-        text_col=text_col, n_partitions=n_partitions)
+        text_col=text_col, n_partitions=n_partitions,
+        max_model_entries=max_model_entries)
     model_ref = ray.put((unigram, bigram, v))
     _memo: dict = {}  # per-worker ray.get memo (one fetch each)
 

@@ -37,7 +37,7 @@ import ray.data
 
 from .util import arrow_out, strip_schema_metadata
 
-_TOKEN_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 
 def _shard_keys(batch: pa.Table, n_shards: int,

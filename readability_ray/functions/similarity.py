@@ -606,9 +606,14 @@ def semdedup_keepers(ds: ray.data.Dataset, *, k: int = 8,
 
     centroids = _train_centroids(ds, k, n_iter, id_col)
     cent_ref = ray.put(centroids)
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
 
     def assign(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cent_ref)
+        # per-worker broadcast memo — fetch/deserialize once, not per
+        # batch (round-3 advice; the lmscore._get_broadcast pattern)
+        from .lmscore import _get_broadcast
+        cents = _get_broadcast(cent_ref)
         mat = _matrix(batch)
         d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return pa.table({
@@ -621,11 +626,11 @@ def semdedup_keepers(ds: ray.data.Dataset, *, k: int = 8,
 
     def prune(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0 or "cluster" not in batch.columns:
-            return arrow_out(pd.DataFrame({
-                id_col: pd.Series([], dtype="int64"),
-                "cluster": pd.Series([], dtype="int32"),
-                "keeper_id": pd.Series([], dtype="int64"),
-                "is_keeper": pd.Series([], dtype="bool")}))
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "cluster": pa.array([], pa.int32()),
+                "keeper_id": pa.array([], id_type),
+                "is_keeper": pa.array([], pa.bool_())})
         out_id, out_cl, out_keep, out_is = [], [], [], []
         for cl, grp in batch.groupby("cluster", sort=False):
             ids = grp[id_col].to_numpy()

@@ -59,7 +59,7 @@ import ray.data
 
 from .util import arrow_out, strip_schema_metadata
 
-_TOKEN_RE = re.compile(r"\S+")
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 
 def _gram_keys(tokens: list, k: int) -> list:
@@ -112,6 +112,11 @@ def substring_dedup(ds: ray.data.Dataset, *, k: int = 16,
     if strategy != "colocate":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    # plan-time id dtype so string-keyed corpora survive the
+    # empty-shuffle-block guards (round-3 advice: hardcoded int64)
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+
     def explode_grams(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
@@ -130,9 +135,9 @@ def substring_dedup(ds: ray.data.Dataset, *, k: int = 16,
     def dup_hits(batch: pd.DataFrame) -> pa.Table:
         # gram-key partition: every occurrence of a gram is local here
         if len(batch) == 0 or "gram_key" not in batch.columns:
-            return arrow_out(pd.DataFrame({
-                id_col: pd.Series([], dtype="object"),
-                "pos": pd.Series([], dtype="int64")}))
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "pos": pa.array([], pa.int64())})
         c = batch.groupby("gram_key", sort=False)["gram_key"] \
             .transform("size")
         return arrow_out(batch.loc[c >= min_count, [id_col, "pos"]]
@@ -156,7 +161,7 @@ def substring_dedup(ds: ray.data.Dataset, *, k: int = 16,
     def tag_hits(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
                 text_col: pa.array([], pa.string()),
                 "pos": pa.array([], pa.int64())})
         return pa.table({

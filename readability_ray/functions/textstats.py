@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-TOKEN_RE = r"\S+"
+TOKEN_RE = r"[^ \t\n\r\f\v]+"
 DIGIT_RE = r"[0-9]"
 UPPER_RE = r"[A-Z]"
 STOPWORD_RE = r"(?i)\b(the|and|of|to|in|is|a|that|it|for)\b"
@@ -274,7 +274,7 @@ def token_postings(ds: ray.data.Dataset,
     n_parts = n_partitions or default_partitions()
 
     import re as _re
-    token_re = _re.compile(r"\S+")
+    token_re = _re.compile(r"[^ \t\n\r\f\v]+")
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         toks: list = []
@@ -564,7 +564,7 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = 5,
     ensure_hash_shuffle(ds)
     n_parts = n_partitions or default_partitions()
     n = float(n_docs if n_docs is not None else ds.count())
-    token_re = _re.compile(r"\S+")
+    token_re = _re.compile(r"[^ \t\n\r\f\v]+")
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         import collections

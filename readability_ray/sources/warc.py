@@ -401,8 +401,16 @@ try:  # import-gated so pure-parser users don't need ray
                         continue
                     err = rec.get("error")
                     if err is None and rec["payload"] is not None:
-                        status, ctype, body = split_http_response(
-                            rec["payload"])
+                        if rec["warc_type"] == "response":
+                            status, ctype, body = split_http_response(
+                                rec["payload"])
+                        else:
+                            # conversion (WET) records never carry an
+                            # HTTP envelope — a text payload that
+                            # happens to start with b'HTTP/' must NOT
+                            # be stripped (round-3 advice)
+                            status, ctype, body = \
+                                0, "", rec["payload"]
                         rows.append({"url": rec["url"],
                                      "warc_ts": rec["warc_ts"],
                                      "html": body,

@@ -38,6 +38,27 @@ def test_every_oracle_names_a_query():
     assert not dangling, f"oracle_sql() keys without a query: {dangling}"
 
 
+def test_tokenizer_class_matches_duckdb_on_exotic_whitespace():
+    """Round-3 advice: Python \\S and RE2 \\S diverge on \\v, \\x85,
+    NBSP and Unicode spaces.  Every module whose oracle tokenizes must
+    use the explicit ASCII class so both engines split identically."""
+    import duckdb
+
+    from readability_ray.functions import (chunking, corpus, lmscore,
+                                           packing, substring, textstats)
+    import re as _re
+
+    tricky = "a\vb\x85c\xa0d e f\tg\nh"
+    sql_toks = duckdb.sql(
+        "SELECT regexp_extract_all(?, '[^ \t\n\r\f\v]+') AS t",
+        params=[tricky]).fetchone()[0]
+    for mod_re in (substring._TOKEN_RE, chunking._TOKEN_RE,
+                   corpus._TOKEN_RE, packing._TOKEN_RE,
+                   lmscore._TOKEN_RE,
+                   _re.compile(textstats.TOKEN_RE)):
+        assert mod_re.findall(tricky) == sql_toks
+
+
 def test_no_duplicate_query_callables_dropped():
     # dict literals silently drop duplicate keys; the registry is big
     # enough that a paste error could lose a query without any test

@@ -387,6 +387,27 @@ def test_wet_shards_roundtrip(ray_session, tmp_path):
     assert got == {f"https://t/{i}": t for i, t in enumerate(texts)}
 
 
+def test_wet_payload_starting_with_http_is_not_stripped(ray_session,
+                                                        tmp_path):
+    """Round-3 advice: a WET text payload that happens to begin with
+    'HTTP/' and contains a CRLFCRLF must come back whole — conversion
+    records never carry an HTTP envelope, so the response-record
+    envelope splitter must not run on them."""
+    import ray.data
+
+    from readability_ray.sources.warc import read_warc, write_wet_shards
+    trap = "HTTP/1.1 200 OK\r\nX-Not: a-header\r\n\r\nactual body text"
+    ds = ray.data.from_items([
+        {"url": "https://t/trap", "warc_ts": EPOCH,
+         "extracted_text": trap}])
+    out = str(tmp_path / "wet-trap")
+    write_wet_shards(ds, out, records_per_shard=3).materialize()
+    back = read_warc(out).to_pandas()
+    assert len(back) == 1
+    assert back["http_status"][0] == 0
+    assert bytes(back["html"][0]).decode() == trap
+
+
 def test_run_extraction_warc_in_wet_out(ray_session, tmp_path):
     """The Common-Crawl job shape end-to-end: WARC shards in →
     extraction → WET conversion shards out; the WET payload is the
