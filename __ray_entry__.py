@@ -280,16 +280,19 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_video_frames(sf_dir: str):
-    """Video frame sampling: (media_id, frame_index, frame md5) rows —
-    the Ray-side plumbing for frame-level pipelines (decode stubbed)."""
+    """Video frame sampling: (media_id, frame_index, frame md5) rows.
+    REAL decode — uncompressed Y4M through the pure-stdlib parser
+    (media_codecs.decode_y4m; round-4 verdict #6), one sampled frame
+    per 1000 ms of source time; compressed codecs stay stubbed."""
     import hashlib
     import ray.data
     from readability_ray.functions.multimodal import (
-        frame_samples, make_fake_media_table)
+        frame_samples, make_real_media_table)
     n = 200 if "0.1" in sf_dir else 60
-    ds = ray.data.from_arrow(make_fake_media_table(n)) \
+    ds = ray.data.from_arrow(make_real_media_table(n)) \
         .filter(expr="media_type == 'video'")
-    frames = frame_samples(ds, every_n_ms=1000, fake_decode=True, use_actors=False)
+    frames = frame_samples(ds, every_n_ms=1000, fake_decode=False,
+                           use_actors=False)
 
     import pyarrow as pa
 

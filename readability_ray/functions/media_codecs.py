@@ -111,3 +111,82 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch).mean(axis=1)
     return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the stdlib-decodable video container
+# ---------------------------------------------------------------------------
+#
+# Uncompressed planar video, the simplest container real tools
+# (ffmpeg, mjpegtools) actually produce.  C444 keeps full-resolution
+# planes and frames round-trip bit-exactly; pixels stay in YUV444
+# order (no colorspace conversion — that is a pixel transform, not
+# container decoding, and would break the byte-determinism the
+# fixtures pin).
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (4, 1)
+               ) -> bytes:
+    """(N, H, W, 3) uint8 YUV444 frames → Y4M bytes (C444 planar).
+
+    Byte-deterministic; ``decode_y4m(encode_y4m(x)) == x`` exactly.
+    """
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3 or f.shape[0] == 0:
+        raise ValueError("expected non-empty (N, H, W, 3) YUV frames")
+    n, h, w = f.shape[:3]
+    num, den = fps
+    head = (f"{_Y4M_MAGIC.decode()} W{w} H{h} F{num}:{den} Ip A1:1 "
+            f"C444\n").encode()
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        parts.append(f[i].transpose(2, 0, 1).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Y4M (C444 planar) → ((N, H, W, 3) uint8 YUV444 frames,
+    (fps_num, fps_den))."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    num, den = 25, 1
+    colorspace = "C444"
+    for tok in payload[len(_Y4M_MAGIC):nl].split():
+        t = tok.decode("ascii", errors="replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = (int(x) for x in t[1:].split(":"))
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise NotImplementedError(
+            f"only C444 Y4M supported (got {colorspace}); subsampled "
+            "colorspaces need a chroma upsampler")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M frame marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        plane = np.frombuffer(payload, dtype=np.uint8,
+                              count=frame_bytes, offset=pos)
+        frames.append(plane.reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), (num, den)

@@ -35,16 +35,23 @@ MEDIA_SCHEMA = pa.schema([
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Real decode path.  Uncompressed 24-bit BMP decodes NATIVELY
-    (pure-stdlib parser, functions/media_codecs.py); compressed
-    formats (JPEG/PNG/WebP) need Pillow/libjpeg, which this container
-    does not ship — they stay behind the honest error below."""
+    (pure-stdlib parser, functions/media_codecs.py).  Compressed
+    formats (JPEG/PNG/WebP) decode through Pillow WHEN the cluster
+    image ships it (optional dependency — round-3 verdict #9); this
+    container does not, so they stay behind the honest error."""
     if payload[:2] == b"BM":
         from .media_codecs import decode_bmp
         return decode_bmp(payload)
-    raise NotImplementedError(
-        "compressed image decoding requires Pillow/libjpeg (not in this "
-        "environment); BMP decodes natively — or use fake_decode=True "
-        "for the deterministic stub")
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image decoding requires Pillow/libjpeg (not in "
+            "this environment); BMP decodes natively — or use "
+            "fake_decode=True for the deterministic stub")
+    import io as _io
+    with Image.open(_io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 def _decode_image_fake(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
@@ -95,11 +102,35 @@ class ImageFeatureStage:
 
 class FrameSampleStage:
     """Video frame-sampling plumbing: emits (media_id, frame_index,
-    frame_payload) rows.  Decode is the same stub boundary."""
+    frame_payload) rows.
+
+    Real path (``fake_decode=False``): uncompressed Y4M decodes
+    natively (functions/media_codecs.decode_y4m) — ``frame_index`` is
+    the index in the SOURCE stream, one sampled every ``every_n_ms``
+    by the stream's own frame rate, and ``frame_payload`` is the raw
+    YUV444 plane bytes.  Compressed video (H.264/VP9/AV1) stays behind
+    the honest NotImplementedError (needs ffmpeg, absent here)."""
 
     def __init__(self, every_n_ms: int = 1000, fake_decode: bool = True):
         self.every_n_ms = every_n_ms
         self.fake_decode = fake_decode
+
+    def _emit_real(self, media_id, payload, out_id, out_idx,
+                   out_payload):
+        from .media_codecs import decode_y4m
+        if not bytes(payload).startswith(b"YUV4MPEG2"):
+            raise NotImplementedError(
+                "compressed video decoding requires ffmpeg (not in "
+                "this environment); uncompressed Y4M decodes natively "
+                "— or use fake_decode=True for the stub")
+        frames, (num, den) = decode_y4m(bytes(payload))
+        # every_n_ms → a source-frame stride (integer, deterministic):
+        # stride = frames per sampling interval, floor, >= 1
+        stride = max(1, (self.every_n_ms * num) // (1000 * den))
+        for idx in range(0, len(frames), stride):
+            out_id.append(media_id)
+            out_idx.append(idx)
+            out_payload.append(frames[idx].transpose(2, 0, 1).tobytes())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -108,8 +139,9 @@ class FrameSampleStage:
         out_id, out_idx, out_payload = [], [], []
         for media_id, duration, payload in zip(ids, durations, payloads):
             if not self.fake_decode:
-                raise NotImplementedError(
-                    "video frame extraction requires ffmpeg; unavailable")
+                self._emit_real(media_id, payload, out_id, out_idx,
+                                out_payload)
+                continue
             n_frames = max(1, (duration or 0) // self.every_n_ms)
             for idx in range(int(n_frames)):
                 frame = hashlib.md5(
@@ -131,10 +163,18 @@ def _decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] == b"RIFF":
         from .media_codecs import decode_wav
         return decode_wav(payload)
-    raise NotImplementedError(
-        "compressed audio decoding requires soundfile/ffmpeg (not in "
-        "this environment); PCM WAV decodes natively — or use "
-        "fake_decode=True for the stub")
+    try:
+        import soundfile  # optional dep: present on codec-equipped images
+    except ImportError:
+        raise NotImplementedError(
+            "compressed audio decoding requires soundfile/ffmpeg (not "
+            "in this environment); PCM WAV decodes natively — or use "
+            "fake_decode=True for the stub")
+    import io as _io
+    data, rate = soundfile.read(_io.BytesIO(payload), dtype="float64")
+    if data.ndim > 1:  # downmix like decode_wav does
+        data = data.mean(axis=1)
+    return data, int(rate)
 
 
 def _decode_audio_fake(payload: bytes, duration_ms: int,
@@ -263,10 +303,9 @@ def frame_samples(ds: ray.data.Dataset, *, every_n_ms: int = 1000,
 
 def make_real_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table with REAL payloads the stdlib codecs
-    decode: seeded-gradient 24-bit BMPs and seeded-sine PCM WAVs
-    (functions/media_codecs.py).  Video rows keep the opaque fake
-    payload — no stdlib video codec exists."""
-    from .media_codecs import encode_bmp, encode_wav_pcm16
+    decode: seeded-gradient 24-bit BMPs, seeded-sine PCM WAVs, and
+    seeded-plane Y4M videos (functions/media_codecs.py)."""
+    from .media_codecs import encode_bmp, encode_wav_pcm16, encode_y4m
     rng = np.random.RandomState(seed)
     types = [["image", "audio", "video"][i % 3] for i in range(n)]
     payloads, mimes, durations = [], [], []
@@ -287,9 +326,13 @@ def make_real_media_table(n: int, seed: int = 42) -> pa.Table:
             mimes.append("audio/wav")
             durations.append(dur_ms)
         else:
-            payloads.append(rng.bytes(512))
-            mimes.append("application/octet-stream")
-            durations.append(3000)
+            # 4 fps C444 Y4M, 6-12 frames → 1500-3000 ms
+            n_frames = int(rng.randint(6, 13))
+            frames = rng.randint(
+                0, 256, size=(n_frames, 8, 8, 3), dtype=np.uint8)
+            payloads.append(encode_y4m(frames, fps=(4, 1)))
+            mimes.append("video/x-yuv4mpeg")
+            durations.append(n_frames * 250)
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "media_type": pa.array(types, pa.string()),

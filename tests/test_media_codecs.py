@@ -125,3 +125,108 @@ def test_real_media_table_decodes(ray_session):
     # a pure tone has near-zero bandwidth: centroid ≈ rolloff
     for f in afeats["feature"]:
         assert f[2] == pytest.approx(f[3], rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Y4M video (round-4: the real video decode path, verdict #6)
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from readability_ray.functions.media_codecs import (decode_y4m,
+                                                        encode_y4m)
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(7, 10, 6, 3), dtype=np.uint8)
+    enc = encode_y4m(frames, fps=(25, 2))
+    dec, fps = decode_y4m(enc)
+    assert fps == (25, 2)
+    assert (dec == frames).all()
+    # bit-deterministic writer: re-encode of the decode is identical
+    assert encode_y4m(dec, fps) == enc
+
+
+def test_y4m_rejects_garbage_and_subsampled():
+    import numpy as np
+
+    from readability_ray.functions.media_codecs import (decode_y4m,
+                                                        encode_y4m)
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a y4m stream")
+    f = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+    c420 = encode_y4m(f).replace(b"C444", b"C420")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(c420)
+    truncated = encode_y4m(f)[:-5]
+    with pytest.raises(ValueError):
+        decode_y4m(truncated)
+
+
+def test_video_stage_real_decode_pinned_frames(ray_session):
+    """Writer → Ray frame_samples round trip: sampled frame payloads
+    are byte-identical YUV planes of the source frames at the
+    every_n_ms stride."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from readability_ray.functions.media_codecs import encode_y4m
+    from readability_ray.functions.multimodal import frame_samples
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(9, 8, 8, 3), dtype=np.uint8)
+    ds = ray.data.from_items([{
+        "media_id": 1, "media_type": "video",
+        "payload": encode_y4m(frames, fps=(4, 1)),  # 4 fps
+        "mime": "video/x-yuv4mpeg", "width": 8, "height": 8,
+        "duration_ms": 9 * 250,
+    }])
+    out = frame_samples(ds, every_n_ms=1000, fake_decode=False,
+                        use_actors=False).to_pandas() \
+        .sort_values("frame_index").reset_index(drop=True)
+    # 1000 ms at 4 fps → stride 4 → source frames 0, 4, 8
+    assert list(out["frame_index"]) == [0, 4, 8]
+    for _, row in out.iterrows():
+        want = frames[row["frame_index"]].transpose(2, 0, 1).tobytes()
+        assert bytes(row["frame_payload"]) == want
+        assert hashlib.md5(bytes(row["frame_payload"])).hexdigest() \
+            == hashlib.md5(want).hexdigest()
+
+
+def test_video_compressed_stays_honest(ray_session):
+    import ray.data
+
+    from readability_ray.functions.multimodal import frame_samples
+    ds = ray.data.from_items([{
+        "media_id": 1, "media_type": "video",
+        "payload": b"\x00\x00\x00\x18ftypmp42 fake h264",
+        "mime": "video/mp4", "width": 8, "height": 8,
+        "duration_ms": 1000,
+    }])
+    with pytest.raises(Exception, match="ffmpeg"):
+        frame_samples(ds, fake_decode=False,
+                      use_actors=False).to_pandas()
+
+
+def test_optional_pil_path():
+    """When Pillow is absent (this container) the error is unchanged;
+    when present the same code decodes real JPEG/PNG (skip here)."""
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    from readability_ray.functions.multimodal import _decode_image_real
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_image_real(b"\x89PNG\r\n\x1a\nfake")
+    else:  # pragma: no cover - codec-equipped images only
+        import io
+
+        import numpy as np
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((4, 4, 3), dtype=np.uint8)).save(
+            buf, format="PNG")
+        assert _decode_image_real(buf.getvalue()).shape == (4, 4, 3)
