@@ -163,3 +163,76 @@ def test_resume_wet_twin(ray_session, tmp_path):
     summary = run_resumable_extraction(files, out_dir, wet=True)
     assert summary["processed"] == []
     assert sorted(summary["skipped"]) == ["shard0", "shard1"]
+
+
+def test_chaos_worker_sigkill_mid_shard(ray_session, tmp_path):
+    """Round-3 verdict #10: REAL task failure.  A map worker is
+    SIGKILLed mid-shard (first execution only — a flag file arms the
+    kill exactly once); Ray's task retry must rerun the lost block and
+    the pipeline must complete with every row intact."""
+    import os as _os
+    import signal
+
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.pipelines import extract_pipeline
+    from readability_ray.sources import generate_pages
+
+    flag = str(tmp_path / "killed_once")
+
+    def kill_once(batch: pa.Table) -> pa.Table:
+        if not _os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("armed")
+            _os.kill(_os.getpid(), signal.SIGKILL)  # die mid-shard
+        return batch
+
+    pages = generate_pages(40, seed=7)
+    ds = ray.data.from_arrow(pages).select_columns(["url", "html"]) \
+        .map_batches(kill_once, batch_format="pyarrow", batch_size=10)
+    out = extract_pipeline(ds, use_actors=False,
+                           batch_size=10).to_pandas()
+    assert _os.path.exists(flag), "the chaos kill never fired"
+    assert len(out) == 40
+    assert set(out["url"]) == set(pages.column("url").to_pylist())
+
+
+def test_chaos_sigkill_leftover_tmp_reprocessed_exactly(ray_session,
+                                                        tmp_path):
+    """A SIGKILLed run leaves shard=X.tmp (no manifest).  The rerun's
+    manifest anti-join must reprocess exactly the missing shard —
+    clearing the stale tmp — and leave completed shards untouched."""
+    from readability_ray.pipelines.resume import (
+        MANIFEST_NAME, completed_shards, run_resumable_extraction)
+    files = _make_shards(tmp_path, n_shards=3, pages_per_shard=20)
+    out_dir = str(tmp_path / "out")
+    run_resumable_extraction(files, out_dir, concurrency=(1, 2))
+
+    # simulate the kill: shard2 loses its manifest AND has a stale
+    # half-written tmp dir from the dying writer
+    import shutil
+    shard2 = os.path.join(out_dir, "shard=shard2")
+    tmp2 = shard2 + ".tmp"
+    shutil.move(shard2, tmp2)
+    os.remove(os.path.join(tmp2, MANIFEST_NAME))
+    with open(os.path.join(tmp2, "part-junk.parquet"), "wb") as f:
+        f.write(b"half a row group")  # torn write
+    before = {
+        s: json.load(open(os.path.join(out_dir, f"shard={s}",
+                                       MANIFEST_NAME)))["completed_at"]
+        for s in ("shard0", "shard1")}
+
+    summary = run_resumable_extraction(files, out_dir, concurrency=(1, 2))
+    assert summary["processed"] == ["shard2"]
+    assert set(summary["skipped"]) == {"shard0", "shard1"}
+    assert not os.path.isdir(tmp2), "stale tmp must be cleared"
+    assert set(completed_shards(out_dir)) == {"shard0", "shard1",
+                                              "shard2"}
+    # untouched shards really untouched (manifest timestamps stable)
+    for s, ts in before.items():
+        m = json.load(open(os.path.join(out_dir, f"shard={s}",
+                                        MANIFEST_NAME)))
+        assert m["completed_at"] == ts
+    table = pq.read_table(os.path.join(out_dir, "shard=shard2"))
+    assert table.num_rows == 20
