@@ -25,9 +25,9 @@ from tests.test_oracle_node import (  # noqa: E402
     FIXTURE_CASES, TEST_PAGES_DIR, oracle)  # noqa: F401 (fixture reuse)
 from tools.oracle.vdom_json import document_to_json  # noqa: E402
 
-ALL_OPS = ["structure", "doccontent", "classify", "hierarchy",
-           "serialize", "readable", "serialize_html", "aria_raw",
-           "readable_load"]
+ALL_OPS = ["structure", "navdetail", "doccontent", "classify",
+           "hierarchy", "serialize", "readable", "serialize_html",
+           "aria_raw", "readable_load"]
 
 
 def _nav_summary(nav):
@@ -50,6 +50,32 @@ def _nav_item_summary(item):
         "is_current": item.is_current,
         "is_active": item.is_active,
         "children": [_nav_item_summary(c) for c in (item.children or [])],
+    }
+
+
+def _nav_item_full(item):
+    return {
+        "label": item.label,
+        "href": item.href,
+        "level": item.level,
+        "is_current": item.is_current,
+        "is_active": item.is_active,
+        "icon": getattr(item, "icon", None),  # declared-never-set
+        "children": [_nav_item_full(c) for c in (item.children or [])],
+    }
+
+
+def _nav_full(nav):
+    el = nav.element or {}
+    return {
+        "el_type": el.get("type"),
+        "el_role": el.get("role"),
+        "el_name": el.get("name"),
+        "type": nav.type,
+        "location": nav.location,
+        "structure": nav.structure,
+        "label": nav.label,
+        "items": [_nav_item_full(i) for i in nav.items],
     }
 
 
@@ -103,6 +129,14 @@ def _ours(html: str, url: str, doc) -> dict:
         "has_sidebar": s.sidebar is not None,
         "has_footer": s.footer is not None,
     }
+    # round-4 (verdict #7): detectNavigations compared FULL-FIELD over
+    # the same uncompressed tree — the byte-level check for the
+    # largest ported detect file (navigation.py)
+    from readability_ray.detect.navigation import detect_navigations
+    out["navdetail"] = {
+        "navigations": [_nav_full(n)
+                        for n in detect_navigations(tree["root"])]}
+
     c = extract_document_content_from_tree(tree)
     out["doccontent"] = {
         "content": c.content,

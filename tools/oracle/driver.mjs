@@ -29,6 +29,8 @@ const { stringify, formatDocument, toHTML, countNodes } = await import(u("format
 const { toMarkdown } = await import(u("markdown"));
 const { ariaTreeToString } = await import(u("readableAria"));
 const { analyzePageStructure } = await import(u("detect_index"));
+const { detectNavigations } = await import(u("detect_navigation"));
+const { buildAriaTree } = await import(u("readableAria"));
 const { extractDocumentContent } = await import(u("detect_document"));
 const { classifySnapshot } = await import(u("classify"));
 const { analyzeLinkHierarchy } = await import(u("hierarchy"));
@@ -98,6 +100,35 @@ function navSummary(nav) {
   };
 }
 
+// FULL NavigationInfo/NavigationItem surface (navSummary above is the
+// lossy view analyzePageStructure's comparison uses): every declared
+// field including the never-set `icon`, plus the element's aria
+// identity (type/role/name) as the AriaNode proxy.
+function navItemFull(item) {
+  return {
+    label: item.label,
+    href: item.href ?? null,
+    level: item.level,
+    is_current: item.isCurrent ?? null,
+    is_active: item.isActive ?? null,
+    icon: item.icon ?? null,
+    children: (item.children ?? []).map(navItemFull),
+  };
+}
+
+function navFull(nav) {
+  return {
+    el_type: nav.element.type,
+    el_role: nav.element.role ?? null,
+    el_name: nav.element.name ?? null,
+    type: nav.type,
+    location: nav.location,
+    structure: nav.structure,
+    label: nav.label ?? null,
+    items: nav.items.map(navItemFull),
+  };
+}
+
 function headerSummary(h) {
   if (!h) return null;
   return {
@@ -152,6 +183,14 @@ const OPS = {
     } finally {
       delete globalThis.__oracle_parsed;
     }
+  },
+
+  navdetail(doc) {
+    // detectNavigations run DIRECTLY over the uncompressed aria tree
+    // (the same tree analyzePageStructure builds, detect/index.ts:55)
+    // — full-field comparison for the navigation detector.
+    const tree = buildAriaTree(doc, { compress: false });
+    return { navigations: detectNavigations(tree.root).map(navFull) };
   },
 
   doccontent(doc) {
