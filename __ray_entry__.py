@@ -840,17 +840,49 @@ def _pages_ds_full(sf_dir: str):
 
 
 def _q_url_canonical(sf_dir: str):
-    """URL canonicalization over the pages table (crawl dedup-key
-    normalization, functions/urltools.py): one stateless map — RFC
-    3986 syntax normalization + tracking-param strip.  Rows-only
-    (dot-segment/percent state machines aren't SQL-expressible);
-    pinned by unit + hypothesis idempotence tests."""
-    import ray.data
+    """URL canonicalization (crawl dedup-key normalization,
+    functions/urltools.py): one stateless map — RFC 3986 §6 syntax
+    normalization + tracking-param strip.
+
+    Round 4: value-level oracle.  The general state machines
+    (dot-segment removal, percent re-encoding) aren't SQL-expressible,
+    but the operator IS value-checkable on a deterministic URL family
+    whose canonical forms are constructible in SQL — six rotating
+    cases derived from doc_id exercise case/port folding, dot
+    segments + fragment strip, tracking-param removal, percent
+    normalization (unreserved decode + uppercase), trailing host dot +
+    ./ segments + empty-query drop, and mid-query tracking removal
+    with order preserved.  The unrestricted input space stays pinned
+    by the unit + hypothesis idempotence tests."""
+    import pyarrow as pa
     from readability_ray.functions import canonicalize_urls
-    from readability_ray.sources import pages_path_for_sf
-    ds = ray.data.read_parquet(pages_path_for_sf(sf_dir),
-                               columns=["url"])
-    return canonicalize_urls(ds)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            k = i % 6
+            if k == 0:
+                u = f"HTTP://Example.COM:80/path/{i}"
+            elif k == 1:
+                u = f"https://site.test:443/a/b/../c?q={i}#frag"
+            elif k == 2:
+                u = f"http://Track.test/p?utm_source=x&utm_campaign=y&id={i}"
+            elif k == 3:
+                u = f"https://pct.test/%7euser/%2fdata{i}"
+            elif k == 4:
+                u = f"http://dot.test./x/./y/{i}?"
+            else:
+                u = f"https://plain.test/ok{i}?b=2&gclid=z&a=1"
+            urls.append(u)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return canonicalize_urls(ds).select_columns(
+        ["doc_id", "canonical_url", "host"])
 
 
 def _q_embedding_quantize(sf_dir: str):
@@ -1456,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "wet_export": _q_wet_export,
         "embedding_quantize": _q_embedding_quantize,
+        "url_canonical": _q_url_canonical,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -1473,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keepers": _q_semdedup_keepers,
         "bpe_encode_stats": _q_bpe_encode_stats,
         "markdown_line_dedup": _q_markdown_line_dedup,
-        "url_canonical": _q_url_canonical,
         "training_chunks": _q_training_chunks,
         "page_structure": _q_page_structure,
         "classify_pages": _q_classify_pages,
@@ -2096,6 +2128,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
                    coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
             FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "url_canonical": """
+            -- the six-case family's canonical forms constructed
+            -- directly (see _q_url_canonical): case/port fold,
+            -- dot-segments+fragment, tracking strip, percent
+            -- normalization, host-dot + ./ + empty query, mid-query
+            -- tracking removal with order kept
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'http://example.com/path/' || doc_id
+                     WHEN 1 THEN 'https://site.test/a/c?q=' || doc_id
+                     WHEN 2 THEN 'http://track.test/p?id=' || doc_id
+                     WHEN 3 THEN 'https://pct.test/~user/%2Fdata' || doc_id
+                     WHEN 4 THEN 'http://dot.test/x/y/' || doc_id
+                     ELSE 'https://plain.test/ok' || doc_id || '?b=2&a=1'
+                   END AS canonical_url,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'site.test'
+                     WHEN 2 THEN 'track.test'
+                     WHEN 3 THEN 'pct.test'
+                     WHEN 4 THEN 'dot.test'
+                     ELSE 'plain.test'
+                   END AS host
+            FROM documents
         """,
         "dsir_weights_hashed": f"""
             -- hashed-feature DSIR: bigram "a b" -> md5-LE uint64
