@@ -885,6 +885,106 @@ def _q_url_canonical(sf_dir: str):
         ["doc_id", "canonical_url", "host"])
 
 
+def _q_robots_filter(sf_dir: str):
+    """robots.txt politeness gate (functions/robots.py): per-host rule
+    tables parsed once and broadcast (ray.put + per-worker memo), URL
+    verdicts batch-local — zero shuffle on the corpus side.
+
+    Value-level oracle on a prefix-rule family (the url_canonical
+    technique): 8 hosts, host k disallows /d<k> but allows the LONGER
+    /d<k>/ok (so longest-match-wins is genuinely exercised), host 7
+    has no robots row (REP 404 default = allow all); four path shapes
+    rotate by doc_id.  Wildcards/$-anchors are pinned by unit tests
+    (state machines, not SQL)."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import robots_filter
+
+    robots_rows = [
+        {"host": f"h{k}.test",
+         "robots_txt": (f"User-agent: *\nDisallow: /d{k}\n"
+                        f"Allow: /d{k}/ok\n")}
+        for k in range(7)]  # h7.test deliberately absent
+    robots = ray.data.from_items(robots_rows)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            k = i % 8
+            p = i % 4
+            if p == 0:
+                path = f"/d{k}/x"        # hits Disallow
+            elif p == 1:
+                path = f"/d{k}/ok/page"  # longer Allow wins
+            elif p == 2:
+                path = "/open/page"      # no rule matches
+            else:
+                path = f"/d{k}"          # prefix boundary
+            urls.append(f"https://h{k}.test{path}")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    urls = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return robots_filter(urls, robots).select_columns(
+        ["doc_id", "url", "host", "path", "allowed"])
+
+
+def _q_sitemap_ingest(sf_dir: str):
+    """Sitemap-ingest round trip (sources/sitemap.py): deterministic
+    sitemaps.org XML — urlsets, an index file every 10th doc, a
+    malformed body on the %13==7 lane — is synthesized per document
+    with the byte-deterministic writer, exploded back through the
+    stdlib parser in one stateless map, and value-checked end-to-end
+    (the warc_ingest technique: the SQL oracle re-derives every
+    loc/lastmod/changefreq/priority by construction).  Error rows are
+    compared as a has_error flag (ParseError text is
+    engine-specific)."""
+    import pyarrow as pa
+    from readability_ray.sources.sitemap import (make_sitemap_xml,
+                                                 sitemap_entries)
+
+    freqs = ["daily", "weekly", "monthly", "yearly"]
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        xmls = []
+        for i in ids:
+            k = i % 50
+            if i % 10 == 0:
+                xmls.append(make_sitemap_xml(
+                    [{"loc": f"https://s{k}.test/sitemap-child-{i}.xml",
+                      "lastmod": f"2024-02-{(i % 28) + 1:02d}"}],
+                    index=True))
+            elif i % 13 == 7:
+                xmls.append("<urlset><url><loc>broken")
+            else:
+                entries = [
+                    {"loc": f"https://s{k}.test/page/{i}/{j}",
+                     "lastmod": f"2024-01-{((i + j) % 28) + 1:02d}",
+                     "changefreq": freqs[(i + j) % 4],
+                     "priority": f"0.{(i + j) % 10}"}
+                    for j in range(1 + i % 3)]
+                xmls.append(make_sitemap_xml(entries))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sitemap_xml": pa.array(xmls, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    out = sitemap_entries(ds)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.drop_columns(["error"]).append_column(
+            "has_error",
+            pc.not_equal(batch.column("error"), pa.scalar("")))
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization (vector-store prep,
     functions/similarity.py) — one stateless vectorized map; the
@@ -1489,6 +1589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_export": _q_wet_export,
         "embedding_quantize": _q_embedding_quantize,
         "url_canonical": _q_url_canonical,
+        "robots_filter": _q_robots_filter,
+        "sitemap_ingest": _q_sitemap_ingest,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -2128,6 +2230,70 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
                    coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
             FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "sitemap_ingest": """
+            -- writer->parser round trip re-derived by construction
+            -- (see _q_sitemap_ingest): every 10th doc an index file,
+            -- %13==7 lane malformed, the rest 1..3-entry urlsets
+            WITH d AS (
+                SELECT doc_id, doc_id % 50 AS k FROM documents
+            ), idx AS (
+                SELECT doc_id, 'sitemap' AS kind,
+                       'https://s' || k || '.test/sitemap-child-'
+                       || doc_id || '.xml' AS loc,
+                       '2024-02-' || lpad(((doc_id % 28) + 1)::VARCHAR,
+                                          2, '0') AS lastmod,
+                       NULL::VARCHAR AS changefreq,
+                       NULL::VARCHAR AS priority,
+                       false AS has_error
+                FROM d WHERE doc_id % 10 = 0
+            ), bad AS (
+                SELECT doc_id, '' AS kind, NULL::VARCHAR AS loc,
+                       NULL::VARCHAR AS lastmod,
+                       NULL::VARCHAR AS changefreq,
+                       NULL::VARCHAR AS priority, true AS has_error
+                FROM d WHERE doc_id % 10 <> 0 AND doc_id % 13 = 7
+            ), urls AS (
+                SELECT doc_id, 'url' AS kind,
+                       'https://s' || k || '.test/page/' || doc_id
+                       || '/' || j AS loc,
+                       '2024-01-' || lpad(
+                           (((doc_id + j) % 28) + 1)::VARCHAR, 2, '0')
+                           AS lastmod,
+                       (['daily', 'weekly', 'monthly', 'yearly'])
+                           [(doc_id + j) % 4 + 1] AS changefreq,
+                       '0.' || ((doc_id + j) % 10) AS priority,
+                       false AS has_error
+                FROM (SELECT doc_id, k,
+                             unnest(generate_series(0, doc_id % 3)) AS j
+                      FROM d
+                      WHERE doc_id % 10 <> 0 AND doc_id % 13 <> 7)
+            )
+            SELECT * FROM idx
+            UNION ALL SELECT * FROM bad
+            UNION ALL SELECT * FROM urls
+        """,
+        "robots_filter": """
+            -- prefix-rule family verdicts re-derived: host k
+            -- disallows /dk, allows the longer /dk/ok; host 7 has
+            -- no robots row (allow all); see _q_robots_filter
+            WITH u AS (
+                SELECT doc_id, doc_id % 8 AS k, doc_id % 4 AS p
+                FROM documents
+            )
+            SELECT doc_id,
+                   'https://h' || k || '.test' ||
+                   CASE p WHEN 0 THEN '/d' || k || '/x'
+                          WHEN 1 THEN '/d' || k || '/ok/page'
+                          WHEN 2 THEN '/open/page'
+                          ELSE '/d' || k END AS url,
+                   'h' || k || '.test' AS host,
+                   CASE p WHEN 0 THEN '/d' || k || '/x'
+                          WHEN 1 THEN '/d' || k || '/ok/page'
+                          WHEN 2 THEN '/open/page'
+                          ELSE '/d' || k END AS path,
+                   (k = 7 OR p IN (1, 2)) AS allowed
+            FROM u
         """,
         "url_canonical": """
             -- the six-case family's canonical forms constructed

@@ -1,0 +1,110 @@
+"""robots.txt politeness gate: RFC 9309 parsing, longest-match-wins
+evaluation, and the broadcast Ray filter."""
+
+import pyarrow as pa
+
+from readability_ray.functions.robots import (RobotsRule, parse_robots,
+                                              robots_allowed,
+                                              robots_filter)
+
+
+def test_parse_groups_and_agent_selection():
+    body = """
+# comment line
+User-agent: googlebot
+Disallow: /g
+
+User-agent: *
+Disallow: /all
+Allow: /all/ok
+"""
+    star = parse_robots(body, agent="mybot")
+    assert [(r.allow, r.pattern) for r in star] == [
+        (False, "/all"), (True, "/all/ok")]
+    goog = parse_robots(body, agent="Googlebot/2.1")
+    assert [(r.allow, r.pattern) for r in goog] == [(False, "/g")]
+
+
+def test_parse_stacked_agents_share_rules():
+    body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert [(r.allow, r.pattern) for r in parse_robots(body, "a-bot")] \
+        == [(False, "/x")]
+    assert [(r.allow, r.pattern) for r in parse_robots(body, "b-bot")] \
+        == [(False, "/x")]
+
+
+def test_longest_agent_token_wins():
+    body = ("User-agent: bot\nDisallow: /short\n\n"
+            "User-agent: superbot\nDisallow: /long\n")
+    rules = parse_robots(body, agent="SuperBot/1.0")
+    assert [r.pattern for r in rules] == ["/long"]
+
+
+def test_empty_disallow_is_allow_all():
+    rules = parse_robots("User-agent: *\nDisallow:\n")
+    assert rules == []
+    assert robots_allowed(rules, "/anything")
+
+
+def test_longest_match_wins_and_tie_prefers_allow():
+    rules = [RobotsRule(False, "/a"), RobotsRule(True, "/a/b")]
+    assert not robots_allowed(rules, "/a/x")
+    assert robots_allowed(rules, "/a/b/c")
+    # exact tie: allow wins (RFC 9309 2.2.2)
+    tie = [RobotsRule(False, "/p"), RobotsRule(True, "/p")]
+    assert robots_allowed(tie, "/page")
+
+
+def test_wildcard_and_anchor():
+    rules = [RobotsRule(False, "/*.pdf$")]
+    assert not robots_allowed(rules, "/docs/file.pdf")
+    assert robots_allowed(rules, "/docs/file.pdf?x=1")  # $ anchored
+    assert robots_allowed(rules, "/docs/file.pdfx")
+    star = [RobotsRule(False, "/a/*/c")]
+    assert not robots_allowed(star, "/a/b/c")
+    assert robots_allowed(star, "/a/b/d")
+
+
+def test_no_match_allows():
+    assert robots_allowed([RobotsRule(False, "/x")], "/y")
+    assert robots_allowed([], "/anything")
+
+
+def test_robots_filter_broadcast(ray_session):
+    import ray.data
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.test"], pa.string()),
+        "robots_txt": pa.array(
+            ["User-agent: *\nDisallow: /private\nAllow: /private/pub\n"],
+            pa.string()),
+    }))
+    urls = ray.data.from_arrow(pa.table({
+        "url": pa.array([
+            "https://a.test/private/x",        # disallowed
+            "https://a.test/private/pub/y",    # allowed (longer Allow)
+            "https://a.test/open",             # no match -> allowed
+            "https://NOROBOTS.test/anything",  # no robots row -> allowed
+        ], pa.string()),
+    }))
+    out = robots_filter(urls, robots).to_pandas() \
+        .set_index("url")["allowed"]
+    assert not out["https://a.test/private/x"]
+    assert out["https://a.test/private/pub/y"]
+    assert out["https://a.test/open"]
+    assert out["https://NOROBOTS.test/anything"]
+
+
+def test_robots_filter_query_string_in_path(ray_session):
+    import ray.data
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["q.test"], pa.string()),
+        "robots_txt": pa.array(["User-agent: *\nDisallow: /s?k=\n"],
+                               pa.string()),
+    }))
+    urls = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://q.test/s?k=1",
+                         "https://q.test/s?j=1"], pa.string())}))
+    out = robots_filter(urls, robots).to_pandas() \
+        .set_index("url")["allowed"]
+    assert not out["https://q.test/s?k=1"]
+    assert out["https://q.test/s?j=1"]
