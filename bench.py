@@ -109,8 +109,11 @@ def _run_benchmarks() -> None:
                      "markdown_line_dedup", "bloom_novelty",
                      "embedding_quantize",
                      "substring_dedup", "lm_quality_scores",
-                     "dsir_weights", "nb_classify",
+                     "dsir_weights", "dsir_weights_hashed",
+                     "nb_classify",
                      "bpe_merges", "training_chunks",
+                     "url_canonical", "robots_filter",
+                     "sitemap_ingest",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
