@@ -38,7 +38,11 @@ Round-3 fifth-session additions (run alone with --s5):
   - line_dedup over extracted markdown (120k pages; boilerplate df is
     10x sf0.1's since every copy shares its original's footer lines)
 
-Usage: python tools/scale_probe.py [num_cpus] [--new-only|--s4]
+Round-4 additions (run alone with --s6): hashed-feature DSIR,
+robots_filter (1000-host broadcast), url canonicalization, sitemap
+explode — all at the 50k-doc probe scale.
+
+Usage: python tools/scale_probe.py [num_cpus] [--new-only|--s4|--s5|--s6]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -245,6 +249,80 @@ def main() -> None:
             return ray.data.from_arrow(merges)
 
         timed("bpe_merges_50k", bpe)
+
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s6" in sys.argv:
+        # round-4 ops at the 50k-doc probe scale
+        from readability_ray.functions import (canonicalize_urls,
+                                               dsir_weights_hashed,
+                                               robots_filter)
+        from readability_ray.sources.sitemap import (make_sitemap_xml,
+                                                     sitemap_entries)
+
+        def hashed_dsir():
+            docs = ray.data.read_parquet(docs10)
+
+            def evens(batch):
+                ids = batch.column("doc_id") \
+                    .to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 2 == 0))
+
+            target = docs.map_batches(evens, batch_format="pyarrow")
+            return dsir_weights_hashed(docs, target, n_buckets=10_000)
+
+        timed("dsir_hashed_50k", hashed_dsir)
+
+        def synth_urls(batch):
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(
+                    [f"HTTP://H{i % 1000}.test:80/d{i % 1000}/"
+                     f"{'x' if i % 2 else 'ok/page'}?utm_source=s&i={i}"
+                     for i in ids], pa.string()),
+            })
+
+        def robots():
+            # 1000 hosts' rule tables broadcast; 50k urls stream
+            robots_ds = ray.data.from_items([
+                {"host": f"h{k}.test",
+                 "robots_txt": (f"User-agent: *\nDisallow: /d{k}\n"
+                                f"Allow: /d{k}/ok\n")}
+                for k in range(1000)])
+            urls = ray.data.read_parquet(docs10) \
+                .map_batches(synth_urls, batch_format="pyarrow")
+            return robots_filter(urls, robots_ds)
+
+        timed("robots_filter_50k", robots)
+
+        timed("url_canonical_50k", lambda: canonicalize_urls(
+            ray.data.read_parquet(docs10)
+            .map_batches(synth_urls, batch_format="pyarrow")))
+
+        def sitemaps():
+            def synth_xml(batch):
+                ids = batch.column("doc_id").to_pylist()
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "sitemap_xml": pa.array(
+                        [make_sitemap_xml(
+                            [{"loc": f"https://s{i % 1000}.test/p/{i}/{j}",
+                              "lastmod": f"2024-01-{(i + j) % 28 + 1:02d}"}
+                             for j in range(5)])
+                         for i in ids], pa.string()),
+                })
+
+            return sitemap_entries(
+                ray.data.read_parquet(docs10)
+                .map_batches(synth_xml, batch_format="pyarrow"))
+
+        timed("sitemap_entries_250k", sitemaps)
 
         results["n_docs"] = n_docs
         print(json.dumps(results))
