@@ -25,7 +25,6 @@ from __future__ import annotations
 import xml.etree.ElementTree as ET
 
 import pyarrow as pa
-import ray.data
 
 _SITEMAP_FIELDS = ("loc", "lastmod", "changefreq", "priority")
 
@@ -86,7 +85,7 @@ def parse_sitemap(xml: str) -> list[dict]:
     return out
 
 
-def sitemap_entries(ds: ray.data.Dataset, *,
+def sitemap_entries(ds, *,
                     xml_col: str = "sitemap_xml",
                     id_col: str = "doc_id") -> ray.data.Dataset:
     """Explode a table of sitemap bodies into the URL frontier.
