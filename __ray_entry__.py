@@ -985,6 +985,38 @@ def _q_sitemap_ingest(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_anchor_stats(sf_dir: str):
+    """Anchor-text aggregation (functions/linkgraph.py): per-target
+    inlink counts + dominant anchor over an edge table — map-side
+    (href, anchor) combiners, then ONE href-keyed exchange with a
+    vectorized per-partition reduce (corpus-sized key: the
+    keyed-repartition shape, never a Dataset groupby).  Edges are
+    synthesized deterministically from documents (1-3 out-links per
+    doc onto 97 targets, every 5th anchor empty) so the whole thing —
+    counts, exact distinct sources, count-desc/text-asc top-anchor
+    tiebreak — is re-derived in DuckDB window SQL."""
+    import pyarrow as pa
+    from readability_ray.functions.linkgraph import anchor_text_stats
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs, hrefs, texts = [], [], []
+        for i in ids:
+            for j in range(1 + i % 3):
+                srcs.append(f"https://s.test/p/{i}")
+                hrefs.append(f"https://t.test/page/{(i + j) % 97}")
+                texts.append("" if (i + j) % 5 == 0
+                             else f"anchor-{(i + j) % 7}")
+        return pa.table({
+            "src": pa.array(srcs, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor_text": pa.array(texts, pa.string()),
+        })
+
+    edges = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return anchor_text_stats(edges)
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization (vector-store prep,
     functions/similarity.py) — one stateless vectorized map; the
@@ -1591,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": _q_url_canonical,
         "robots_filter": _q_robots_filter,
         "sitemap_ingest": _q_sitemap_ingest,
+        "anchor_text_stats": _q_anchor_stats,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -2230,6 +2263,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
                    coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
             FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "anchor_text_stats": """
+            -- synthesized edge table re-derived (see _q_anchor_stats):
+            -- per-href inlinks, exact distinct src, top non-empty
+            -- anchor by (count desc, text asc)
+            WITH e AS (
+                SELECT 'https://s.test/p/' || doc_id AS src,
+                       'https://t.test/page/' || ((doc_id + j) % 97)
+                           AS href,
+                       CASE WHEN (doc_id + j) % 5 = 0 THEN ''
+                            ELSE 'anchor-' || ((doc_id + j) % 7)
+                       END AS anchor
+                FROM (SELECT doc_id,
+                             unnest(generate_series(0, doc_id % 3)) AS j
+                      FROM documents)
+            ), base AS (
+                SELECT href, count(*)::BIGINT AS n_inlinks,
+                       count(DISTINCT src)::BIGINT AS n_unique_src
+                FROM e GROUP BY href
+            ), tops AS (
+                SELECT href, anchor, n FROM (
+                    SELECT href, anchor, count(*)::BIGINT AS n,
+                           row_number() OVER (
+                               PARTITION BY href
+                               ORDER BY count(*) DESC, anchor ASC) AS rn
+                    FROM e WHERE anchor <> ''
+                    GROUP BY href, anchor)
+                WHERE rn = 1
+            )
+            SELECT b.href, b.n_inlinks, b.n_unique_src,
+                   coalesce(t.anchor, '') AS top_anchor,
+                   coalesce(t.n, 0)::BIGINT AS top_anchor_n
+            FROM base b LEFT JOIN tops t ON b.href = t.href
         """,
         "sitemap_ingest": """
             -- writer->parser round trip re-derived by construction

@@ -40,6 +40,7 @@ from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .report import corpus_report
 from .crawldiff import crawl_diff
+from .linkgraph import anchor_text_stats
 from .robots import parse_robots, robots_allowed, robots_filter
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
@@ -74,6 +75,7 @@ __all__ = [
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "corpus_report", "crawl_diff",
     "parse_robots", "robots_allowed", "robots_filter",
+    "anchor_text_stats",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

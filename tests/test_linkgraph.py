@@ -1,0 +1,58 @@
+"""Anchor-text aggregation: hand-checkable counts, deterministic
+top-anchor tiebreak, empty-anchor handling, multi-batch exactness."""
+
+import pyarrow as pa
+
+from readability_ray.functions.linkgraph import anchor_text_stats
+
+
+def _edges(rows):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "href": pa.array([r[1] for r in rows], pa.string()),
+        "anchor_text": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def test_counts_and_top_anchor(ray_session):
+    rows = [
+        ("a", "T1", "home"),
+        ("b", "T1", "home"),
+        ("b", "T1", "start"),   # b links T1 twice: inlinks 3, uniq 2
+        ("c", "T2", ""),
+        ("c", "T2", "docs"),
+    ]
+    out = anchor_text_stats(_edges(rows)).to_pandas() \
+        .set_index("href")
+    assert out.loc["T1", "n_inlinks"] == 3
+    assert out.loc["T1", "n_unique_src"] == 2
+    assert out.loc["T1", "top_anchor"] == "home"
+    assert out.loc["T1", "top_anchor_n"] == 2
+    assert out.loc["T2", "n_inlinks"] == 2
+    assert out.loc["T2", "top_anchor"] == "docs"  # empty never wins
+
+
+def test_tie_breaks_lexicographic(ray_session):
+    rows = [("a", "T", "zeta"), ("b", "T", "alpha")]
+    out = anchor_text_stats(_edges(rows)).to_pandas()
+    assert out.iloc[0]["top_anchor"] == "alpha"
+
+
+def test_all_empty_anchors(ray_session):
+    rows = [("a", "T", ""), ("b", "T", None)]
+    out = anchor_text_stats(_edges(rows)).to_pandas()
+    assert out.iloc[0]["n_inlinks"] == 2
+    assert out.iloc[0]["top_anchor"] == ""
+    assert out.iloc[0]["top_anchor_n"] == 0
+
+
+def test_multi_batch_exact_distinct(ray_session):
+    # the same (src, href) pair split across batches must count once
+    import ray.data
+    rows = [(f"s{i % 4}", "T", f"a{i % 2}") for i in range(40)]
+    ds = _edges(rows).repartition(8)  # force many small blocks
+    out = anchor_text_stats(ds, n_partitions=4).to_pandas()
+    assert out.iloc[0]["n_inlinks"] == 40
+    assert out.iloc[0]["n_unique_src"] == 4
+    assert out.iloc[0]["top_anchor_n"] == 20
