@@ -108,3 +108,26 @@ def test_robots_filter_query_string_in_path(ray_session):
         .set_index("url")["allowed"]
     assert not out["https://q.test/s?k=1"]
     assert out["https://q.test/s?j=1"]
+
+
+# ---------------------------------------------------------------------------
+# hostile-input fuzz (crawl inputs are untrusted)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400), st.text(max_size=60))
+def test_parse_robots_never_raises(body, agent):
+    rules = parse_robots(body, agent=agent or "*")
+    assert isinstance(rules, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="/ab*$%?.", max_size=30),
+       st.text(alphabet="/ab?.", max_size=30))
+def test_robots_allowed_never_raises(pattern, path):
+    verdict = robots_allowed([RobotsRule(False, pattern)], path)
+    assert isinstance(verdict, bool)

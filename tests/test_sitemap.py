@@ -86,3 +86,30 @@ def test_sitemap_entries_ray_explode_with_poison(ray_session):
     assert out[out["doc_id"] == 2]["kind"].iloc[0] == "sitemap"
     poison = out[out["doc_id"] == 3].iloc[0]
     assert poison["loc"] is None and "malformed" in poison["error"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_sitemap_raises_valueerror_or_parses(xml):
+    try:
+        out = parse_sitemap(xml)
+    except ValueError:
+        return
+    assert isinstance(out, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.fixed_dictionaries(
+    {"loc": st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1, max_size=50)}), min_size=1, max_size=5))
+def test_writer_parser_roundtrip_locs(entries):
+    # locs are URLs (printable, no control chars — the writer's
+    # documented contract); & < > must survive via escaping
+    got = parse_sitemap(make_sitemap_xml(entries))
+    want = [e["loc"].strip() for e in entries if e["loc"].strip()]
+    assert [e["loc"] for e in got] == want
