@@ -136,7 +136,8 @@ def run_extraction(input_path: str, output_dir: str | None = None,
 
 
 def dedup_pages_by_url(ds: ray.data.Dataset,
-                       n_partitions: int | None = None) -> ray.data.Dataset:
+                       n_partitions: int | None = None,
+                       key_col: str = "url") -> ray.data.Dataset:
     """Exact URL dedup — the only shuffle the core extraction pipeline
     ever needs, and it is optional (SURVEY.md §2.9): hash-partition on
     url, keep the earliest crawl per url (min warc_ts).
@@ -166,8 +167,8 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
         if len(batch) == 0:  # schema-less empty shuffle partition
             return batch
         from ..functions.util import arrow_out
-        b = batch.sort_values(["url", "warc_ts"], kind="stable")
-        tied = b.duplicated(["url", "warc_ts"], keep=False)
+        b = batch.sort_values([key_col, "warc_ts"], kind="stable")
+        tied = b.duplicated([key_col, "warc_ts"], keep=False)
         if tied.any():
             import hashlib
             content = next((c for c in ("html", "text")
@@ -179,15 +180,15 @@ def dedup_pages_by_url(ds: ray.data.Dataset,
                                 else str(v).encode("utf-8")).hexdigest()
                     for v in b.loc[tied, content]]
                 b = b.assign(_tiebreak=tb) \
-                    .sort_values(["url", "warc_ts", "_tiebreak"],
+                    .sort_values([key_col, "warc_ts", "_tiebreak"],
                                  kind="stable") \
                     .drop(columns="_tiebreak")
-        return arrow_out(b.drop_duplicates("url", keep="first")
+        return arrow_out(b.drop_duplicates(key_col, keep="first")
                          .reset_index(drop=True))
 
     from ..functions.util import strip_schema_metadata
     return strip_schema_metadata(ds) \
-        .repartition(num_blocks=k, keys=["url"]) \
+        .repartition(num_blocks=k, keys=[key_col]) \
         .map_batches(first_per_url, batch_format="pandas", batch_size=None)
 
 

@@ -49,15 +49,30 @@ def training_data_pipeline(pages: ray.data.Dataset, *,
                            boilerplate_df: int = 5,
                            window: int = 64, stride: int = 48,
                            batch_size: int = 64,
+                           canonical_url_dedup: bool = False,
                            n_partitions: int | None = None
                            ) -> ray.data.Dataset:
     """pages (url, warc_ts, html) → deduped, cleaned, chunked training
-    passages.  See the module docstring for the stage/exchange plan."""
+    passages.  See the module docstring for the stage/exchange plan.
+
+    ``canonical_url_dedup=True`` keys stage 1 on the RFC 3986
+    canonical url (functions/urltools.py — case/port/fragment/
+    dot-segment/tracking-param normalization, one extra stateless
+    map, same single exchange) so trivially-different duplicates
+    (``?utm_source=``, ``HTTP://Host:80/``) collapse before they cost
+    an extraction; the kept row's ORIGINAL url is preserved."""
     from ..state import default_partitions, ensure_hash_shuffle
     ensure_hash_shuffle(pages)
     n_parts = n_partitions or default_partitions()
 
-    deduped = dedup_pages_by_url(pages, n_partitions=n_parts)
+    if canonical_url_dedup:
+        from ..functions.urltools import canonicalize_urls
+        deduped = dedup_pages_by_url(
+            canonicalize_urls(pages), n_partitions=n_parts,
+            key_col="canonical_url") \
+            .drop_columns(["canonical_url", "host"])
+    else:
+        deduped = dedup_pages_by_url(pages, n_partitions=n_parts)
     extracted = extract_pipeline(
         deduped.select_columns(["url", "html"]), use_actors=False,
         batch_size=batch_size) \

@@ -104,3 +104,37 @@ def test_training_pipeline_deterministic(ray_session):
         runs.append(hashlib.md5(
             df.to_csv(index=False).encode()).hexdigest())
     assert runs[0] == runs[1]
+
+
+def test_training_pipeline_canonical_url_dedup(ray_session):
+    """canonical_url_dedup=True collapses trivially-different urls
+    (tracking params, case/port noise) in stage 1, keeping the
+    EARLIEST crawl and its ORIGINAL url."""
+    import ray.data
+
+    from readability_ray.pipelines.training import training_data_pipeline
+    rows = []
+
+    def add(url, tag, ts=EPOCH):
+        rows.append((url, ts, _page(_long_paras(tag)).encode()))
+
+    add("https://s.test/a", "a")
+    # same page refetched with tracking noise, later — must collapse
+    add("https://s.test/a?utm_source=feed", "a-later",
+        ts=EPOCH + datetime.timedelta(hours=1))
+    add("HTTP://S.test:80/b", "b")
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.binary()),
+    }))
+    out = training_data_pipeline(
+        pages, min_chars=200, boilerplate_df=50,
+        canonical_url_dedup=True, n_partitions=4).to_pandas()
+    urls = set(out["url"])
+    assert urls == {"https://s.test/a", "HTTP://S.test:80/b"}
+    # without canonicalization the tracking variant survives
+    out2 = training_data_pipeline(
+        pages, min_chars=200, boilerplate_df=50,
+        n_partitions=4).to_pandas()
+    assert "https://s.test/a?utm_source=feed" in set(out2["url"])
