@@ -1598,11 +1598,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "crawl_diff": _q_crawl_diff,
         "bloom_novelty": _q_bloom_novelty,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "quality_filter": _q_quality_filter,
+        "url_canonical": _q_url_canonical,
+        "robots_filter": _q_robots_filter,
+        "sitemap_ingest": _q_sitemap_ingest,
+        "anchor_text_stats": _q_anchor_stats,
         "corpus_clean": _q_corpus_clean,
-        "lang_id": _q_lang_id,
         "doc_lang_stats": _q_doc_lang_stats,
         "decontaminate": _q_decontaminate,
         "pii_scan": _q_pii_scan,
@@ -1610,6 +1610,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- SQL-oracled, past the 50-entry window (all were driver-green
         #    in CORRECTNESS_r03; cheapest stateless maps live here) ------
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "quality_filter": _q_quality_filter,
+        "lang_id": _q_lang_id,
         "content_hashes": _q_content_hashes,
         "normalize_text": _q_normalize_text,
         "hash_split": _q_hash_split,
@@ -1620,10 +1624,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "wet_export": _q_wet_export,
         "embedding_quantize": _q_embedding_quantize,
-        "url_canonical": _q_url_canonical,
-        "robots_filter": _q_robots_filter,
-        "sitemap_ingest": _q_sitemap_ingest,
-        "anchor_text_stats": _q_anchor_stats,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
