@@ -147,7 +147,12 @@ def robots_filter(urls: ray.data.Dataset,
     from .util import strip_schema_metadata
 
     rule_map: dict[str, list[RobotsRule]] = {}
-    for row in robots.take_all():  # one tiny row per host
+    # sorted so a (malformed) input with duplicate host rows resolves
+    # deterministically (last in (host, body) order wins) instead of
+    # by take_all's block order
+    for row in sorted(robots.take_all(),
+                      key=lambda r: (str(r[host_col]),
+                                     str(r[body_col]))):
         rule_map[row[host_col]] = parse_robots(
             row[body_col] or "", agent=agent)
     rules_ref = ray.put(rule_map)
