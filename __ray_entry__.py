@@ -985,6 +985,16 @@ def _q_sitemap_ingest(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_source_mixture(sf_dir: str):
+    """Temperature-based source mixing weights (mT5/XLM-R rule,
+    functions/corpus.source_mixture_weights): p_i ∝ n_tokens_i^alpha.
+    Per-batch partials (≤|sources| rows each) + ONE single-block merge
+    — bounded-cardinality key, no hash shuffle.  Value-level oracle:
+    DuckDB pow/sum re-derivation, floor-6."""
+    from readability_ray.functions import source_mixture_weights
+    return source_mixture_weights(_docs(sf_dir), alpha=0.3)
+
+
 def _q_anchor_stats(sf_dir: str):
     """Anchor-text aggregation (functions/linkgraph.py): per-target
     inlink counts + dominant anchor over an edge table — map-side
@@ -1602,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "sitemap_ingest": _q_sitemap_ingest,
         "anchor_text_stats": _q_anchor_stats,
+        "source_mixture_weights": _q_source_mixture,
         "corpus_clean": _q_corpus_clean,
         "doc_lang_stats": _q_doc_lang_stats,
         "decontaminate": _q_decontaminate,
@@ -2263,6 +2274,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(l.s_r * 1e6) / 1e6, 0.0)::DOUBLE AS logprob_raw,
                    coalesce(floor((l.s_t - l.s_r) * 1e6) / 1e6, 0.0)::DOUBLE AS log_ratio
             FROM documents d LEFT JOIN lp l ON d.doc_id = l.doc_id
+        """,
+        "source_mixture_weights": """
+            -- mT5 temperature sampling: p_i ∝ n_tokens^0.3, floor-6
+            WITH s AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(len(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')))::BIGINT
+                           AS n_tokens
+                FROM documents GROUP BY source
+            ), z AS (
+                SELECT sum(pow(n_tokens, 0.3)) AS z,
+                       sum(n_tokens)::BIGINT AS total FROM s
+            )
+            SELECT source, n_docs, n_tokens,
+                   floor(pow(n_tokens, 0.3) / (SELECT z FROM z)
+                         * 1e6) / 1e6 AS weight,
+                   floor((pow(n_tokens, 0.3) / (SELECT z FROM z))
+                         / (n_tokens::DOUBLE /
+                            (SELECT total FROM z)) * 1e6) / 1e6
+                       AS upsampling
+            FROM s
         """,
         "anchor_text_stats": """
             -- synthesized edge table re-derived (see _q_anchor_stats):

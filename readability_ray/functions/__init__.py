@@ -27,8 +27,8 @@ from .windows import (
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
     decontaminate, gopher_rules, hash_split, normalize_text, pii_redact,
-    pii_scan, repetition_scores, source_cap, stratified_sample,
-    weighted_sample_k,
+    pii_scan, repetition_scores, source_cap, source_mixture_weights,
+    stratified_sample, weighted_sample_k,
 )
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
@@ -64,6 +64,7 @@ __all__ = [
     "decontaminate", "gopher_rules", "hash_split", "normalize_text",
     "pii_redact",
     "pii_scan", "repetition_scores", "source_cap",
+    "source_mixture_weights",
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "stratified_sample", "weighted_sample_k",

@@ -504,3 +504,79 @@ def weighted_sample_k(ds: ray.data.Dataset, *, k: int = 50,
         .map_batches(topk, batch_format="pandas")
     return local.repartition(1).map_batches(topk, batch_format="pandas",
                                             batch_size=None)
+
+
+def source_mixture_weights(ds: ray.data.Dataset, *,
+                           alpha: float = 0.3,
+                           source_col: str = "source",
+                           text_col: str = "text",
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """Temperature-based sampling weights per source — the
+    multilingual/domain mixing rule (mT5/XLM-R: p_i ∝ n_i^alpha;
+    alpha < 1 upsamples the tail, alpha = 1 is proportional).
+
+    Output per source: (source, n_docs, n_tokens, weight,
+    upsampling) — ``weight`` = n_tokens^alpha / Σ n^alpha (floor-6),
+    ``upsampling`` = weight / (n_tokens / Σ n_tokens) (floor-6), the
+    factor by which the source is over/under-sampled vs proportional.
+
+    Scale shape: per-batch partials collapse each block to ≤|sources|
+    rows; the merge is ONE single block (source cardinality is
+    bounded — the pricing_summary shape, no hash shuffle); the
+    normalization is a driver-free second pass over that block.
+    """
+    import math as _math
+
+    import pandas as _pd
+
+    from .lmscore import _TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        agg: dict = {}
+        for s, t in zip(srcs, texts):
+            n = len(_TOKEN_RE.findall(t or ""))
+            d, tok = agg.get(s, (0, 0))
+            agg[s] = (d + 1, tok + n)
+        keys = sorted(agg)
+        return pa.table({
+            "source": pa.array(keys, pa.string()),
+            "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "n_tokens": pa.array([agg[k][1] for k in keys],
+                                 pa.int64()),
+        })
+
+    def merge(batch: _pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "source" not in batch.columns:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+                "upsampling": pa.array([], pa.float64())})
+        g = batch.groupby("source", as_index=False, sort=True).sum()
+        pows = [_math.pow(t, alpha) if t > 0 else 0.0
+                for t in g["n_tokens"]]
+        z = sum(pows)
+        total = int(g["n_tokens"].sum())
+        weights, ups = [], []
+        for t, p in zip(g["n_tokens"], pows):
+            w = p / z if z > 0 else 0.0
+            prop = t / total if total > 0 else 0.0
+            weights.append(_math.floor(w * 1e6) / 1e6)
+            ups.append(_math.floor((w / prop if prop > 0 else 0.0)
+                                   * 1e6) / 1e6)
+        g["weight"] = weights
+        g["upsampling"] = ups
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return arrow_out(g[["source", "n_docs", "n_tokens", "weight",
+                            "upsampling"]])
+
+    return strip_schema_metadata(
+        ds.select_columns([source_col, text_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

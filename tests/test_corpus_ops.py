@@ -316,3 +316,47 @@ def test_weighted_sample_k(ray_session):
     out3 = weighted_sample_k(ds2, k=10, weight_col="n_tokens") \
         .to_pandas()
     assert list(out3["doc_id"]) == [1]
+
+
+def test_source_mixture_weights(ray_session):
+    """Temperature sampling (mT5 rule): hand-computed weights at
+    alpha=0.5; the rare source is upsampled (>1), the dominant one
+    downsampled (<1); weights sum to ~1."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.functions import source_mixture_weights
+    rows = []
+    for i in range(9):   # big: 9 docs x 4 tokens = 36 tokens
+        rows.append({"doc_id": i, "source": "big",
+                     "text": "a b c d"})
+    rows.append({"doc_id": 9, "source": "small", "text": "a b c d"})
+    out = source_mixture_weights(
+        ray.data.from_items(rows), alpha=0.5).to_pandas() \
+        .set_index("source")
+    zb, zs = math.sqrt(36.0), math.sqrt(4.0)
+    z = zb + zs
+    assert out.loc["big", "n_tokens"] == 36
+    assert out.loc["small", "n_tokens"] == 4
+    assert abs(out.loc["big", "weight"]
+               - math.floor(zb / z * 1e6) / 1e6) < 1e-12
+    assert abs(out.loc["small", "weight"]
+               - math.floor(zs / z * 1e6) / 1e6) < 1e-12
+    assert out.loc["small", "upsampling"] > 1.0
+    assert out.loc["big", "upsampling"] < 1.0
+    assert abs(out["weight"].sum() - 1.0) < 1e-4
+
+
+def test_source_mixture_alpha_one_is_proportional(ray_session):
+    import ray.data
+
+    from readability_ray.functions import source_mixture_weights
+    rows = [{"doc_id": 0, "source": "x", "text": "a b c"},
+            {"doc_id": 1, "source": "y", "text": "a"}]
+    out = source_mixture_weights(
+        ray.data.from_items(rows), alpha=1.0).to_pandas() \
+        .set_index("source")
+    assert (out["upsampling"] == 1.0).all()
+    assert abs(out.loc["x", "weight"] - 0.75) < 1e-6
