@@ -324,6 +324,33 @@ def main() -> None:
 
         timed("sitemap_entries_250k", sitemaps)
 
+        from readability_ray.functions import (anchor_text_stats,
+                                               source_mixture_weights)
+
+        def anchors():
+            def synth_edges(batch):
+                ids = batch.column("doc_id").to_pylist()
+                srcs, hrefs, texts = [], [], []
+                for i in ids:
+                    for j in range(1 + i % 3):
+                        srcs.append(f"https://s.test/p/{i}")
+                        hrefs.append(
+                            f"https://t.test/page/{(i + j) % 5000}")
+                        texts.append(f"anchor-{(i + j) % 7}")
+                return pa.table({
+                    "src": pa.array(srcs, pa.string()),
+                    "href": pa.array(hrefs, pa.string()),
+                    "anchor_text": pa.array(texts, pa.string()),
+                })
+
+            return anchor_text_stats(
+                ray.data.read_parquet(docs10)
+                .map_batches(synth_edges, batch_format="pyarrow"))
+
+        timed("anchor_stats_100k_edges", anchors)
+        timed("source_mixture_50k", lambda: source_mixture_weights(
+            ray.data.read_parquet(docs10), alpha=0.3))
+
         results["n_docs"] = n_docs
         print(json.dumps(results))
         import shutil
