@@ -1027,6 +1027,179 @@ def _q_anchor_stats(sf_dir: str):
     return anchor_text_stats(edges)
 
 
+def _q_feed_ingest(sf_dir: str):
+    """RSS/Atom feed-ingest round trip (sources/feed.py, the
+    incremental-crawl frontier source): deterministic feed XML — RSS
+    for most docs, Atom every 7th, a malformed body on the %13==3
+    lane — synthesized per document with the byte-deterministic
+    writers and exploded back through the stdlib parser in ONE
+    stateless map (the sitemap_ingest technique; the SQL oracle
+    re-derives every title/link/published/guid by construction)."""
+    import pyarrow as pa
+    from readability_ray.sources.feed import (feed_entries,
+                                              make_atom_xml,
+                                              make_rss_xml)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        xmls = []
+        for i in ids:
+            k = i % 50
+            if i % 13 == 3:
+                xmls.append("<rss><channel><item>broken")
+            elif i % 7 == 0:
+                entries = [
+                    {"title": f"entry {i}-{j}",
+                     "link": f"https://f{k}.test/atom/{i}/{j}",
+                     "updated": f"2024-03-{((i + j) % 28) + 1:02d}"
+                                "T00:00:00Z",
+                     "id": f"urn:f{k}:{i}:{j}"}
+                    for j in range(1 + i % 2)]
+                xmls.append(make_atom_xml(f"feed {k}", entries))
+            else:
+                items = [
+                    {"title": f"post {i}-{j}",
+                     "link": f"https://f{k}.test/rss/{i}/{j}",
+                     "pubDate": f"2024-04-{((i + j) % 28) + 1:02d}",
+                     "guid": f"g{i}-{j}"}
+                    for j in range(1 + i % 3)]
+                xmls.append(make_rss_xml(f"chan {k}", items))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "feed_xml": pa.array(xmls, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    out = feed_entries(ds)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.drop_columns(["error"]).append_column(
+            "has_error",
+            pc.not_equal(batch.column("error"), pa.scalar("")))
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
+def _q_head_links(sf_dir: str):
+    """Head-link extraction (functions/headlinks.py) through the REAL
+    oracle-pinned parser: deterministic HTML heads — canonical +
+    pagination links, 0-2 hreflang alternates, a meta-robots lane
+    (%4==1 noindex,nofollow; %8==6 none), a no-head lane (%11==5) —
+    are synthesized per document, so every output value (first-match
+    canonical, sorted hreflang listing, directive flags) is
+    SQL-constructible while the HTML→VDOM→attributes path is exercised
+    end-to-end.  ONE stateless map, zero shuffle."""
+    import pyarrow as pa
+    from readability_ray.functions import head_links
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for i in ids:
+            if i % 11 == 5:
+                htmls.append(f"<html><body><p>plain {i}</p></body></html>")
+                continue
+            parts = ["<html><head>",
+                     f'<link rel="canonical" href="https://c{i % 20}'
+                     f'.test/page/{i}">']
+            if i % 3 == 0:
+                parts.append(f'<link rel="next" href="/page/{i + 1}">')
+            if i % 3 == 1:
+                parts.append(f'<link rel="prev" href="/page/{i - 1}">')
+            for j in range(i % 3):
+                lang = ["fr", "de"][j]
+                parts.append(f'<link rel="alternate" hreflang="{lang}"'
+                             f' href="https://c{i % 20}.test/{lang}/{i}">')
+            if i % 4 == 1:
+                parts.append('<meta name="robots" '
+                             'content="noindex, nofollow">')
+            elif i % 8 == 6:
+                parts.append('<meta name="robots" content="none">')
+            parts.append(f"</head><body><p>doc {i}</p></body></html>")
+            htmls.append("".join(parts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return head_links(ds)
+
+
+def _q_fetch_schedule(sf_dir: str):
+    """Politeness scheduling (functions/robots.fetch_schedule):
+    per-host fetch slots honoring Crawl-delay.  8 hosts rotate by
+    doc_id; hosts 0-5 carry a Crawl-delay of (k+1)/2 seconds in their
+    robots.txt, hosts 6-7 fall back to the 1 s default.  The delay map
+    is the tiny broadcast side; the per-host ordering is ONE keyed
+    exchange + vectorized pandas rank.  Every output value — order by
+    (url, id) within host, offset = (order-1)×delay_ms — re-derives in
+    a DuckDB row_number window."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import fetch_schedule
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = [f"https://h{i % 8}.test/p/{i % 17}/{i}" for i in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    urls = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array([f"h{k}.test" for k in range(6)], pa.string()),
+        "robots_txt": pa.array(
+            [f"User-agent: *\nCrawl-delay: {(k + 1) / 2}"
+             for k in range(6)], pa.string()),
+    }))
+    return fetch_schedule(urls, robots, default_delay_s=1.0)
+
+
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape over lineitem — zero-shuffle filter→sum in exact
+    c4 fixed point (integer basis-point discount band)."""
+    import ray.data
+    from readability_ray.functions import forecast_revenue
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    return forecast_revenue(li)
+
+
+def _q_priority_line_counts(sf_dir: str):
+    """TPC-H Q12 shape (schema-adapted): orders ⋈ lineitem on the
+    integer orderkey (ids+flags only on the exchange), bounded-key
+    rollup merged in one block."""
+    import ray.data
+    from readability_ray.functions import priority_line_counts
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    return priority_line_counts(ords, li)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: part's promo flag broadcast as a dense bool
+    LUT (zero shuffles), exact integer revenue sums + floor-6 pct."""
+    import ray.data
+    from readability_ray.functions import promo_revenue_share
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_partkey", "l_extendedprice",
+                 "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+    return promo_revenue_share(li, part)
+
+
 def _q_embedding_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization (vector-store prep,
     functions/similarity.py) — one stateless vectorized map; the
@@ -1635,6 +1808,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "wet_export": _q_wet_export,
         "embedding_quantize": _q_embedding_quantize,
+        "feed_ingest": _q_feed_ingest,
+        "head_links": _q_head_links,
+        "fetch_schedule": _q_fetch_schedule,
+        "forecast_revenue": _q_forecast_revenue,
+        "priority_line_counts": _q_priority_line_counts,
+        "promo_revenue_share": _q_promo_revenue,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -3302,6 +3481,169 @@ def oracle_sql() -> dict[str, str]:
                    b.prior_event_id, b.gap_sec
             FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
                  USING (event_id)
+        """,
+        "feed_ingest": """
+            -- writer->parser round trip re-derived by construction
+            -- (see _q_feed_ingest): %13==3 lane malformed, every 7th
+            -- doc Atom (1..2 entries), the rest RSS (1..3 items)
+            WITH d AS (
+                SELECT doc_id, doc_id % 50 AS k FROM documents
+            ), bad AS (
+                SELECT doc_id, '' AS kind, NULL::VARCHAR AS title,
+                       NULL::VARCHAR AS link,
+                       NULL::VARCHAR AS published,
+                       NULL::VARCHAR AS guid, true AS has_error
+                FROM d WHERE doc_id % 13 = 3
+            ), atom AS (
+                SELECT doc_id, 'atom' AS kind,
+                       'entry ' || doc_id || '-' || j AS title,
+                       'https://f' || k || '.test/atom/' || doc_id
+                       || '/' || j AS link,
+                       '2024-03-' || lpad(
+                           (((doc_id + j) % 28) + 1)::VARCHAR, 2, '0')
+                       || 'T00:00:00Z' AS published,
+                       'urn:f' || k || ':' || doc_id || ':' || j
+                           AS guid,
+                       false AS has_error
+                FROM (SELECT doc_id, k,
+                             unnest(generate_series(0, doc_id % 2)) AS j
+                      FROM d
+                      WHERE doc_id % 13 <> 3 AND doc_id % 7 = 0)
+            ), rss AS (
+                SELECT doc_id, 'rss' AS kind,
+                       'post ' || doc_id || '-' || j AS title,
+                       'https://f' || k || '.test/rss/' || doc_id
+                       || '/' || j AS link,
+                       '2024-04-' || lpad(
+                           (((doc_id + j) % 28) + 1)::VARCHAR, 2, '0')
+                           AS published,
+                       'g' || doc_id || '-' || j AS guid,
+                       false AS has_error
+                FROM (SELECT doc_id, k,
+                             unnest(generate_series(0, doc_id % 3)) AS j
+                      FROM d
+                      WHERE doc_id % 13 <> 3 AND doc_id % 7 <> 0)
+            )
+            SELECT * FROM bad
+            UNION ALL SELECT * FROM atom
+            UNION ALL SELECT * FROM rss
+        """,
+        "head_links": """
+            -- the constructible head family's expected values built
+            -- directly (see _q_head_links): %11==5 bare page; else
+            -- canonical always, next on %3==0, prev on %3==1,
+            -- hreflang fr/de by %3, robots on %4==1 or %8==6
+            WITH d AS (
+                SELECT doc_id, doc_id % 20 AS k, doc_id % 3 AS m3
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN doc_id % 11 = 5 THEN NULL
+                     ELSE 'https://c' || k || '.test/page/' || doc_id
+                END AS canonical,
+                CASE WHEN doc_id % 11 <> 5 AND m3 = 0
+                     THEN '/page/' || (doc_id + 1) END AS rel_next,
+                CASE WHEN doc_id % 11 <> 5 AND m3 = 1
+                     THEN '/page/' || (doc_id - 1) END AS rel_prev,
+                (doc_id % 11 <> 5 AND
+                 (doc_id % 4 = 1 OR doc_id % 8 = 6)) AS noindex,
+                (doc_id % 11 <> 5 AND
+                 (doc_id % 4 = 1 OR doc_id % 8 = 6)) AS nofollow,
+                (CASE WHEN doc_id % 11 = 5 THEN 0 ELSE m3 END)::BIGINT
+                    AS n_hreflang,
+                CASE WHEN doc_id % 11 = 5 OR m3 = 0 THEN ''
+                     WHEN m3 = 1 THEN
+                       'fr:https://c' || k || '.test/fr/' || doc_id
+                     ELSE
+                       'de:https://c' || k || '.test/de/' || doc_id ||
+                       ' fr:https://c' || k || '.test/fr/' || doc_id
+                END AS hreflang_list
+            FROM d
+        """,
+        "fetch_schedule": """
+            -- per-host politeness slots re-derived in a row_number
+            -- window (see _q_fetch_schedule): hosts h0-h5 carry
+            -- Crawl-delay (k+1)/2 s -> (k+1)*500 ms, h6/h7 default
+            -- 1000 ms; order within host is (url, doc_id)
+            WITH u AS (
+                SELECT doc_id, doc_id % 8 AS k,
+                       'https://h' || (doc_id % 8) || '.test/p/'
+                       || (doc_id % 17) || '/' || doc_id AS url
+                FROM documents
+            ), s AS (
+                SELECT doc_id, url, 'h' || k || '.test' AS host,
+                       (CASE WHEN k < 6 THEN (k + 1) * 500
+                             ELSE 1000 END)::BIGINT AS delay_ms,
+                       row_number() OVER (
+                           PARTITION BY k ORDER BY url, doc_id
+                       )::BIGINT AS fetch_order
+                FROM u
+            )
+            SELECT doc_id, url, host, delay_ms, fetch_order,
+                   ((fetch_order - 1) * delay_ms)::BIGINT
+                       AS fetch_offset_ms
+            FROM s
+        """,
+        "forecast_revenue": """
+            -- TPC-H Q6 shape in exact c4 fixed point: integer
+            -- basis-point discount band decides membership
+            WITH f AS (
+                SELECT round(l_extendedprice * 100)::BIGINT AS price_c,
+                       round(l_discount * 100)::BIGINT AS disc_bp
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1997-01-01'
+                  AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+                  AND l_quantity < 24
+            )
+            SELECT coalesce(sum(price_c * disc_bp), 0)::BIGINT
+                       AS revenue_c4,
+                   count(*)::BIGINT AS n_lines
+            FROM f
+        """,
+        "priority_line_counts": """
+            -- TPC-H Q12 shape (schema-adapted): line counts on
+            -- critical-priority orders vs rest per returnflag
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT
+                       AS low_line_count
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1996-01-01'
+              AND l.l_shipdate < '1997-01-01'
+            GROUP BY l.l_returnflag
+            ORDER BY l.l_returnflag
+        """,
+        "promo_revenue_share": """
+            -- TPC-H Q14 shape: exact integer revenue sums, floor-6 pct
+            WITH f AS (
+                SELECT round(l_extendedprice * 100)::BIGINT *
+                       (100 - round(l_discount * 100)::BIGINT)
+                           AS rev_c4,
+                       (p.p_type LIKE 'PROMO%') AS is_promo
+                FROM lineitem l JOIN part p
+                  ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= '1996-03-01'
+                  AND l.l_shipdate < '1996-04-01'
+            )
+            SELECT coalesce(sum(CASE WHEN is_promo THEN rev_c4
+                                     ELSE 0 END), 0)::BIGINT
+                       AS promo_revenue_c4,
+                   coalesce(sum(rev_c4), 0)::BIGINT
+                       AS total_revenue_c4,
+                   CASE WHEN coalesce(sum(rev_c4), 0) = 0 THEN 0.0
+                        ELSE floor(100.0 *
+                             sum(CASE WHEN is_promo THEN rev_c4
+                                      ELSE 0 END)
+                             / sum(rev_c4) * 1e6) / 1e6
+                   END::DOUBLE AS promo_pct
+            FROM f
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

@@ -41,12 +41,17 @@ from .graph import pagerank
 from .report import corpus_report
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats
-from .robots import parse_robots, robots_allowed, robots_filter
+from .robots import (
+    fetch_schedule, parse_crawl_delay, parse_robots,
+    parse_robots_sitemaps, robots_allowed, robots_filter,
+)
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
-    pricing_summary, region_nation_revenue, segment_top_orders,
+    forecast_revenue, pricing_summary, priority_line_counts,
+    promo_revenue_share, region_nation_revenue, segment_top_orders,
 )
+from .headlinks import extract_head_links, head_links
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -67,6 +72,8 @@ __all__ = [
     "source_mixture_weights",
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
+    "forecast_revenue", "priority_line_counts", "promo_revenue_share",
+    "extract_head_links", "head_links",
     "stratified_sample", "weighted_sample_k",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup", "substring_dedup",
@@ -76,6 +83,7 @@ __all__ = [
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "corpus_report", "crawl_diff",
     "parse_robots", "robots_allowed", "robots_filter",
+    "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "anchor_text_stats",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",

@@ -340,3 +340,186 @@ def segment_top_orders(customer: ray.data.Dataset,
     return local.repartition(1).map_batches(topn_merge,
                                             batch_format="pandas",
                                             batch_size=None)
+
+
+def forecast_revenue(lineitem: ray.data.Dataset, *,
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     disc_lo_bp: int = 5, disc_hi_bp: int = 7,
+                     qty_below: int = 24) -> ray.data.Dataset:
+    """TPC-H Q6 shape: the what-if revenue scan — a pure filter→sum
+    with NO shuffle at all (per-batch scalar partials, one tiny merge
+    block).  Revenue = Σ extendedprice × discount in exact c4 fixed
+    point (cents × basis points, 10^-4 dollar units); the discount
+    band compares integer basis points so float representation never
+    decides membership.  Output: one row (revenue_c4, n_lines)."""
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        disc_bp = np.rint(batch["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        m = ((d >= lo) & (d < hi)
+             & (disc_bp >= disc_lo_bp) & (disc_bp <= disc_hi_bp)
+             & (batch["l_quantity"].to_numpy() < qty_below))
+        b = batch[m]
+        rev = int((_cents(b["l_extendedprice"])
+                   * disc_bp[m]).sum()) if len(b) else 0
+        return arrow_out(pd.DataFrame({
+            "revenue_c4": pd.Series([rev], dtype="int64"),
+            "n_lines": pd.Series([len(b)], dtype="int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "revenue_c4": pd.Series([int(batch["revenue_c4"].sum())],
+                                    dtype="int64"),
+            "n_lines": pd.Series([int(batch["n_lines"].sum())],
+                                 dtype="int64")}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_shipdate", "l_discount",
+                                 "l_quantity", "l_extendedprice"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def priority_line_counts(orders: ray.data.Dataset,
+                         lineitem: ray.data.Dataset, *,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         n_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """TPC-H Q12 shape (adapted to this schema: no shipmode/commit
+    dates in the driver's lineitem): per-returnflag counts of lines on
+    critical-priority orders vs the rest, over a shipdate window.
+    orders ⋈ lineitem is ONE integer-key hash join moving (orderkey,
+    is-critical) against (orderkey, returnflag) — ids+flags only; the
+    rollup key is bounded (|returnflags|), so partials merge in a
+    single block (the pricing_summary rule: bounded-cardinality merges
+    never pay a keyed shuffle).  Output per l_returnflag:
+    high_line_count, low_line_count (1-URGENT/2-HIGH vs rest)."""
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def ord_proj(batch: pd.DataFrame) -> pa.Table:
+        crit = batch["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return arrow_out(pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(),
+            "critical": crit.to_numpy().astype(np.int64)}))
+
+    def line_proj(batch: pd.DataFrame) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        return arrow_out(b[["l_orderkey", "l_returnflag"]]
+                         .reset_index(drop=True))
+
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_orderpriority"])) \
+        .map_batches(ord_proj, batch_format="pandas")
+    line = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_returnflag",
+                                 "l_shipdate"])) \
+        .map_batches(line_proj, batch_format="pandas")
+
+    joined = line.join(ords, "inner", num_partitions=k,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rollup(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "l_returnflag" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")}))
+        crit = batch["critical"].to_numpy()
+        frame = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_numpy(),
+            "high_line_count": crit,
+            "low_line_count": 1 - crit})
+        return arrow_out(frame.groupby("l_returnflag", as_index=False,
+                                       sort=False).sum())
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "l_returnflag" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")}))
+        g = batch.groupby("l_returnflag", as_index=False, sort=False) \
+            .sum().sort_values("l_returnflag")
+        return arrow_out(g.reset_index(drop=True))
+
+    return joined.map_batches(rollup, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def promo_revenue_share(lineitem: ray.data.Dataset,
+                        part: ray.data.Dataset, *,
+                        date_lo: str = "1996-03-01",
+                        date_hi: str = "1996-04-01",
+                        promo_prefix: str = "PROMO"
+                        ) -> ray.data.Dataset:
+    """TPC-H Q14 shape: share of revenue from promo parts in one
+    month.  The part table contributes ONE BIT per partkey, so it is
+    broadcast as a dense numpy bool LUT (partkeys are small contiguous
+    ints — the Q5 LUT rule), NOT joined: the plan has zero shuffles —
+    per-batch (promo_c4, total_c4) scalar partials and one tiny merge.
+    Output: promo_revenue_c4, total_revenue_c4 (exact int64) and
+    promo_pct (floor-6 double of 100·promo/total)."""
+    import ray as _ray
+
+    from .lmscore import _get_broadcast
+
+    flags = {int(r["p_partkey"]): str(r["p_type"])
+             .startswith(promo_prefix) for r in part.take_all()}
+    size = (max(flags) + 1) if flags else 1
+    lut = np.zeros(size, dtype=bool)
+    for pk, f in flags.items():
+        if pk >= 0:
+            lut[pk] = f
+    lut_ref = _ray.put(lut)
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def partials(batch: pd.DataFrame, *, ref) -> pa.Table:
+        l = _get_broadcast(ref)
+        d = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        if len(b) == 0:
+            promo = total = 0
+        else:
+            price_c = _cents(b["l_extendedprice"])
+            disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+                .astype(np.int64)
+            rev = price_c * (100 - disc_bp)
+            pk = b["l_partkey"].to_numpy().astype(np.int64)
+            is_promo = np.where((pk >= 0) & (pk < len(l)),
+                                l[np.clip(pk, 0, len(l) - 1)], False)
+            promo = int(rev[is_promo].sum())
+            total = int(rev.sum())
+        return arrow_out(pd.DataFrame({
+            "promo_revenue_c4": pd.Series([promo], dtype="int64"),
+            "total_revenue_c4": pd.Series([total], dtype="int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        promo = int(batch["promo_revenue_c4"].sum())
+        total = int(batch["total_revenue_c4"].sum())
+        pct = np.floor(100.0 * promo / total * 1e6) / 1e6 if total else 0.0
+        return arrow_out(pd.DataFrame({
+            "promo_revenue_c4": pd.Series([promo], dtype="int64"),
+            "total_revenue_c4": pd.Series([total], dtype="int64"),
+            "promo_pct": pd.Series([pct], dtype="float64")}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_shipdate", "l_partkey",
+                                 "l_extendedprice", "l_discount"])) \
+        .map_batches(partials, batch_format="pandas",
+                     fn_kwargs={"ref": lut_ref}) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -96,6 +96,163 @@ def parse_robots(text: str, agent: str = "*") -> list[RobotsRule]:
     return groups.get(best, []) if best is not None else []
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """All ``Sitemap:`` record values, in file order, de-duplicated.
+
+    Per RFC 9309 §2.3 / sitemaps.org, Sitemap records are independent
+    of user-agent groups — they apply file-wide, so no agent argument.
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.lstrip("﻿").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` (de-facto extension, not in RFC 9309) from the
+    group selected for ``agent`` — same group-selection rule as
+    ``parse_robots``.  Returns None when the selected group carries no
+    (parseable, non-negative) delay."""
+    agent_l = agent.lower()
+    delays: dict[str, float] = {}
+    groups: set[str] = set()
+    current_tokens: list[str] = []
+    last_was_agent = False
+    for raw in text.lstrip("﻿").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            tok = value.lower()
+            if last_was_agent:
+                current_tokens.append(tok)
+            else:
+                current_tokens = [tok]
+            groups.update(current_tokens)
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if field == "crawl-delay" and current_tokens:
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                for t in current_tokens:
+                    delays.setdefault(t, d)
+
+    best: str | None = None
+    for tok in groups:
+        if tok != "*" and tok in agent_l:
+            if best is None or len(tok) > len(best):
+                best = tok
+    if best is None and "*" in groups:
+        best = "*"
+    return delays.get(best) if best is not None else None
+
+
+def fetch_schedule(urls: ray.data.Dataset,
+                   robots: ray.data.Dataset, *,
+                   agent: str = "*",
+                   url_col: str = "url",
+                   id_col: str = "doc_id",
+                   host_col: str = "host",
+                   body_col: str = "robots_txt",
+                   default_delay_s: float = 1.0,
+                   n_partitions: int | None = None) -> ray.data.Dataset:
+    """Politeness scheduling: assign every frontier URL a per-host
+    fetch slot honoring Crawl-delay.
+
+    Per host, URLs are ordered deterministically by (url, id); slot k
+    (1-based ``fetch_order``) fetches at ``fetch_offset_ms`` =
+    (k-1) × delay_ms, where delay_ms is the host's Crawl-delay (from
+    ``robots``; ``default_delay_s`` when absent) in fixed-point
+    integer milliseconds — exact under distributed re-association and
+    re-derivable in SQL (row_number window), the relational.py
+    fixed-point rule.
+
+    Scale shape: delay map is the tiny per-host broadcast side (ONE
+    ray.put, per-worker memo); host is a corpus-sized key, so the
+    ordering pass is the keyed-repartition + vectorized per-partition
+    pandas shape — ONE exchange, no Dataset groupby.
+    Output: (id_col, url, host, delay_ms, fetch_order, fetch_offset_ms).
+    """
+    import pandas as pd
+    import ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .lmscore import _get_broadcast
+    from .util import arrow_out, strip_schema_metadata
+
+    ensure_hash_shuffle(urls)
+    k = n_partitions or default_partitions()
+    default_ms = int(default_delay_s * 1000 + 0.5)
+
+    delay_map: dict[str, int] = {}
+    for row in sorted(robots.take_all(),
+                      key=lambda r: (str(r[host_col]),
+                                     str(r[body_col]))):
+        d = parse_crawl_delay(row[body_col] or "", agent=agent)
+        if d is not None:
+            delay_map[row[host_col]] = int(d * 1000 + 0.5)
+    delays_ref = ray.put(delay_map)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for u in batch.column(url_col).to_pylist():
+            try:
+                hosts.append((urlsplit(u or "").hostname or "").lower())
+            except ValueError:
+                hosts.append("")
+        return batch.append_column("host", pa.array(hosts, pa.string()))
+
+    def schedule(batch: pd.DataFrame, *, ref) -> pa.Table:
+        # defensive: hash-shuffle empty partitions are schema-less and
+        # the UDF is skipped on them, so this branch is belt-and-braces
+        if len(batch) == 0 or "host" not in batch.columns:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "delay_ms": pa.array([], pa.int64()),
+                "fetch_order": pa.array([], pa.int64()),
+                "fetch_offset_ms": pa.array([], pa.int64()),
+            })
+        dmap = _get_broadcast(ref)
+        df = batch.sort_values(["host", url_col, id_col],
+                               kind="stable", ignore_index=True)
+        order = df.groupby("host", sort=False).cumcount() + 1
+        delay = df["host"].map(lambda h: dmap.get(h, default_ms)) \
+            .astype("int64")
+        out = pd.DataFrame({
+            id_col: df[id_col],
+            "url": df[url_col],
+            "host": df["host"],
+            "delay_ms": delay,
+            "fetch_order": order.astype("int64"),
+            "fetch_offset_ms": ((order - 1) * delay).astype("int64"),
+        })
+        return arrow_out(out)
+
+    return strip_schema_metadata(urls.select_columns([id_col, url_col])) \
+        .map_batches(add_host, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["host"]) \
+        .map_batches(schedule, batch_format="pandas", batch_size=None,
+                     fn_kwargs={"ref": delays_ref})
+
+
 def _pattern_match_len(pattern: str, path: str) -> int | None:
     """Longest-match length for an RFC 9309 pattern (prefix with ``*``
     wildcards, optional ``$`` anchor).  Returns the pattern's specific

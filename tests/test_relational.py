@@ -124,3 +124,71 @@ def test_segment_top_orders_tiebreak(ray_session):
     df = segment_top_orders(_ds(ray, cust), _ds(ray, orders),
                             _ds(ray, li), n=2).to_pandas()
     assert list(df.o_orderkey) == [21, 22]
+
+
+def test_forecast_revenue_q6(ray_session):
+    import ray
+    from readability_ray.functions import forecast_revenue
+    li = pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["1996-06-01", "1996-06-02", "1996-06-03", "1997-06-01",
+             "1996-06-04"]),
+        "l_discount": [0.05, 0.07, 0.04, 0.06, 0.06],
+        "l_quantity": [10.0, 23.0, 5.0, 5.0, 24.0],
+        "l_extendedprice": [100.00, 200.00, 300.00, 400.00, 500.00],
+    })
+    # rows: 0 in (disc 5bp, qty<24) ✓; 1 ✓; 2 disc 4bp ✗;
+    # 3 out of window ✗; 4 qty=24 ✗
+    df = forecast_revenue(_ds(ray, li)).to_pandas()
+    assert len(df) == 1
+    assert df["revenue_c4"].iloc[0] == 10000 * 5 + 20000 * 7
+    assert df["n_lines"].iloc[0] == 2
+
+
+def test_priority_line_counts_q12(ray_session):
+    import ray
+    from readability_ray.functions import priority_line_counts
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderpriority": ["1-URGENT", "5-LOW", "2-HIGH"],
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3, 3],
+        "l_returnflag": ["A", "N", "A", "A", "N"],
+        "l_shipdate": pd.to_datetime(
+            ["1996-01-05", "1996-02-05", "1996-03-05", "1996-04-05",
+             "1999-01-01"]),  # last line outside the window
+    })
+    df = priority_line_counts(_ds(ray, orders), _ds(ray, li),
+                              n_partitions=2).to_pandas() \
+        .set_index("l_returnflag")
+    # A: order1(urgent)+order2(low)+order3(high) → high 2, low 1
+    assert df.loc["A", "high_line_count"] == 2
+    assert df.loc["A", "low_line_count"] == 1
+    # N: order1(urgent) only (1999 line filtered)
+    assert df.loc["N", "high_line_count"] == 1
+    assert df.loc["N", "low_line_count"] == 0
+    assert list(df.index) == ["A", "N"]  # sorted
+
+
+def test_promo_revenue_share_q14(ray_session):
+    import ray
+    from readability_ray.functions import promo_revenue_share
+    part = pd.DataFrame({
+        "p_partkey": [0, 1, 2],
+        "p_type": ["PROMO BRUSHED", "STANDARD POLISHED", "PROMO PLATED"],
+    })
+    li = pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["1996-03-10", "1996-03-11", "1996-03-12", "1996-05-01"]),
+        "l_partkey": [0, 1, 2, 0],
+        "l_extendedprice": [100.00, 200.00, 50.00, 999.00],
+        "l_discount": [0.0, 0.10, 0.02, 0.0],
+    })  # last row outside the month
+    df = promo_revenue_share(_ds(ray, li), _ds(ray, part)).to_pandas()
+    promo = 10000 * 100 + 5000 * 98
+    total = promo + 20000 * 90
+    assert df["promo_revenue_c4"].iloc[0] == promo
+    assert df["total_revenue_c4"].iloc[0] == total
+    assert df["promo_pct"].iloc[0] == np.floor(
+        100.0 * promo / total * 1e6) / 1e6

@@ -131,3 +131,83 @@ def test_parse_robots_never_raises(body, agent):
 def test_robots_allowed_never_raises(pattern, path):
     verdict = robots_allowed([RobotsRule(False, pattern)], path)
     assert isinstance(verdict, bool)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery + Crawl-delay + fetch_schedule (round 4)
+# ---------------------------------------------------------------------------
+
+from readability_ray.functions.robots import (fetch_schedule,
+                                              parse_crawl_delay,
+                                              parse_robots_sitemaps)
+
+
+def test_parse_robots_sitemaps_filewide_and_deduped():
+    body = """User-agent: a
+Disallow: /x
+Sitemap: https://h.test/sm1.xml
+User-agent: b
+Sitemap: https://h.test/sm2.xml  # trailing comment
+Sitemap: https://h.test/sm1.xml
+sitemap: https://h.test/sm3.xml
+"""
+    assert parse_robots_sitemaps(body) == [
+        "https://h.test/sm1.xml", "https://h.test/sm2.xml",
+        "https://h.test/sm3.xml"]
+    assert parse_robots_sitemaps("User-agent: *\nDisallow:") == []
+
+
+def test_parse_crawl_delay_group_selection():
+    body = """User-agent: *
+Crawl-delay: 2
+
+User-agent: special-bot
+Crawl-delay: 0.5
+"""
+    assert parse_crawl_delay(body, agent="other") == 2.0
+    assert parse_crawl_delay(body, agent="My-Special-Bot/1.0") == 0.5
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x") is None
+    # unparseable / negative delays ignored
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: fast") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400), st.text(max_size=60))
+def test_sitemaps_and_delay_never_raise(body, agent):
+    assert isinstance(parse_robots_sitemaps(body), list)
+    d = parse_crawl_delay(body, agent=agent or "*")
+    assert d is None or d >= 0
+
+
+def test_fetch_schedule_per_host_slots(ray_session):
+    import pyarrow as pa
+    import ray.data
+    urls = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": pa.array([
+            "https://slow.test/b", "https://slow.test/a",
+            "https://fast.test/x", "https://fast.test/y",
+            "https://nodelay.test/only",
+        ], pa.string()),
+    }))
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["slow.test", "fast.test"], pa.string()),
+        "robots_txt": pa.array([
+            "User-agent: *\nCrawl-delay: 10",
+            "User-agent: *\nCrawl-delay: 0.5",
+        ], pa.string()),
+    }))
+    out = fetch_schedule(urls, robots, default_delay_s=1.0,
+                         n_partitions=2).to_pandas() \
+        .sort_values(["host", "fetch_order"]).reset_index(drop=True)
+    slow = out[out["host"] == "slow.test"]
+    # per-host order is (url, id): /a before /b
+    assert list(slow["url"]) == ["https://slow.test/a",
+                                 "https://slow.test/b"]
+    assert list(slow["fetch_offset_ms"]) == [0, 10000]
+    fast = out[out["host"] == "fast.test"]
+    assert list(fast["fetch_offset_ms"]) == [0, 500]
+    nod = out[out["host"] == "nodelay.test"]
+    assert list(nod["delay_ms"]) == [1000]
+    assert list(nod["fetch_offset_ms"]) == [0]
