@@ -1158,6 +1158,55 @@ def _q_fetch_schedule(sf_dir: str):
     return fetch_schedule(urls, robots, default_delay_s=1.0)
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """The composed crawl-frontier pipeline (pipelines/frontier.py):
+    sitemap explode → canonicalize → robots gate → per-host fetch
+    slots — the frontier-tier twin of corpus_clean.  Family: doc i
+    owns host s{i%40}.test with 1-2 page urls (every 10th doc an index
+    file, %13==7 malformed — both dropped); even hosts have robots
+    rows (k%4==0 blocks /page entirely, k%4==2 allows with
+    Crawl-delay (k%5+1)/2 s), odd hosts 404-default.  Every surviving
+    slot re-derives in chained DuckDB SQL."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.pipelines import frontier_pipeline
+    from readability_ray.sources.sitemap import make_sitemap_xml
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        xmls = []
+        for i in ids:
+            k = i % 40
+            if i % 10 == 0:
+                xmls.append(make_sitemap_xml(
+                    [{"loc": f"https://s{k}.test/more-{i}.xml"}],
+                    index=True))
+            elif i % 13 == 7:
+                xmls.append("<urlset><url><loc>nope")
+            else:
+                xmls.append(make_sitemap_xml(
+                    [{"loc": f"https://s{k}.test/page/{i}/{j}"}
+                     for j in range(1 + i % 2)]))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sitemap_xml": pa.array(xmls, pa.string()),
+        })
+
+    docs = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    hosts, bodies = [], []
+    for k in range(0, 40, 2):
+        hosts.append(f"s{k}.test")
+        if k % 4 == 0:
+            bodies.append("User-agent: *\nDisallow: /page")
+        else:
+            bodies.append(f"User-agent: *\nCrawl-delay: {(k % 5 + 1) / 2}")
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "robots_txt": pa.array(bodies, pa.string()),
+    }))
+    return frontier_pipeline(docs, robots, default_delay_s=1.0)
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape over lineitem — zero-shuffle filter→sum in exact
     c4 fixed point (integer basis-point discount band)."""
@@ -1811,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_ingest": _q_feed_ingest,
         "head_links": _q_head_links,
         "fetch_schedule": _q_fetch_schedule,
+        "crawl_frontier": _q_crawl_frontier,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3578,6 +3628,39 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY k ORDER BY url, doc_id
                        )::BIGINT AS fetch_order
                 FROM u
+            )
+            SELECT doc_id, url, host, delay_ms, fetch_order,
+                   ((fetch_order - 1) * delay_ms)::BIGINT
+                       AS fetch_offset_ms
+            FROM s
+        """,
+        "crawl_frontier": """
+            -- the composed frontier pipeline re-derived by chaining
+            -- the constructible families (see _q_crawl_frontier):
+            -- index/malformed lanes dropped, k%4==0 hosts blocked by
+            -- robots, slots = row_number per host over (url, doc_id)
+            WITH d AS (
+                SELECT doc_id, doc_id % 40 AS k FROM documents
+                WHERE doc_id % 10 <> 0 AND doc_id % 13 <> 7
+            ), u AS (
+                SELECT doc_id, k,
+                       'https://s' || k || '.test/page/' || doc_id
+                       || '/' || j AS url
+                FROM (SELECT doc_id, k,
+                             unnest(generate_series(0, doc_id % 2)) AS j
+                      FROM d)
+            ), allowed AS (
+                SELECT doc_id, url, 's' || k || '.test' AS host, k
+                FROM u WHERE k % 4 <> 0
+            ), s AS (
+                SELECT doc_id, url, host,
+                       (CASE WHEN k % 2 = 0
+                             THEN ((k % 5) + 1) * 500
+                             ELSE 1000 END)::BIGINT AS delay_ms,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY url, doc_id
+                       )::BIGINT AS fetch_order
+                FROM allowed
             )
             SELECT doc_id, url, host, delay_ms, fetch_order,
                    ((fetch_order - 1) * delay_ms)::BIGINT
