@@ -113,7 +113,10 @@ def _run_benchmarks() -> None:
                      "nb_classify",
                      "bpe_merges", "training_chunks",
                      "url_canonical", "robots_filter",
-                     "sitemap_ingest",
+                     "sitemap_ingest", "feed_ingest", "head_links",
+                     "fetch_schedule", "crawl_frontier",
+                     "forecast_revenue", "priority_line_counts",
+                     "promo_revenue_share",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -42,7 +42,13 @@ Round-4 additions (run alone with --s6): hashed-feature DSIR,
 robots_filter (1000-host broadcast), url canonicalization, sitemap
 explode — all at the 50k-doc probe scale.
 
-Usage: python tools/scale_probe.py [num_cpus] [--new-only|--s4|--s5|--s6]
+Round-4 second-session additions (run alone with --s7): feed explode,
+head-link extraction through the real parser, fetch scheduling
+(1000-host delay broadcast), the composed crawl-frontier pipeline,
+and the Q6/Q12/Q14 shapes over 10x-replicated lineitem (6M rows).
+
+Usage: python tools/scale_probe.py [num_cpus]
+       [--new-only|--s4|--s5|--s6|--s7]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -350,6 +356,129 @@ def main() -> None:
         timed("anchor_stats_100k_edges", anchors)
         timed("source_mixture_50k", lambda: source_mixture_weights(
             ray.data.read_parquet(docs10), alpha=0.3))
+
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s7" in sys.argv:
+        # round-4 second-session ops at the 50k-doc / 6M-line scale
+        from readability_ray.functions import (fetch_schedule,
+                                               forecast_revenue,
+                                               head_links,
+                                               priority_line_counts,
+                                               promo_revenue_share)
+        from readability_ray.pipelines import frontier_pipeline
+        from readability_ray.sources.feed import (feed_entries,
+                                                  make_rss_xml)
+        from readability_ray.sources.sitemap import make_sitemap_xml
+
+        def feeds():
+            def synth_xml(batch):
+                ids = batch.column("doc_id").to_pylist()
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "feed_xml": pa.array(
+                        [make_rss_xml(f"c{i % 1000}", [
+                            {"title": f"post {i}-{j}",
+                             "link": f"https://f{i % 1000}.test/{i}/{j}",
+                             "pubDate": f"2024-04-{(i + j) % 28 + 1:02d}",
+                             "guid": f"g{i}-{j}"} for j in range(3)])
+                         for i in ids], pa.string()),
+                })
+
+            return feed_entries(
+                ray.data.read_parquet(docs10)
+                .map_batches(synth_xml, batch_format="pyarrow"))
+
+        timed("feed_entries_150k", feeds)
+
+        def heads():
+            def synth_html(batch):
+                ids = batch.column("doc_id").to_pylist()
+                htmls = []
+                for i in ids:
+                    htmls.append(
+                        '<html><head>'
+                        f'<link rel="canonical" href="https://c'
+                        f'{i % 1000}.test/page/{i}">'
+                        f'<link rel="next" href="/p/{i + 1}">'
+                        '<link rel="alternate" hreflang="fr" '
+                        f'href="https://c{i % 1000}.test/fr/{i}">'
+                        '<meta name="robots" content="noindex">'
+                        '</head><body><p>' + "word " * 50 +
+                        '</p></body></html>')
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "html": pa.array(htmls, pa.string()),
+                })
+
+            return head_links(
+                ray.data.read_parquet(docs10)
+                .map_batches(synth_html, batch_format="pyarrow"))
+
+        timed("head_links_50k", heads)
+
+        def synth_urls7(batch):
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(
+                    [f"https://h{i % 1000}.test/p/{i % 97}/{i}"
+                     for i in ids], pa.string()),
+            })
+
+        def schedule():
+            robots_ds = ray.data.from_items([
+                {"host": f"h{k}.test",
+                 "robots_txt": f"User-agent: *\nCrawl-delay: "
+                               f"{(k % 10 + 1) / 2}"}
+                for k in range(1000)])
+            urls = ray.data.read_parquet(docs10) \
+                .map_batches(synth_urls7, batch_format="pyarrow")
+            return fetch_schedule(urls, robots_ds)
+
+        timed("fetch_schedule_50k", schedule)
+
+        def frontier():
+            def synth_xml(batch):
+                ids = batch.column("doc_id").to_pylist()
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "sitemap_xml": pa.array(
+                        [make_sitemap_xml(
+                            [{"loc": f"https://s{i % 1000}.test/p/"
+                                     f"{i}/{j}"} for j in range(2)])
+                         for i in ids], pa.string()),
+                })
+
+            docs = ray.data.read_parquet(docs10) \
+                .map_batches(synth_xml, batch_format="pyarrow")
+            robots_ds = ray.data.from_items([
+                {"host": f"s{k}.test",
+                 "robots_txt": ("User-agent: *\nDisallow: /p"
+                                if k % 4 == 0 else
+                                f"User-agent: *\nCrawl-delay: "
+                                f"{(k % 10 + 1) / 2}")}
+                for k in range(0, 1000, 2)])
+            return frontier_pipeline(docs, robots_ds)
+
+        timed("crawl_frontier_100k", frontier)
+
+        li10 = os.path.join(tmp, "lineitem10.parquet")
+        replicate(os.path.join(sf, "lineitem.parquet"), li10, 10, None)
+        timed("q6_6m", lambda: forecast_revenue(
+            ray.data.read_parquet(li10)))
+        timed("q12_6m", lambda: priority_line_counts(
+            ray.data.read_parquet(
+                os.path.join(sf, "orders.parquet")),
+            ray.data.read_parquet(li10)))
+        timed("q14_6m", lambda: promo_revenue_share(
+            ray.data.read_parquet(li10),
+            ray.data.read_parquet(os.path.join(sf, "part.parquet"))))
 
         results["n_docs"] = n_docs
         print(json.dumps(results))
