@@ -1207,6 +1207,41 @@ def _q_crawl_frontier(sf_dir: str):
     return frontier_pipeline(docs, robots, default_delay_s=1.0)
 
 
+def _q_host_stats(sf_dir: str):
+    """Per-host crawl-budget stats (functions/linkgraph.host_stats):
+    map-side (host, lang) combiners → ONE host-keyed exchange +
+    vectorized reduce.  Hosts are a constructible family
+    (w{doc_id%30}.test) so counts, char totals, and the count-desc/
+    lang-asc dominant language re-derive in DuckDB window SQL over
+    the real documents lang/text columns."""
+    import pyarrow as pa
+    from readability_ray.functions import host_stats
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"https://w{i % 30}.test/p/{i}" for i in ids],
+                pa.string()),
+            "text": batch.column("text"),
+            "lang": batch.column("lang"),
+        })
+
+    docs = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return host_stats(docs)
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail tiers (functions/corpus.ccnet_buckets,
+    Wenzek 2020 §4.3): per-language nearest-rank terciles of the
+    token count over a histogram (one tiny merge block, zero
+    corpus-side exchanges), thresholds broadcast, one assign map.
+    Integer scores → exact SQL parity (the explicit ASCII token
+    class both sides)."""
+    from readability_ray.functions import ccnet_buckets
+    return ccnet_buckets(_docs(sf_dir))
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape over lineitem — zero-shuffle filter→sum in exact
     c4 fixed point (integer basis-point discount band)."""
@@ -1861,6 +1896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_links": _q_head_links,
         "fetch_schedule": _q_fetch_schedule,
         "crawl_frontier": _q_crawl_frontier,
+        "host_stats": _q_host_stats,
+        "ccnet_buckets": _q_ccnet_buckets,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3634,6 +3671,71 @@ def oracle_sql() -> dict[str, str]:
                        AS fetch_offset_ms
             FROM s
         """,
+        "host_stats": """
+            -- per-host rollup over the constructible w{id%30}.test
+            -- family: counts + char totals + count-desc/lang-asc
+            -- dominant language (see _q_host_stats)
+            WITH d AS (
+                SELECT 'w' || (doc_id % 30) || '.test' AS host,
+                       coalesce(lang, '') AS lang,
+                       length(text)::BIGINT AS chars
+                FROM documents
+            ), g AS (
+                SELECT host, lang, count(*)::BIGINT AS n,
+                       sum(chars)::BIGINT AS chars
+                FROM d GROUP BY host, lang
+            ), top AS (
+                SELECT host, lang, n,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY n DESC, lang ASC) AS rn
+                FROM g
+            )
+            SELECT g.host, sum(g.n)::BIGINT AS n_docs,
+                   sum(g.chars)::BIGINT AS total_chars,
+                   max(t.lang) AS top_lang,
+                   max(t.n)::BIGINT AS top_lang_n
+            FROM g JOIN (SELECT * FROM top WHERE rn = 1) t
+              ON g.host = t.host
+            GROUP BY g.host
+        """,
+        "ccnet_buckets": """
+            -- CCNet terciles: nearest-rank thresholds per lang over
+            -- the token-count histogram; the 0.3333...3 literals are
+            -- the exact float64 values the operator multiplies by
+            WITH scored AS (
+                SELECT doc_id, coalesce(lang, '') AS lang,
+                       len(regexp_extract_all(text, '{tok}'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), counts AS (
+                SELECT lang, count(*)::BIGINT AS n
+                FROM scored GROUP BY lang
+            ), hist AS (
+                SELECT lang, n_tokens AS score, count(*)::BIGINT AS cnt
+                FROM scored GROUP BY lang, n_tokens
+            ), cum AS (
+                SELECT lang, score,
+                       sum(cnt) OVER (PARTITION BY lang ORDER BY score)
+                           AS c
+                FROM hist
+            ), th AS (
+                SELECT k.lang,
+                    (SELECT min(score) FROM cum
+                     WHERE cum.lang = k.lang AND cum.c >=
+                       greatest(1, ceil(k.n * 0.3333333333333333)))
+                        AS t1,
+                    (SELECT min(score) FROM cum
+                     WHERE cum.lang = k.lang AND cum.c >=
+                       greatest(1, ceil(k.n * 0.6666666666666666)))
+                        AS t2
+                FROM counts k
+            )
+            SELECT s.doc_id, s.lang, s.n_tokens,
+                   CASE WHEN s.n_tokens <= t.t1 THEN 'head'
+                        WHEN s.n_tokens <= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN th t ON s.lang = t.lang
+        """.replace("{tok}", TOKEN_RE_SQL),
         "crawl_frontier": """
             -- the composed frontier pipeline re-derived by chaining
             -- the constructible families (see _q_crawl_frontier):

@@ -26,9 +26,9 @@ from .windows import (
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
-    decontaminate, gopher_rules, hash_split, normalize_text, pii_redact,
-    pii_scan, repetition_scores, source_cap, source_mixture_weights,
-    stratified_sample, weighted_sample_k,
+    ccnet_buckets, decontaminate, gopher_rules, hash_split,
+    normalize_text, pii_redact, pii_scan, repetition_scores, source_cap,
+    source_mixture_weights, stratified_sample, weighted_sample_k,
 )
 from .bloom import bloom_novelty, build_bloom
 from .chunking import chunk_documents, line_dedup
@@ -40,7 +40,7 @@ from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .report import corpus_report
 from .crawldiff import crawl_diff
-from .linkgraph import anchor_text_stats
+from .linkgraph import anchor_text_stats, host_stats
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_sitemaps, robots_allowed, robots_filter,
@@ -84,7 +84,7 @@ __all__ = [
     "corpus_report", "crawl_diff",
     "parse_robots", "robots_allowed", "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
-    "anchor_text_stats",
+    "anchor_text_stats", "host_stats", "ccnet_buckets",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

@@ -580,3 +580,92 @@ def source_mixture_weights(ds: ray.data.Dataset, *,
         .map_batches(partials, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def ccnet_buckets(ds: ray.data.Dataset, *,
+                  lang_col: str = "lang",
+                  text_col: str = "text",
+                  id_col: str = "doc_id",
+                  quantiles: tuple = (1 / 3, 2 / 3)
+                  ) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail bucketing (Wenzek 2020 §4.3):
+    per-language score terciles split the corpus into quality tiers a
+    sampler can weight (CCNet keeps "head" preferentially).
+
+    The score here is the whitespace token count (an exact integer —
+    the same explicit ASCII class as lmscore, RE2-parity-proven); the
+    production knob is any integer score column via the same shape.
+    Thresholds use nearest-rank (``quantile_disc``) semantics: the
+    q-threshold is the smallest score whose per-lang cumulative count
+    reaches ceil(q × n_lang); bucket = head if score <= t(1/3),
+    middle if <= t(2/3), else tail — ties land LOW, exactly
+    reproducible in SQL.
+
+    Scale shape: pass 1 builds a per-(lang, score) value-count
+    HISTOGRAM (partials per batch, one tiny merge block — O(distinct
+    scores × langs), never O(rows)); the |langs|×2 threshold table
+    broadcasts via ray.put; pass 2 is one stateless assign map.  Zero
+    corpus-side exchanges.
+    """
+    from .lmscore import _TOKEN_RE, _get_broadcast
+
+    def score_of(texts: list) -> list:
+        return [len(_TOKEN_RE.findall(t or "")) for t in texts]
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": [(x or "") for x in
+                     batch.column(lang_col).to_pylist()],
+            "score": score_of(batch.column(text_col).to_pylist()),
+        })
+        g = df.groupby(["lang", "score"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "cnt"})
+        return arrow_out(g)
+
+    def thresholds(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return arrow_out(pd.DataFrame({
+                "lang": pd.Series([], dtype="object"),
+                "t1": pd.Series([], dtype="int64"),
+                "t2": pd.Series([], dtype="int64")}))
+        rows = []
+        for lang, g in batch.groupby("lang", sort=True):
+            h = g.groupby("score", sort=True)["cnt"].sum()
+            values = h.index.to_numpy()
+            cum = h.to_numpy().cumsum()
+            n = int(cum[-1])
+            ts = [int(values[np.searchsorted(
+                cum, max(1, int(np.ceil(q * n))))])
+                for q in quantiles]
+            rows.append({"lang": lang, "t1": ts[0], "t2": ts[1]})
+        return arrow_out(pd.DataFrame(rows))
+
+    th = strip_schema_metadata(ds.select_columns([lang_col, text_col])) \
+        .map_batches(hist_partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(thresholds, batch_format="pandas",
+                     batch_size=None)
+    tmap = {r["lang"]: (int(r["t1"]), int(r["t2"]))
+            for r in th.take_all()}
+    tref = ray.put(tmap)
+
+    def assign(batch: pa.Table, *, ref) -> pa.Table:
+        tm = _get_broadcast(ref)
+        langs = [(x or "") for x in batch.column(lang_col).to_pylist()]
+        scores = score_of(batch.column(text_col).to_pylist())
+        buckets = []
+        for lang, s in zip(langs, scores):
+            t1, t2 = tm.get(lang, (0, 0))
+            buckets.append("head" if s <= t1
+                           else ("middle" if s <= t2 else "tail"))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "lang": pa.array(langs, pa.string()),
+            "n_tokens": pa.array(scores, pa.int64()),
+            "bucket": pa.array(buckets, pa.string()),
+        })
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, lang_col, text_col])) \
+        .map_batches(assign, batch_format="pyarrow",
+                     fn_kwargs={"ref": tref})

@@ -104,3 +104,78 @@ def anchor_text_stats(edges, *,
         .repartition(num_blocks=k, keys=["href"]) \
         .map_batches(reduce_href, batch_format="pandas",
                      batch_size=None)
+
+
+def host_stats(docs, *,
+               url_col: str = "url",
+               text_col: str = "text",
+               lang_col: str = "lang",
+               n_partitions: int | None = None):
+    """Per-host crawl-budget statistics: page count, total text
+    characters, and the dominant language (count desc, lang asc on
+    ties — deterministic and SQL-reproducible).
+
+    The crawl-planning twin of ``anchor_text_stats``: host is a
+    corpus-sized key, so map-side (host, lang) combiners collapse each
+    batch to ≤|hosts×langs-per-batch| rows before ONE host-keyed
+    exchange + a vectorized per-partition reduce.  Output per host:
+    n_docs, total_chars, top_lang, top_lang_n.
+    """
+    from urllib.parse import urlsplit
+
+    import ray  # noqa: F401
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(docs)
+    k = n_partitions or default_partitions()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for u in batch.column(url_col).to_pylist():
+            try:
+                hosts.append((urlsplit(u or "").hostname or "").lower())
+            except ValueError:
+                hosts.append("")
+        df = pd.DataFrame({
+            "host": hosts,
+            "lang": [(x or "") for x in
+                     batch.column(lang_col).to_pylist()],
+            "chars": [len(t or "") for t in
+                      batch.column(text_col).to_pylist()],
+        })
+        g = df.groupby(["host", "lang"], as_index=False, sort=False) \
+            .agg(n=("chars", "size"), chars=("chars", "sum"))
+        return arrow_out(g)
+
+    def reduce_host(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "host" not in batch.columns:
+            return pa.table({
+                "host": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "total_chars": pa.array([], pa.int64()),
+                "top_lang": pa.array([], pa.string()),
+                "top_lang_n": pa.array([], pa.int64()),
+            })
+        g = batch.groupby(["host", "lang"], as_index=False,
+                          sort=False)[["n", "chars"]].sum()
+        tot = g.groupby("host", sort=False).agg(
+            n_docs=("n", "sum"), total_chars=("chars", "sum"))
+        top = g.sort_values(["host", "n", "lang"],
+                            ascending=[True, False, True],
+                            kind="stable").drop_duplicates("host") \
+            .set_index("host")
+        hosts = sorted(tot.index)
+        return arrow_out(pd.DataFrame({
+            "host": hosts,
+            "n_docs": [int(tot["n_docs"][h]) for h in hosts],
+            "total_chars": [int(tot["total_chars"][h]) for h in hosts],
+            "top_lang": [str(top["lang"][h]) for h in hosts],
+            "top_lang_n": [int(top["n"][h]) for h in hosts],
+        }))
+
+    return strip_schema_metadata(
+        docs.select_columns([url_col, text_col, lang_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["host"]) \
+        .map_batches(reduce_host, batch_format="pandas",
+                     batch_size=None)

@@ -1,0 +1,34 @@
+
+
+def test_ccnet_buckets_terciles(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import ccnet_buckets
+    # 9 en docs with token counts 1..9 → t1=3, t2=6
+    texts = [" ".join(["w"] * n) for n in range(1, 10)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(9)), pa.int64()),
+        "lang": pa.array(["en"] * 9, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = ccnet_buckets(ds).to_pandas().sort_values("doc_id")
+    assert list(out["n_tokens"]) == list(range(1, 10))
+    assert list(out["bucket"]) == (["head"] * 3 + ["middle"] * 3
+                                   + ["tail"] * 3)
+
+
+def test_ccnet_buckets_per_lang_thresholds(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import ccnet_buckets
+    # en: counts 1,2,3 (t1=1,t2=2); fr: counts 10,20,30 (t1=10,t2=20)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "fr", "fr", "fr"],
+                         pa.string()),
+        "text": pa.array(["w", "w w", "w w w",
+                          " ".join(["w"] * 10), " ".join(["w"] * 20),
+                          " ".join(["w"] * 30)], pa.string()),
+    }))
+    out = ccnet_buckets(ds).to_pandas().sort_values("doc_id")
+    assert list(out["bucket"]) == ["head", "middle", "tail"] * 2

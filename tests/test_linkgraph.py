@@ -56,3 +56,41 @@ def test_multi_batch_exact_distinct(ray_session):
     assert out.iloc[0]["n_inlinks"] == 40
     assert out.iloc[0]["n_unique_src"] == 4
     assert out.iloc[0]["top_anchor_n"] == 20
+
+
+def test_host_stats_dominant_lang_and_totals(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import host_stats
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([
+            "https://A.test/1", "https://a.test/2", "https://a.test/3",
+            "https://b.test/1",
+        ], pa.string()),
+        "text": pa.array(["aa", "bbbb", "c", "dd"], pa.string()),
+        "lang": pa.array(["en", "fr", "en", None], pa.string()),
+    }))
+    out = host_stats(ds, n_partitions=2).to_pandas() \
+        .set_index("host")
+    # uppercase host folds into a.test
+    assert out.loc["a.test", "n_docs"] == 3
+    assert out.loc["a.test", "total_chars"] == 7
+    # en=2, fr=1 → en dominates
+    assert out.loc["a.test", "top_lang"] == "en"
+    assert out.loc["a.test", "top_lang_n"] == 2
+    assert out.loc["b.test", "top_lang"] == ""  # null lang folds to ""
+    assert len(out) == 2
+
+
+def test_host_stats_tie_breaks_lang_asc(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import host_stats
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://t.test/1", "https://t.test/2"],
+                        pa.string()),
+        "text": pa.array(["x", "y"], pa.string()),
+        "lang": pa.array(["fr", "en"], pa.string()),
+    }))
+    out = host_stats(ds, n_partitions=2).to_pandas()
+    assert out["top_lang"].iloc[0] == "en"  # 1-1 tie → lang asc
