@@ -1207,6 +1207,19 @@ def _q_crawl_frontier(sf_dir: str):
     return frontier_pipeline(docs, robots, default_delay_s=1.0)
 
 
+def _q_page_link_graph(sf_dir: str):
+    """The cross-page link graph from REAL extraction
+    (functions/linkgraph.page_outlinks → anchor_text_stats): the
+    reference's per-page link semantics (preprocess + <a href> under
+    body, oracle-pinned) exploded into an edge table and rolled up
+    per target.  Rows-only by driver design (HTML link extraction is
+    not SQL-expressible; the per-page surface is node-oracle-pinned
+    and anchor_text_stats has its own value oracle)."""
+    from readability_ray.functions import (anchor_text_stats,
+                                           page_outlinks)
+    return anchor_text_stats(page_outlinks(_pages_ds(sf_dir)))
+
+
 def _q_host_stats(sf_dir: str):
     """Per-host crawl-budget stats (functions/linkgraph.host_stats):
     map-side (host, lang) combiners → ONE host-keyed exchange +
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_structure": _q_page_structure,
         "classify_pages": _q_classify_pages,
         "kmeans_clusters": _q_kmeans,
+        "page_link_graph": _q_page_link_graph,
     }
 
 

@@ -40,7 +40,7 @@ from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .report import corpus_report
 from .crawldiff import crawl_diff
-from .linkgraph import anchor_text_stats, host_stats
+from .linkgraph import anchor_text_stats, host_stats, page_outlinks
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_sitemaps, robots_allowed, robots_filter,
@@ -85,6 +85,7 @@ __all__ = [
     "parse_robots", "robots_allowed", "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
+    "page_outlinks",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

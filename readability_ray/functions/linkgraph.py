@@ -179,3 +179,50 @@ def host_stats(docs, *,
         .repartition(num_blocks=k, keys=["host"]) \
         .map_batches(reduce_host, batch_format="pandas",
                      batch_size=None)
+
+
+def page_outlinks(pages, *,
+                  url_col: str = "url",
+                  html_col: str = "html"):
+    """Explode every page's extracted links into the cross-page edge
+    table (src, href, anchor_text) that ``anchor_text_stats`` /
+    ``pagerank`` consume — the link-graph bridge SURVEY §2.6 notes is
+    beyond the reference's per-page scope.
+
+    Link semantics are the reference's own (preprocess, then every
+    ``<a href>`` under body except javascript:, anchor text =
+    getInnerText-trimmed — extract.py:extract_links, oracle-pinned);
+    one stateless flat-map over the pages table, zero shuffle.
+    """
+    from ..extract import extract_links
+    from ..parser import parse_html
+    from ..preprocess import preprocess_document
+    from ..vdom import ensure_recursion_headroom
+    from .util import strip_schema_metadata
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ensure_recursion_headroom()
+        srcs, hrefs, texts = [], [], []
+        for url, html in zip(batch.column(url_col).to_pylist(),
+                             batch.column(html_col).to_pylist()):
+            if isinstance(html, bytes):
+                html = html.decode("utf-8", errors="replace")
+            try:
+                doc = parse_html(html or "")
+                preprocess_document(doc)
+                links = extract_links(doc)
+            except Exception:
+                continue  # poison pages contribute no edges
+            for li in links:
+                srcs.append(url)
+                hrefs.append(li.href)
+                texts.append(li.text)
+        return pa.table({
+            "src": pa.array(srcs, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor_text": pa.array(texts, pa.string()),
+        })
+
+    return strip_schema_metadata(
+        pages.select_columns([url_col, html_col])) \
+        .map_batches(explode, batch_format="pyarrow")

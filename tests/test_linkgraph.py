@@ -94,3 +94,28 @@ def test_host_stats_tie_breaks_lang_asc(ray_session):
     }))
     out = host_stats(ds, n_partitions=2).to_pandas()
     assert out["top_lang"].iloc[0] == "en"  # 1-1 tie → lang asc
+
+
+def test_page_outlinks_real_extraction_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import page_outlinks
+    html = (b"<html><body>"
+            b'<a href="https://x.test/a">first</a>'
+            b'<a href="javascript:void(0)">skipped</a>'
+            b"<nav><a href='https://x.test/nav'>removed by "
+            b"preprocess</a></nav>"
+            b'<a href="/rel">  spaced  text </a>'
+            b"</body></html>")
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://src.test/p", "https://src.test/q"],
+                        pa.string()),
+        "html": pa.array([html, b"<p>no links</p>"], pa.binary()),
+    }))
+    out = page_outlinks(ds).to_pandas().sort_values("href") \
+        .reset_index(drop=True)
+    # javascript: dropped; nav subtree removed by preprocess;
+    # inner text trimmed per getInnerText
+    assert list(out["href"]) == ["/rel", "https://x.test/a"]
+    assert list(out["anchor_text"]) == ["spaced text", "first"]
+    assert set(out["src"]) == {"https://src.test/p"}
