@@ -1255,6 +1255,58 @@ def _q_ccnet_buckets(sf_dir: str):
     return ccnet_buckets(_docs(sf_dir))
 
 
+def _q_sitemap_discovery(sf_dir: str):
+    """robots→sitemaps discovery edge (functions/robots.
+    sitemap_discovery): file-wide Sitemap records exploded with
+    first-occurrence dedup and 0-based order.  Robots bodies are a
+    constructible family — host r{i%40}.test carries 1+i%2 sitemap
+    records, a duplicate of the first, an inline comment, and rule
+    noise — so every (host, sitemap_url, pos) row re-derives in SQL
+    by construction."""
+    import pyarrow as pa
+    from readability_ray.functions import sitemap_discovery
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts, bodies = [], []
+        for i in ids:
+            k = i % 40
+            lines = ["User-agent: *", f"Disallow: /private/{k}",
+                     f"Sitemap: https://r{k}.test/sm-{i}-0.xml"
+                     "  # comment"]
+            if i % 2 == 1:
+                lines.append(f"Sitemap: https://r{k}.test/sm-{i}-1.xml")
+            lines.append(f"Sitemap: https://r{k}.test/sm-{i}-0.xml")
+            hosts.append(f"r{k}.test")
+            bodies.append("\n".join(lines))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "robots_txt": pa.array(bodies, pa.string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    robots = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    out = sitemap_discovery(robots)
+
+    # host r{k}.test repeats across docs with DIFFERENT bodies; carry
+    # the sitemap_url (unique per doc) as the compare identity
+    return out
+
+
+def _q_top_users_per_type(sf_dir: str):
+    """Per-group top-k leaderboard (functions/textstats.
+    top_users_per_type): map-side (type, user) combiners → ONE
+    user-keyed exchange (per-partition sums exact) → local top-k per
+    type → one tiny candidate merge.  Value oracle: DuckDB row_number
+    window with the same (count desc, user asc) rank."""
+    import ray.data
+    from readability_ray.functions import top_users_per_type
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+    return top_users_per_type(ev, k=5)
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape over lineitem — zero-shuffle filter→sum in exact
     c4 fixed point (integer basis-point discount band)."""
@@ -1911,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _q_crawl_frontier,
         "host_stats": _q_host_stats,
         "ccnet_buckets": _q_ccnet_buckets,
+        "sitemap_discovery": _q_sitemap_discovery,
+        "top_users_per_type": _q_top_users_per_type,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3684,6 +3738,44 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "sitemap_discovery": """
+            -- Sitemap records by construction (see
+            -- _q_sitemap_discovery): first record always, a second on
+            -- odd docs, the duplicate third never survives dedup
+            WITH d AS (
+                SELECT doc_id, doc_id % 40 AS k FROM documents
+            ), first_rec AS (
+                SELECT 'r' || k || '.test' AS host,
+                       'https://r' || k || '.test/sm-' || doc_id
+                       || '-0.xml' AS sitemap_url,
+                       0::BIGINT AS pos
+                FROM d
+            ), second_rec AS (
+                SELECT 'r' || k || '.test' AS host,
+                       'https://r' || k || '.test/sm-' || doc_id
+                       || '-1.xml' AS sitemap_url,
+                       1::BIGINT AS pos
+                FROM d WHERE doc_id % 2 = 1
+            )
+            SELECT * FROM first_rec
+            UNION ALL SELECT * FROM second_rec
+        """,
+        "top_users_per_type": """
+            -- per-type top-5 users, (count desc, user asc) rank
+            WITH c AS (
+                SELECT event_type, user_id,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY event_type, user_id
+            ), r AS (
+                SELECT event_type, user_id, n_events,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY n_events DESC, user_id ASC
+                       )::BIGINT AS rank
+                FROM c
+            )
+            SELECT event_type, user_id, n_events, rank
+            FROM r WHERE rank <= 5
         """,
         "host_stats": """
             -- per-host rollup over the constructible w{id%30}.test

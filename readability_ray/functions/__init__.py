@@ -11,6 +11,7 @@ from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
+    top_users_per_type,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
@@ -44,6 +45,7 @@ from .linkgraph import anchor_text_stats, host_stats, page_outlinks
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_sitemaps, robots_allowed, robots_filter,
+    sitemap_discovery,
 )
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
@@ -84,6 +86,7 @@ __all__ = [
     "corpus_report", "crawl_diff",
     "parse_robots", "robots_allowed", "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
+    "sitemap_discovery", "top_users_per_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "page_outlinks",
     "bloom_novelty", "build_bloom", "embedding_quantize",

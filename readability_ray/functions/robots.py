@@ -340,3 +340,35 @@ def robots_filter(urls: ray.data.Dataset,
     return strip_schema_metadata(urls) \
         .map_batches(verdicts, batch_format="pyarrow",
                      fn_kwargs={"ref": rules_ref})
+
+
+def sitemap_discovery(robots: ray.data.Dataset, *,
+                      host_col: str = "host",
+                      body_col: str = "robots_txt") -> ray.data.Dataset:
+    """Explode every host's robots.txt ``Sitemap:`` records into the
+    (host, sitemap_url, pos) table a frontier builder feeds to the
+    sitemap ingester — the discovery edge robots→sitemaps→urls.
+
+    Records are file-wide (RFC 9309 §2.3 — independent of user-agent
+    groups), first-occurrence de-duplicated, ``pos`` the 0-based
+    surviving order.  ONE stateless vectorized map, zero shuffle (the
+    robots table is per-host — tiny next to the URL corpus)."""
+    from .util import strip_schema_metadata
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hosts_out, urls_out, pos_out = [], [], []
+        for host, body in zip(batch.column(host_col).to_pylist(),
+                              batch.column(body_col).to_pylist()):
+            for p, u in enumerate(parse_robots_sitemaps(body or "")):
+                hosts_out.append(host)
+                urls_out.append(u)
+                pos_out.append(p)
+        return pa.table({
+            "host": pa.array(hosts_out, pa.string()),
+            "sitemap_url": pa.array(urls_out, pa.string()),
+            "pos": pa.array(pos_out, pa.int64()),
+        })
+
+    return strip_schema_metadata(
+        robots.select_columns([host_col, body_col])) \
+        .map_batches(explode, batch_format="pyarrow")

@@ -613,3 +613,76 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = 5,
         .map_batches(score, batch_format="pandas", batch_size=None) \
         .repartition(num_blocks=n_parts, keys=["doc_id"]) \
         .map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+def top_users_per_type(events: ray.data.Dataset, k: int = 5, *,
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """Per-group top-k (the leaderboard shape): the k most active
+    users per event type, rank by (count desc, user_id asc — fully
+    deterministic).
+
+    Two-level top-k over a corpus-sized key: map-side (type, user)
+    count combiners → ONE user-keyed exchange (each user's partials
+    co-locate, so per-partition sums are exact finals) → per-partition
+    local top-k per type → one tiny merge block re-heads the
+    candidates.  The merge sees ≤ |types|×k×partitions rows — never
+    O(users).  Output: (event_type, user_id, n_events, rank).
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    parts = n_partitions or default_partitions()
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(["event_type", "user_id"], as_index=False,
+                          sort=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    def local_topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}))
+        g = batch.groupby(["event_type", "user_id"], as_index=False,
+                          sort=False)["n"].sum()
+        g = g.sort_values(["event_type", "n", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        return arrow_out(g.groupby("event_type", sort=False).head(k)
+                         .reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64")}))
+        # user-keyed exchange co-located each user: sums are final,
+        # the merge only re-heads the partition candidates
+        g = batch.sort_values(["event_type", "n", "user_id"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        top = g.groupby("event_type", sort=False).head(k) \
+            .reset_index(drop=True)
+        top["rank"] = top.groupby("event_type", sort=False) \
+            .cumcount() + 1
+        return arrow_out(pd.DataFrame({
+            "event_type": top["event_type"],
+            "user_id": top["user_id"],
+            "n_events": top["n"].astype("int64"),
+            "rank": top["rank"].astype("int64")}))
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "user_id"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(num_blocks=parts, keys=["user_id"]) \
+        .map_batches(local_topk, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

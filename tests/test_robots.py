@@ -211,3 +211,23 @@ def test_fetch_schedule_per_host_slots(ray_session):
     nod = out[out["host"] == "nodelay.test"]
     assert list(nod["delay_ms"]) == [1000]
     assert list(nod["fetch_offset_ms"]) == [0]
+
+
+def test_sitemap_discovery_explode(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import sitemap_discovery
+    ds = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.test", "b.test"], pa.string()),
+        "robots_txt": pa.array([
+            "User-agent: *\nSitemap: https://a.test/1.xml\n"
+            "Sitemap: https://a.test/2.xml\n"
+            "Sitemap: https://a.test/1.xml",
+            "Disallow: /x",
+        ], pa.string()),
+    }))
+    out = sitemap_discovery(ds).to_pandas().sort_values("pos")
+    assert list(out["sitemap_url"]) == ["https://a.test/1.xml",
+                                        "https://a.test/2.xml"]
+    assert list(out["host"]) == ["a.test", "a.test"]
+    assert list(out["pos"]) == [0, 1]

@@ -1,0 +1,20 @@
+
+
+def test_top_users_per_type_rank_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import top_users_per_type
+    types = ["a"] * 7 + ["b"] * 3
+    users = [1, 1, 1, 2, 2, 3, 4, 9, 9, 8]
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "user_id": pa.array(users, pa.int64()),
+    }))
+    out = top_users_per_type(ds, k=2, n_partitions=2).to_pandas()
+    a = out[out["event_type"] == "a"].sort_values("rank")
+    assert list(a["user_id"]) == [1, 2]
+    assert list(a["n_events"]) == [3, 2]
+    b = out[out["event_type"] == "b"].sort_values("rank")
+    # 9 has 2 events, then tie 3/4... for b: user 9 n=2, user 8 n=1
+    assert list(b["user_id"]) == [9, 8]
+    assert list(b["rank"]) == [1, 2]
