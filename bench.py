@@ -116,7 +116,9 @@ def _run_benchmarks() -> None:
                      "sitemap_ingest", "feed_ingest", "head_links",
                      "fetch_schedule", "crawl_frontier",
                      "forecast_revenue", "priority_line_counts",
-                     "promo_revenue_share",
+                     "promo_revenue_share", "host_stats",
+                     "ccnet_buckets", "sitemap_discovery",
+                     "top_users_per_type", "page_link_graph",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
