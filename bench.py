@@ -199,8 +199,30 @@ def _run_scaling() -> None:
             capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])["pages_per_sec"]
 
+    calm_mbps = float(os.environ.get("GRAFT_CALM_MBPS", "0"))
+    calm_timeout = float(os.environ.get("GRAFT_CALM_TIMEOUT_S", "3600"))
+
+    def wait_calm() -> bool:
+        """With GRAFT_CALM_MBPS set: poll the host probe until two
+        consecutive readings clear the bar (the BASELINE.md rule —
+        loaded-window pairs pool 0.67-0.76 and waste the run), giving
+        up after GRAFT_CALM_TIMEOUT_S.  Returns False on timeout."""
+        if calm_mbps <= 0:
+            return True
+        deadline = time.time() + calm_timeout
+        prev = 0.0
+        while time.time() < deadline:
+            cur = _cpu_probe()
+            if prev >= calm_mbps and cur >= calm_mbps:
+                return True
+            prev = cur
+            time.sleep(20)
+        return False
+
     accepted, rejected = [], []
     for i in range(n_pairs):
+        if not wait_calm():
+            break  # never measure a window known to be loaded
         ctrl = [_cpu_probe()]
         pps_lo = one(8)
         ctrl.append(_cpu_probe())  # mid-pair: between the two levels
