@@ -76,3 +76,15 @@ def test_head_links_ray_op(ray_session):
         .reset_index(drop=True)
     assert list(out["canonical"]) == ["https://k.test/1", None]
     assert list(out["n_hreflang"]) == [0, 0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=400))
+def test_extract_head_links_never_raises(html):
+    r = extract_head_links(html)
+    assert isinstance(r["noindex"], bool)
+    assert r["n_hreflang"] >= 0
