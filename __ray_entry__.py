@@ -1255,6 +1255,41 @@ def _q_ccnet_buckets(sf_dir: str):
     return ccnet_buckets(_docs(sf_dir))
 
 
+def _q_html_tables(sf_dir: str):
+    """HTML table extraction (functions/tables.py) through the REAL
+    parser: deterministic tables — a th header row plus 1+i%3 body
+    rows of 2 cells, every 9th doc table-free — are synthesized per
+    document, so every (table_idx, row_idx, col_idx, is_header,
+    cell_text) cell is SQL-constructible while the whole
+    HTML→VDOM→getInnerText path runs end-to-end.  ONE stateless
+    explode, zero shuffle."""
+    import pyarrow as pa
+    from readability_ray.functions.tables import page_tables
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            urls.append(f"https://t{i % 25}.test/{i}")
+            if i % 9 == 4:
+                htmls.append(f"<html><body><p>no table {i}</p>"
+                             "</body></html>")
+                continue
+            rows = ["<tr><th>name</th><th> value </th></tr>"]
+            for r in range(1 + i % 3):
+                rows.append(f"<tr><td>r{r}v{(i + r) % 10}</td>"
+                            f"<td>x  {i % 7}</td></tr>")
+            htmls.append("<html><body><table>" + "".join(rows)
+                         + "</table></body></html>")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    pages = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return page_tables(pages)
+
+
 def _q_sitemap_discovery(sf_dir: str):
     """robots→sitemaps discovery edge (functions/robots.
     sitemap_discovery): file-wide Sitemap records exploded with
@@ -1965,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "sitemap_discovery": _q_sitemap_discovery,
         "top_users_per_type": _q_top_users_per_type,
+        "html_tables": _q_html_tables,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3738,6 +3774,39 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "html_tables": """
+            -- the constructible table family's cells built directly
+            -- (see _q_html_tables): header row 'name'/'value' (the
+            -- latter trimmed by getInnerText), body rows
+            -- r{r}v{(i+r)%10} / 'x  N' whitespace-normalized
+            WITH d AS (
+                SELECT doc_id,
+                       'https://t' || (doc_id % 25) || '.test/'
+                       || doc_id AS url
+                FROM documents WHERE doc_id % 9 <> 4
+            ), cols(c) AS (VALUES (0::BIGINT), (1::BIGINT)),
+            hdr AS (
+                SELECT url, 0::BIGINT AS table_idx,
+                       0::BIGINT AS row_idx, c AS col_idx,
+                       true AS is_header,
+                       CASE c WHEN 0 THEN 'name'
+                              ELSE 'value' END AS cell_text
+                FROM d CROSS JOIN cols
+            ), body AS (
+                SELECT url, 0::BIGINT AS table_idx,
+                       (r + 1)::BIGINT AS row_idx, c AS col_idx,
+                       false AS is_header,
+                       CASE c WHEN 0 THEN
+                           'r' || r || 'v' || ((doc_id + r) % 10)
+                            ELSE 'x ' || (doc_id % 7) END AS cell_text
+                FROM (SELECT doc_id, url,
+                             unnest(generate_series(0, doc_id % 3))
+                                 AS r
+                      FROM d) CROSS JOIN cols
+            )
+            SELECT * FROM hdr
+            UNION ALL SELECT * FROM body
         """,
         "sitemap_discovery": """
             -- Sitemap records by construction (see

@@ -42,6 +42,7 @@ from .graph import pagerank
 from .report import corpus_report
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
+from .tables import extract_tables, page_tables
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_sitemaps, robots_allowed, robots_filter,
@@ -88,7 +89,7 @@ __all__ = [
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
-    "page_outlinks",
+    "page_outlinks", "extract_tables", "page_tables",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]
