@@ -118,7 +118,7 @@ def _run_benchmarks() -> None:
                      "forecast_revenue", "priority_line_counts",
                      "promo_revenue_share", "host_stats",
                      "ccnet_buckets", "sitemap_discovery",
-                     "top_users_per_type", "page_link_graph",
+                     "top_users_per_type", "page_link_graph", "html_tables",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:
