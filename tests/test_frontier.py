@@ -49,3 +49,41 @@ def test_frontier_pipeline_end_to_end(ray_session):
     assert list(b["url"]) == ["https://b.test/p?id=7"]
     assert list(b["delay_ms"]) == [1000]
     assert len(out) == 3
+
+
+def test_frontier_job_entrypoint(ray_session, tmp_path):
+    """tools/frontier_job.py end to end on an existing Ray session."""
+    import json
+    import sys
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    import io
+    from contextlib import redirect_stdout
+
+    import frontier_job
+
+    sm = tmp_path / "sitemaps.parquet"
+    rb = tmp_path / "robots.parquet"
+    out = tmp_path / "frontier"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "sitemap_xml": pa.array([
+            make_sitemap_xml([{"loc": "https://j.test/a"},
+                              {"loc": "https://j.test/b"}]),
+            make_sitemap_xml([{"loc": "https://k.test/x"}]),
+        ], pa.string()),
+    }), sm)
+    pq.write_table(pa.table({
+        "host": pa.array(["j.test"], pa.string()),
+        "robots_txt": pa.array(["User-agent: *\nCrawl-delay: 2"],
+                               pa.string()),
+    }), rb)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = frontier_job.main(["--sitemaps", str(sm),
+                                "--robots", str(rb),
+                                "--output", str(out)])
+    assert rc == 0
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["slots"] == 3 and rec["hosts"] == 2
