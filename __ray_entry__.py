@@ -1342,6 +1342,24 @@ def _q_top_users_per_type(sf_dir: str):
     return top_users_per_type(ev, k=5)
 
 
+def _q_weighted_order_sample(sf_dir: str):
+    """Weighted sampling over a join (EDBT 2023 problem shape,
+    functions/relational.weighted_order_sample): orders drawn
+    ∝ joined revenue without materializing the join — combiners →
+    one integer-key join → partition-local A-ES top-k → tiny merge.
+    Value oracle: the exact integer revenue sums + the md5-uniform
+    ln-key arithmetic already proven for weighted_sample."""
+    import ray.data
+    from readability_ray.functions import weighted_order_sample
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return weighted_order_sample(ords, li, k=50)
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape over lineitem — zero-shuffle filter→sum in exact
     c4 fixed point (integer basis-point discount band)."""
@@ -2001,6 +2019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_discovery": _q_sitemap_discovery,
         "top_users_per_type": _q_top_users_per_type,
         "html_tables": _q_html_tables,
+        "weighted_order_sample": _q_weighted_order_sample,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3774,6 +3793,32 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "weighted_order_sample": r"""
+            -- A-ES over joined revenue: exact c4 sums per order,
+            -- key = ln(md5-uniform)/revenue floor-6 BEFORE the top-k
+            WITH rev AS (
+                SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                       sum(round(l.l_extendedprice * 100)::BIGINT *
+                           (100 - round(l.l_discount * 100)::BIGINT)
+                       )::BIGINT AS revenue_c4
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                GROUP BY l.l_orderkey, o.o_orderdate
+            ), keyed AS (
+                SELECT o_orderkey, o_orderdate, revenue_c4,
+                       floor(ln(CASE WHEN x = 0 THEN pow(2.0, -64)
+                                     ELSE x::DOUBLE /
+                                          18446744073709551616.0 END)
+                             / revenue_c4 * 1e6) / 1e6 AS sample_key
+                FROM (SELECT o_orderkey, o_orderdate, revenue_c4,
+                             ('0x' || substr(md5(o_orderkey::VARCHAR),
+                                             1, 16))::UBIGINT AS x
+                      FROM rev WHERE revenue_c4 > 0)
+            )
+            SELECT o_orderkey, o_orderdate, revenue_c4, sample_key
+            FROM keyed ORDER BY sample_key DESC, o_orderkey ASC
+            LIMIT 50
         """,
         "html_tables": """
             -- the constructible table family's cells built directly

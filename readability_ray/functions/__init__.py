@@ -53,6 +53,7 @@ from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     forecast_revenue, pricing_summary, priority_line_counts,
     promo_revenue_share, region_nation_revenue, segment_top_orders,
+    weighted_order_sample,
 )
 from .headlinks import extract_head_links, head_links
 
@@ -76,6 +77,7 @@ __all__ = [
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
+    "weighted_order_sample",
     "extract_head_links", "head_links",
     "stratified_sample", "weighted_sample_k",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",

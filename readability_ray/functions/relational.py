@@ -523,3 +523,92 @@ def promo_revenue_share(lineitem: ray.data.Dataset,
                      fn_kwargs={"ref": lut_ref}) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def weighted_order_sample(orders: ray.data.Dataset,
+                          lineitem: ray.data.Dataset, *,
+                          k: int = 50,
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """Weighted sampling over a JOIN (the EDBT 2023 'Streaming
+    Weighted Sampling over Join Queries' problem shape): draw
+    min(k, N) orders without replacement with inclusion probability
+    proportional to their JOINED revenue Σ extendedprice×(100−disc) —
+    without ever materializing the full join result on the driver.
+
+    Shape: per-batch (orderkey, revenue) combiners → ONE integer-key
+    hash join against the orders projection (the join co-locates each
+    order, so per-partition revenue sums are exact finals) → the
+    A-ES key ln(md5-uniform)/weight computed partition-locally
+    (corpus.weighted_sample_k's reproducible draw, Efraimidis &
+    Spirakis 2006) → per-partition top-k → one tiny candidate merge.
+    Keys floor-6 BEFORE selection, ties orderkey asc — the chosen set
+    is bit-reproducible in SQL.  Output: (o_orderkey, o_orderdate,
+    revenue_c4, sample_key) ordered by (sample_key desc, key asc).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .corpus import _aes_key
+    ensure_hash_shuffle(orders)
+    kparts = n_partitions or default_partitions()
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"])
+        disc_bp = np.rint(batch["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        frame = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(),
+            "revenue_c4": price_c * (100 - disc_bp),
+        })
+        return arrow_out(frame.groupby("l_orderkey", as_index=False,
+                                       sort=False).sum())
+
+    line = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_extendedprice",
+                                 "l_discount"])) \
+        .map_batches(line_partials, batch_format="pandas")
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_orderdate"]))
+
+    joined = line.join(ords, "inner", num_partitions=kparts,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_topk(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "revenue_c4": pd.Series([], dtype="int64"),
+            "sample_key": pd.Series([], dtype="float64")})
+        if len(batch) == 0 or "l_orderkey" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby(["l_orderkey", "o_orderdate"],
+                          as_index=False, sort=False)["revenue_c4"] \
+            .sum()
+        g = g[g["revenue_c4"] > 0]
+        if len(g) == 0:
+            return arrow_out(empty)
+        keys = [np.floor(_aes_key(int(okey), float(rev)) * 1e6) / 1e6
+                for okey, rev in zip(g["l_orderkey"], g["revenue_c4"])]
+        out = pd.DataFrame({
+            "o_orderkey": g["l_orderkey"].to_numpy(),
+            "o_orderdate": g["o_orderdate"].to_numpy(),
+            "revenue_c4": g["revenue_c4"].to_numpy(),
+            "sample_key": keys})
+        out = out.sort_values(["sample_key", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return arrow_out(out.reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_orderkey" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "revenue_c4": pd.Series([], dtype="int64"),
+                "sample_key": pd.Series([], dtype="float64")}))
+        out = batch.sort_values(["sample_key", "o_orderkey"],
+                                ascending=[False, True]).head(k)
+        return arrow_out(out.reset_index(drop=True))
+
+    return joined.map_batches(local_topk, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

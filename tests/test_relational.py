@@ -192,3 +192,32 @@ def test_promo_revenue_share_q14(ray_session):
     assert df["total_revenue_c4"].iloc[0] == total
     assert df["promo_pct"].iloc[0] == np.floor(
         100.0 * promo / total * 1e6) / 1e6
+
+
+def test_weighted_order_sample_join_weights(ray_session):
+    import ray
+    from readability_ray.functions import weighted_order_sample
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": pd.to_datetime(
+            ["1996-01-01", "1996-01-02", "1996-01-03"]),
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],
+        "l_extendedprice": [100.0, 50.0, 200.0, 10.0],
+        "l_discount": [0.0, 0.10, 0.05, 0.0],
+    })
+    out = weighted_order_sample(_ds(ray, orders), _ds(ray, li), k=2,
+                                n_partitions=2).to_pandas()
+    assert len(out) == 2
+    # keys descend; revenue exact c4
+    assert list(out["sample_key"]) == sorted(out["sample_key"],
+                                             reverse=True)
+    rev = dict(zip(out["o_orderkey"], out["revenue_c4"]))
+    expected = {1: 10000 * 100 + 5000 * 90, 2: 20000 * 95, 3: 1000 * 100}
+    for okey, r in rev.items():
+        assert r == expected[okey]
+    # deterministic: same draw twice
+    out2 = weighted_order_sample(_ds(ray, orders), _ds(ray, li), k=2,
+                                 n_partitions=3).to_pandas()
+    assert list(out["o_orderkey"]) == list(out2["o_orderkey"])
