@@ -1342,6 +1342,50 @@ def _q_top_users_per_type(sf_dir: str):
     return top_users_per_type(ev, k=5)
 
 
+def _q_feed_autodiscovery(sf_dir: str):
+    """Feed autodiscovery through the REAL parser
+    (functions/headlinks.feed_autodiscovery): the <link
+    rel="alternate" type="application/rss+xml"> convention on a
+    constructible head family — an RSS link always (duplicated on
+    %5==2, dedup pinned), an Atom link on odd docs, a decoy
+    stylesheet link, a no-head lane (%11==5).  Every (kind, href,
+    title, pos) row re-derives in SQL by construction."""
+    import pyarrow as pa
+    from readability_ray.functions import feed_autodiscovery
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = []
+        for i in ids:
+            if i % 11 == 5:
+                htmls.append(f"<html><body><p>bare {i}</p></body></html>")
+                continue
+            parts = ["<html><head>",
+                     '<link rel="stylesheet" href="/css/main.css">',
+                     f'<link rel="alternate" type="application/rss+xml"'
+                     f' href="https://f{i % 20}.test/rss-{i}.xml"'
+                     f' title="Feed {i % 7}">']
+            if i % 5 == 2:
+                parts.append(
+                    f'<link rel="alternate" '
+                    f'type="application/rss+xml" '
+                    f'href="https://f{i % 20}.test/rss-{i}.xml">')
+            if i % 2 == 1:
+                parts.append(
+                    f'<link rel="alternate" '
+                    f'type="application/atom+xml" '
+                    f'href="https://f{i % 20}.test/atom-{i}.xml">')
+            parts.append(f"</head><body>doc {i}</body></html>")
+            htmls.append("".join(parts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return feed_autodiscovery(ds)
+
+
 def _q_weighted_order_sample(sf_dir: str):
     """Weighted sampling over a join (EDBT 2023 problem shape,
     functions/relational.weighted_order_sample): orders drawn
@@ -2020,6 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": _q_top_users_per_type,
         "html_tables": _q_html_tables,
         "weighted_order_sample": _q_weighted_order_sample,
+        "feed_autodiscovery": _q_feed_autodiscovery,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3793,6 +3838,30 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "feed_autodiscovery": """
+            -- the constructible autodiscovery family built directly
+            -- (see _q_feed_autodiscovery): rss at pos 0 (duplicate on
+            -- %5==2 deduped away), atom at pos 1 on odd docs
+            WITH d AS (
+                SELECT doc_id, doc_id % 20 AS k FROM documents
+                WHERE doc_id % 11 <> 5
+            ), rss AS (
+                SELECT doc_id, 'rss' AS kind,
+                       'https://f' || k || '.test/rss-' || doc_id
+                       || '.xml' AS href,
+                       'Feed ' || (doc_id % 7) AS title,
+                       0::BIGINT AS pos
+                FROM d
+            ), atom AS (
+                SELECT doc_id, 'atom' AS kind,
+                       'https://f' || k || '.test/atom-' || doc_id
+                       || '.xml' AS href,
+                       '' AS title, 1::BIGINT AS pos
+                FROM d WHERE doc_id % 2 = 1
+            )
+            SELECT * FROM rss
+            UNION ALL SELECT * FROM atom
         """,
         "weighted_order_sample": r"""
             -- A-ES over joined revenue: exact c4 sums per order,

@@ -119,7 +119,7 @@ def _run_benchmarks() -> None:
                      "promo_revenue_share", "host_stats",
                      "ccnet_buckets", "sitemap_discovery",
                      "top_users_per_type", "page_link_graph", "html_tables",
-                     "weighted_order_sample",
+                     "weighted_order_sample", "feed_autodiscovery",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

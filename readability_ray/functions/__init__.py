@@ -55,7 +55,8 @@ from .relational import (
     promo_revenue_share, region_nation_revenue, segment_top_orders,
     weighted_order_sample,
 )
-from .headlinks import extract_head_links, head_links
+from .headlinks import (extract_feed_links, extract_head_links,
+                        feed_autodiscovery, head_links)
 
 __all__ = [
     "corpus_clean", "doc_lang_stats", "events_sessionize", "lang_id",
@@ -79,6 +80,7 @@ __all__ = [
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
     "weighted_order_sample",
     "extract_head_links", "head_links",
+    "extract_feed_links", "feed_autodiscovery",
     "stratified_sample", "weighted_sample_k",
     "pack_sequences", "shard_shuffle", "tfidf_top_terms",
     "chunk_documents", "line_dedup", "substring_dedup",

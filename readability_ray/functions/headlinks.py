@@ -107,3 +107,63 @@ def head_links(ds, *, html_col: str = "html",
 
     return strip_schema_metadata(ds.select_columns([id_col, html_col])) \
         .map_batches(run, batch_format="pyarrow")
+
+
+_FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+def extract_feed_links(html: str) -> list[dict]:
+    """Feed autodiscovery (the RSS/Atom convention: ``<link
+    rel="alternate" type="application/rss+xml" href=...>`` in head):
+    one document → [(kind, href, title, pos)] in document order,
+    first-occurrence de-duplicated by href.  The discovery edge that
+    feeds sources/feed.py's ingester."""
+    doc = parse_html(html or "")
+    out: list[dict] = []
+    seen: set[str] = set()
+    for el in get_elements_by_tag_name(doc.document_element, "link"):
+        if "alternate" not in _rel_tokens(el.attrs.get("rel")):
+            continue
+        kind = _FEED_TYPES.get(
+            (el.attrs.get("type") or "").strip().lower())
+        href = (el.attrs.get("href") or "").strip()
+        if kind is None or not href or href in seen:
+            continue
+        seen.add(href)
+        out.append({"kind": kind, "href": href,
+                    "title": (el.attrs.get("title") or "").strip(),
+                    "pos": len(out)})
+    return out
+
+
+def feed_autodiscovery(ds, *, html_col: str = "html",
+                       id_col: str = "doc_id"):
+    """Explode per-page feed links: ONE stateless map, zero shuffle.
+    Output: (id_col, kind, href, title, pos)."""
+    from .util import strip_schema_metadata
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids_out, kinds, hrefs, titles, poss = [], [], [], [], []
+        for i, h in zip(batch.column(id_col).to_pylist(),
+                        batch.column(html_col).to_pylist()):
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", errors="replace")
+            for r in extract_feed_links(h):
+                ids_out.append(i)
+                kinds.append(r["kind"])
+                hrefs.append(r["href"])
+                titles.append(r["title"])
+                poss.append(r["pos"])
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "kind": pa.array(kinds, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "pos": pa.array(poss, pa.int64()),
+        })
+
+    return strip_schema_metadata(ds.select_columns([id_col, html_col])) \
+        .map_batches(run, batch_format="pyarrow")

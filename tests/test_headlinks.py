@@ -88,3 +88,35 @@ def test_extract_head_links_never_raises(html):
     r = extract_head_links(html)
     assert isinstance(r["noindex"], bool)
     assert r["n_hreflang"] >= 0
+
+
+def test_feed_autodiscovery_kinds_dedup_and_decoys():
+    from readability_ray.functions.headlinks import extract_feed_links
+    html = ('<head>'
+            '<link rel="stylesheet" href="/css">'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/feed" title="Blog">'
+            '<link rel="alternate" type="text/html" href="/mobile">'
+            '<link rel="alternate" type="APPLICATION/ATOM+XML" '
+            'href="/atom">'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/feed"></head>')
+    r = extract_feed_links(html)
+    assert r == [
+        {"kind": "rss", "href": "/feed", "title": "Blog", "pos": 0},
+        {"kind": "atom", "href": "/atom", "title": "", "pos": 1}]
+    assert extract_feed_links("<p>none</p>") == []
+
+
+def test_feed_autodiscovery_ray_op(ray_session):
+    import ray.data
+    from readability_ray.functions import feed_autodiscovery
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "html": pa.array([
+            '<head><link rel="alternate" type="application/rss+xml" '
+            'href="https://z.test/f.xml"></head>'], pa.string()),
+    }))
+    out = feed_autodiscovery(ds).to_pandas()
+    assert list(out["href"]) == ["https://z.test/f.xml"]
+    assert list(out["kind"]) == ["rss"]
