@@ -1342,6 +1342,15 @@ def _q_top_users_per_type(sf_dir: str):
     return top_users_per_type(ev, k=5)
 
 
+def _q_compression_ratios(sf_dir: str):
+    """zlib redundancy signal (functions/corpus.compression_ratios):
+    one stateless map.  Rows-only by design — no SQL engine exposes
+    zlib; determinism is pinned by unit tests (fixed level, floor-6
+    ratio)."""
+    from readability_ray.functions import compression_ratios
+    return compression_ratios(_docs(sf_dir))
+
+
 def _q_feed_autodiscovery(sf_dir: str):
     """Feed autodiscovery through the REAL parser
     (functions/headlinks.feed_autodiscovery): the <link
@@ -2090,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_pages": _q_classify_pages,
         "kmeans_clusters": _q_kmeans,
         "page_link_graph": _q_page_link_graph,
+        "compression_ratios": _q_compression_ratios,
     }
 
 

@@ -27,7 +27,8 @@ from .windows import (
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
-    ccnet_buckets, decontaminate, gopher_rules, hash_split,
+    ccnet_buckets, compression_ratios, decontaminate, gopher_rules,
+    hash_split,
     normalize_text, pii_redact, pii_scan, repetition_scores, source_cap,
     source_mixture_weights, stratified_sample, weighted_sample_k,
 )
@@ -93,6 +94,7 @@ __all__ = [
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
+    "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",

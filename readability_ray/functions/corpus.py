@@ -669,3 +669,42 @@ def ccnet_buckets(ds: ray.data.Dataset, *,
         ds.select_columns([id_col, lang_col, text_col])) \
         .map_batches(assign, batch_format="pyarrow",
                      fn_kwargs={"ref": tref})
+
+
+def compression_ratios(ds: ray.data.Dataset, *,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       level: int = 6) -> ray.data.Dataset:
+    """zlib compression ratio per document — the classic cheap
+    redundancy signal crawl-quality filters use beside Gopher rules
+    (boilerplate/template/spam text compresses far below prose; a
+    ratio near 1 flags binary-ish noise).
+
+    ``ratio`` = compressed_len / max(1, utf8_len), floor-6.  zlib at a
+    fixed level is deterministic for a given input across runs and
+    machines (same library), so the column is reproducible, but no
+    SQL engine exposes zlib — the driver check is rows-only and the
+    value surface is pinned by unit tests.  ONE stateless map."""
+    import zlib
+
+    from .util import strip_schema_metadata
+
+    def run(batch: pa.Table) -> pa.Table:
+        ratios, comp_lens, raw_lens = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            raw = (t or "").encode("utf-8")
+            comp = zlib.compress(raw, level)
+            ratios.append(
+                math.floor(len(comp) / max(1, len(raw)) * 1e6) / 1e6)
+            comp_lens.append(len(comp))
+            raw_lens.append(len(raw))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "raw_bytes": pa.array(raw_lens, pa.int64()),
+            "compressed_bytes": pa.array(comp_lens, pa.int64()),
+            "compression_ratio": pa.array(ratios, pa.float64()),
+        })
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, text_col])) \
+        .map_batches(run, batch_format="pyarrow")

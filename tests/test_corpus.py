@@ -32,3 +32,26 @@ def test_ccnet_buckets_per_lang_thresholds(ray_session):
     }))
     out = ccnet_buckets(ds).to_pandas().sort_values("doc_id")
     assert list(out["bucket"]) == ["head", "middle", "tail"] * 2
+
+
+def test_compression_ratios_signal(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import compression_ratios
+    rep = "word " * 400          # highly compressible
+    import os as _os
+    rand = _os.urandom(0)  # placeholder; use hex noise instead
+    noise = "k9x2qv7m" * 1 + "".join(
+        chr(33 + (i * 37) % 90) for i in range(2000))  # high entropy
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([rep, noise, ""], pa.string()),
+    }))
+    out = compression_ratios(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "compression_ratio"] < 0.05
+    assert out.loc[2, "compression_ratio"] > out.loc[1,
+                                                    "compression_ratio"]
+    assert out.loc[3, "raw_bytes"] == 0
+    # deterministic across runs
+    out2 = compression_ratios(ds).to_pandas().set_index("doc_id")
+    assert (out["compression_ratio"] == out2["compression_ratio"]).all()
