@@ -67,17 +67,26 @@ def _run_benchmarks() -> None:
     import tempfile
     n_pages = 0
     extract_sec = None
+    no_write = bool(os.environ.get("GRAFT_NO_WRITE"))
     for attempt in range(2):
         t0 = time.time()
         ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
         out = extract_pipeline(ds, use_actors=False, batch_size=128)
-        sink = tempfile.mkdtemp(prefix="bench_extract_")
-        out.write_parquet(sink)
-        extract_sec = time.time() - t0
-        n_pages = sum(
-            pq.ParquetFile(os.path.join(sink, f)).metadata.num_rows
-            for f in os.listdir(sink))
-        shutil.rmtree(sink, ignore_errors=True)
+        if no_write:
+            # diagnostic: isolate transform scaling from the parquet
+            # sink (GRAFT_NO_WRITE=1) — count() executes the full
+            # transform on the workers without a sink or a
+            # driver-side block fetch
+            n_pages = out.count()
+            extract_sec = time.time() - t0
+        else:
+            sink = tempfile.mkdtemp(prefix="bench_extract_")
+            out.write_parquet(sink)
+            extract_sec = time.time() - t0
+            n_pages = sum(
+                pq.ParquetFile(os.path.join(sink, f)).metadata.num_rows
+                for f in os.listdir(sink))
+            shutil.rmtree(sink, ignore_errors=True)
     queries["extract"] = round(extract_sec, 3)
 
     if os.environ.get("GRAFT_EXTRACT_ONLY"):
