@@ -1342,6 +1342,18 @@ def _q_top_users_per_type(sf_dir: str):
     return top_users_per_type(ev, k=5)
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    """Count-Min Sketch heavy hitters (functions/sketch.py, Cormode &
+    Muthukrishnan 2005): constant-size mergeable d×w matrices
+    tree-reduced in one block (token text never crosses an exchange),
+    exact top-50 annotated with sketch estimates.  md5-derived cell
+    positions mean DuckDB re-derives the ENTIRE sketch — collisions
+    included — so estimates and the never-undercount invariant are
+    value-checked."""
+    from readability_ray.functions import cms_top_token_counts
+    return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
+
+
 def _q_compression_ratios(sf_dir: str):
     """zlib redundancy signal (functions/corpus.compression_ratios):
     one stateless map.  Rows-only by design — no SQL engine exposes
@@ -2074,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": _q_html_tables,
         "weighted_order_sample": _q_weighted_order_sample,
         "feed_autodiscovery": _q_feed_autodiscovery,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3848,6 +3861,42 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "cms_heavy_hitters": f"""
+            -- the whole sketch re-derived: position of token t in row
+            -- i = md5_le64('i:'||t) % 1024; a cell sums EVERY token
+            -- hashing into it (collisions exact); estimate = min over
+            -- the token's 4 cells
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(text,
+                    '[^ \\t\\n\\r\\f\\v]+')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*)::BIGINT AS n
+                FROM tok GROUP BY token
+            ), pos AS (
+                SELECT token, n, i, ({MD5_64_LE_SQL} % 1024) AS p
+                FROM (SELECT token, n, i,
+                             md5(i || ':' || token) AS h
+                      FROM counts CROSS JOIN
+                           (SELECT unnest(generate_series(0, 3)) AS i))
+            ), cells AS (
+                SELECT i, p, sum(n)::BIGINT AS cell
+                FROM pos GROUP BY i, p
+            ), topk AS (
+                SELECT token, n FROM counts
+                ORDER BY n DESC, token ASC LIMIT 50
+            ), est AS (
+                SELECT t.token, t.n AS exact_n,
+                       min(c.cell)::BIGINT AS cms_estimate
+                FROM topk t
+                JOIN pos ON pos.token = t.token
+                JOIN cells c ON c.i = pos.i AND c.p = pos.p
+                GROUP BY t.token, t.n
+            )
+            SELECT token, exact_n, cms_estimate,
+                   (cms_estimate - exact_n)::BIGINT AS overcount
+            FROM est
         """,
         "feed_autodiscovery": """
             -- the constructible autodiscovery family built directly

@@ -1,0 +1,107 @@
+"""Count-Min Sketch heavy-hitter estimation — the streaming-sketch
+operator a 100 TB token census runs when exact per-token counts are
+too wide to exchange (Cormode & Muthukrishnan 2005).
+
+The sketch is a (d × w) int64 counter matrix; token t increments row
+i at column ``md5_64(f"{i}:{t}") % w``; its estimate is the MIN over
+its d cells.  Estimates never undercount (every cell ≥ the true
+count); overcounts come from hash collisions and shrink with w.
+
+Scale shape: the sketch is MERGEABLE BY ADDITION, so each batch emits
+its local d×w matrix as ONE row (a flat list column — 32 KB at the
+default 4×1024, constant in corpus size) and a single-block merge
+sums them: a tree-reduce over constant-size partials, the canonical
+sketch topology.  No keyed exchange anywhere; the token text never
+leaves the map tasks.
+
+Oracle: md5-derived positions make every cell — collisions included —
+re-derivable in DuckDB HUGEINT SQL (the bloom_novelty technique), so
+``cms_top_token_counts`` is value-checked end-to-end: exact counts,
+sketch estimates, and the estimate ≥ exact overcount invariant.
+
+No reference counterpart (corpus-level operator).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .util import arrow_out, strip_schema_metadata
+
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _positions(token: str, d: int, w: int) -> list[int]:
+    return [struct.unpack(
+        "<Q", hashlib.md5(f"{i}:{token}".encode()).digest()[:8])[0] % w
+        for i in range(d)]
+
+
+def cms_sketch(ds: ray.data.Dataset, *, d: int = 4, w: int = 1024,
+               text_col: str = "text") -> np.ndarray:
+    """Build the corpus token sketch: per-batch local matrices merged
+    in one single-block sum.  Returns the (d, w) int64 matrix to the
+    caller (constant-size — the one thing a sketch job SHOULD bring
+    to the driver)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = np.zeros((d, w), dtype=np.int64)
+        for t in batch.column(text_col).to_pylist():
+            for tok in _TOKEN_RE.findall(t or ""):
+                for i, p in enumerate(_positions(tok, d, w)):
+                    m[i, p] += 1
+        return pa.table({"cells": pa.array([m.reshape(-1)],
+                                           pa.list_(pa.int64()))})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        total = np.zeros(d * w, dtype=np.int64)
+        for cells in batch["cells"]:
+            total += np.asarray(cells, dtype=np.int64)
+        return arrow_out(pd.DataFrame({"cells": [total.tolist()]}))
+
+    out = strip_schema_metadata(ds.select_columns([text_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None) \
+        .take_all()
+    return np.asarray(out[0]["cells"], dtype=np.int64).reshape(d, w)
+
+
+def cms_top_token_counts(ds: ray.data.Dataset, *, k: int = 50,
+                         d: int = 4, w: int = 1024,
+                         text_col: str = "text") -> ray.data.Dataset:
+    """Exact top-k tokens (count desc, token asc) annotated with their
+    sketch estimates: (token, exact_n, cms_estimate, overcount).
+
+    The exact side reuses the proven two-level top-k; the sketch side
+    is the constant-size tree-reduce above.  ``cms_estimate ≥
+    exact_n`` always (CMS never undercounts); both sides re-derive in
+    SQL.  Returned as a Dataset for the driver gate."""
+    import ray
+
+    from .textstats import token_frequency_topk
+
+    sketch = cms_sketch(ds, d=d, w=w, text_col=text_col)
+    exact = token_frequency_topk(ds, k=k).to_pandas()
+    # token_frequency_topk output: (token, n) ordered
+    tok_col = "token" if "token" in exact.columns else exact.columns[0]
+    n_col = "n" if "n" in exact.columns else exact.columns[1]
+    tokens = exact[tok_col].tolist()
+    est = [int(min(sketch[i, p] for i, p in
+                   enumerate(_positions(t, d, w)))) for t in tokens]
+    out = pa.table({
+        "token": pa.array(tokens, pa.string()),
+        "exact_n": pa.array([int(x) for x in exact[n_col]], pa.int64()),
+        "cms_estimate": pa.array(est, pa.int64()),
+        "overcount": pa.array(
+            [int(e - int(x)) for e, x in zip(est, exact[n_col])],
+            pa.int64()),
+    })
+    return ray.data.from_arrow(out)
