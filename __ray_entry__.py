@@ -1354,6 +1354,17 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-token cardinality (functions/sketch.py,
+    Flajolet 2007): 64 max-mergeable registers, one constant-size row
+    per batch, single-block max-merge; exact distinct beside the
+    estimate.  DuckDB re-derives every register (md5-LE index +
+    shift-comparison bit_length) and the identical IEEE estimate
+    expression, floor-6."""
+    from readability_ray.functions import hll_distinct_tokens
+    return hll_distinct_tokens(_docs(sf_dir))
+
+
 def _q_compression_ratios(sf_dir: str):
     """zlib redundancy signal (functions/corpus.compression_ratios):
     one stateless map.  Rows-only by design — no SQL engine exposes
@@ -2087,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_order_sample": _q_weighted_order_sample,
         "feed_autodiscovery": _q_feed_autodiscovery,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct_tokens": _q_hll_distinct,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3861,6 +3873,53 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "hll_distinct_tokens": f"""
+            -- every register re-derived: idx = md5_le64(t) % 64,
+            -- w = h // 64, rho = 58 - bit_length(w) + 1 (bit_length
+            -- via exact shift comparisons); estimate = the operator's
+            -- identical IEEE expression, floor-6
+            WITH tok AS (
+                SELECT DISTINCT unnest(regexp_extract_all(text,
+                    '[^ \\t\\n\\r\\f\\v]+')) AS token
+                FROM documents
+            ), th AS (
+                SELECT token, {MD5_64_LE_SQL} AS h
+                FROM (SELECT token, md5(token) AS h FROM tok)
+            ), tw AS (
+                SELECT token, (h % 64)::BIGINT AS idx,
+                       (h // 64)::UBIGINT AS w
+                FROM th
+            ), bl AS (
+                SELECT token, idx,
+                       coalesce(max(CASE WHEN (w >> i) > 0
+                                    THEN i + 1 END), 0) AS bitlen
+                FROM tw CROSS JOIN
+                     (SELECT unnest(generate_series(0, 57)) AS i)
+                GROUP BY token, idx
+            ), reg AS (
+                SELECT r.idx,
+                       coalesce(max(58 - b.bitlen + 1), 0) AS v
+                FROM (SELECT unnest(generate_series(0, 63)) AS idx) r
+                LEFT JOIN bl b ON b.idx = r.idx
+                GROUP BY r.idx
+            ), raw AS (
+                SELECT (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 /
+                           sum(pow(2.0, -v)) AS est,
+                       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS zeros
+                FROM reg
+            ), fixed AS (
+                SELECT CASE WHEN est <= 2.5 * 64 AND zeros > 0
+                            THEN 64 * ln(64.0 / zeros)
+                            ELSE est END AS est
+                FROM raw
+            )
+            SELECT (SELECT count(*)::BIGINT FROM tok)
+                       AS exact_distinct,
+                   (floor(est * 1e6) / 1e6)::DOUBLE AS hll_estimate,
+                   64::BIGINT AS n_registers
+            FROM fixed
         """,
         "cms_heavy_hitters": f"""
             -- the whole sketch re-derived: position of token t in row

@@ -129,7 +129,7 @@ def _run_benchmarks() -> None:
                      "ccnet_buckets", "sitemap_discovery",
                      "top_users_per_type", "page_link_graph", "html_tables",
                      "weighted_order_sample", "feed_autodiscovery",
-                     "cms_heavy_hitters",
+                     "cms_heavy_hitters", "hll_distinct_tokens",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

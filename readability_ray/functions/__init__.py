@@ -44,7 +44,7 @@ from .report import corpus_report
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
 from .tables import extract_tables, page_tables
-from .sketch import cms_sketch, cms_top_token_counts
+from .sketch import cms_sketch, cms_top_token_counts, hll_distinct_tokens
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_sitemaps, robots_allowed, robots_filter,
@@ -97,7 +97,7 @@ __all__ = [
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",
-    "cms_sketch", "cms_top_token_counts",
+    "cms_sketch", "cms_top_token_counts", "hll_distinct_tokens",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

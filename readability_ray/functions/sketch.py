@@ -105,3 +105,99 @@ def cms_top_token_counts(ds: ray.data.Dataset, *, k: int = 50,
             pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+_HLL_M = 64           # registers (modulo-indexed so SQL mirrors it)
+_HLL_WBITS = 58       # remaining hash bits after the index divide
+# alpha_64 per Flajolet 2007: 0.7213 / (1 + 1.079/m)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_register_updates(token: str) -> tuple[int, int]:
+    h = struct.unpack("<Q",
+                      hashlib.md5(token.encode()).digest()[:8])[0]
+    idx = h % _HLL_M
+    w = h // _HLL_M  # 58 significant bits
+    rho = _HLL_WBITS - w.bit_length() + 1  # w==0 → 59
+    return idx, rho
+
+
+def hll_distinct_tokens(ds: ray.data.Dataset, *,
+                        text_col: str = "text") -> ray.data.Dataset:
+    """HyperLogLog distinct-token estimate beside the exact count
+    (Flajolet et al. 2007) — the cardinality sketch a 100 TB vocab
+    census uses when count(distinct) is too wide.
+
+    Registers are MERGEABLE BY MAX: each batch emits its 64-register
+    vector as ONE constant-size row; a single-block max-merge closes
+    the sketch (same topology as the CMS above — no keyed exchange,
+    token text never moves).  Integer register arithmetic (md5-LE
+    index + exact bit_length rho) re-derives in DuckDB; the float
+    estimate (raw harmonic formula + the small-range linear-counting
+    branch) is the same IEEE expression both sides, floor-6.
+
+    Output: one row (exact_distinct, hll_estimate, n_registers).
+    """
+    import math
+
+    def partials(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        toks = set()
+        for t in batch.column(text_col).to_pylist():
+            toks.update(_TOKEN_RE.findall(t or ""))
+        for tok in toks:
+            idx, rho = _hll_register_updates(tok)
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return pa.table({"regs": pa.array([regs.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        total = np.zeros(_HLL_M, dtype=np.int64)
+        for r in batch["regs"]:
+            total = np.maximum(total, np.asarray(r, dtype=np.int64))
+        return arrow_out(pd.DataFrame({"regs": [total.tolist()]}))
+
+    rows = strip_schema_metadata(ds.select_columns([text_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None) \
+        .take_all()
+    regs = np.asarray(rows[0]["regs"], dtype=np.int64)
+
+    est = _HLL_ALPHA * _HLL_M * _HLL_M / float(
+        sum(2.0 ** -int(r) for r in regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _HLL_M and zeros > 0:
+        est = _HLL_M * math.log(_HLL_M / zeros)
+    est6 = math.floor(est * 1e6) / 1e6
+
+    # exact side: distinct tokens via the vocab-keyed partial shape
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        toks = set()
+        for t in batch.column(text_col).to_pylist():
+            toks.update(_TOKEN_RE.findall(t or ""))
+        return pa.table({"token": pa.array(sorted(toks), pa.string())})
+
+    def count_distinct(batch: pd.DataFrame) -> pa.Table:
+        n = batch["token"].nunique() if len(batch) else 0
+        return arrow_out(pd.DataFrame({"n": [int(n)]}))
+
+    import ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = default_partitions()
+    parts = strip_schema_metadata(ds.select_columns([text_col])) \
+        .map_batches(tok_partials, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["token"]) \
+        .map_batches(count_distinct, batch_format="pandas",
+                     batch_size=None) \
+        .take_all()
+    exact = sum(r["n"] for r in parts)
+
+    return ray.data.from_arrow(pa.table({
+        "exact_distinct": pa.array([exact], pa.int64()),
+        "hll_estimate": pa.array([est6], pa.float64()),
+        "n_registers": pa.array([_HLL_M], pa.int64()),
+    }))

@@ -38,3 +38,26 @@ def test_cms_sketch_merge_equals_single_pass(ray_session):
             for i, p in enumerate(_positions(tok, 3, 32)):
                 ref[i, p] += 1
     assert (m == ref).all()
+
+
+def test_hll_estimate_reasonable_and_deterministic(ray_session):
+    import ray
+    from readability_ray.functions import hll_distinct_tokens
+    texts = [f"w{i} w{i+1} common" for i in range(0, 400, 2)]
+    r1 = hll_distinct_tokens(_docs(ray, texts)).to_pandas()
+    exact = int(r1["exact_distinct"].iloc[0])
+    est = float(r1["hll_estimate"].iloc[0])
+    assert exact == 401  # w0..w399 (odd+even overlap) + 'common'
+    # m=64 → ~13% std error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.4
+    r2 = hll_distinct_tokens(_docs(ray, texts)).to_pandas()
+    assert float(r2["hll_estimate"].iloc[0]) == est
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import ray
+    from readability_ray.functions import hll_distinct_tokens
+    out = hll_distinct_tokens(_docs(ray, ["a b c", "b c d"])).to_pandas()
+    assert int(out["exact_distinct"].iloc[0]) == 4
+    est = float(out["hll_estimate"].iloc[0])
+    assert 1 <= est <= 20  # linear-counting branch, tiny cardinality
