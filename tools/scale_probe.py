@@ -47,8 +47,12 @@ head-link extraction through the real parser, fetch scheduling
 (1000-host delay broadcast), the composed crawl-frontier pipeline,
 and the Q6/Q12/Q14 shapes over 10x-replicated lineitem (6M rows).
 
+Round-4 third-session additions (run alone with --s8): CMS heavy
+hitters + HLL distinct (constant-size sketch reduces), HTML table
+explode (700k cells), weighted join sampling over 6M lines.
+
 Usage: python tools/scale_probe.py [num_cpus]
-       [--new-only|--s4|--s5|--s6|--s7]
+       [--new-only|--s4|--s5|--s6|--s7|--s8]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -479,6 +483,53 @@ def main() -> None:
         timed("q14_6m", lambda: promo_revenue_share(
             ray.data.read_parquet(li10),
             ray.data.read_parquet(os.path.join(sf, "part.parquet"))))
+
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s8" in sys.argv:
+        # round-4 third-session ops at the 50k-doc / 6M-line scale
+        from readability_ray.functions import (cms_top_token_counts,
+                                               hll_distinct_tokens,
+                                               weighted_order_sample)
+        from readability_ray.functions.tables import page_tables
+
+        timed("cms_heavy_hitters_50k", lambda: cms_top_token_counts(
+            ray.data.read_parquet(docs10), k=50))
+        timed("hll_distinct_50k", lambda: hll_distinct_tokens(
+            ray.data.read_parquet(docs10)))
+
+        def tables():
+            def synth_html(batch):
+                ids = batch.column("doc_id").to_pylist()
+                htmls = []
+                for i in ids:
+                    rows = ["<tr><th>k</th><th>v</th></tr>"] + [
+                        f"<tr><td>r{r}</td><td>{(i + r) % 97}</td></tr>"
+                        for r in range(6)]
+                    htmls.append("<table>" + "".join(rows) + "</table>")
+                return pa.table({
+                    "url": pa.array([f"https://t.test/{i}"
+                                     for i in ids], pa.string()),
+                    "html": pa.array(htmls, pa.string()),
+                })
+
+            return page_tables(
+                ray.data.read_parquet(docs10)
+                .map_batches(synth_html, batch_format="pyarrow"))
+
+        timed("html_tables_50k_700k_cells", tables)
+
+        li10 = os.path.join(tmp, "lineitem10b.parquet")
+        replicate(os.path.join(sf, "lineitem.parquet"), li10, 10, None)
+        timed("weighted_order_sample_6m", lambda: weighted_order_sample(
+            ray.data.read_parquet(
+                os.path.join(sf, "orders.parquet")),
+            ray.data.read_parquet(li10), k=50))
 
         results["n_docs"] = n_docs
         print(json.dumps(results))
