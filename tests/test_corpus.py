@@ -39,9 +39,7 @@ def test_compression_ratios_signal(ray_session):
     import ray.data
     from readability_ray.functions import compression_ratios
     rep = "word " * 400          # highly compressible
-    import os as _os
-    rand = _os.urandom(0)  # placeholder; use hex noise instead
-    noise = "k9x2qv7m" * 1 + "".join(
+    noise = "".join(
         chr(33 + (i * 37) % 90) for i in range(2000))  # high entropy
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
