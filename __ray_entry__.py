@@ -1354,6 +1354,19 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP shape (functions/textstats.
+    events_hourly_rollup): all three grouping sets from one
+    single-block merge of bounded-key partials — NULL margin rows
+    exactly as SQL ROLLUP emits them."""
+    import ray.data
+    from readability_ray.functions import events_hourly_rollup
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+    return events_hourly_rollup(ev)
+
+
 def _q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct-token cardinality (functions/sketch.py,
     Flajolet 2007): 64 max-mergeable registers, one constant-size row
@@ -2099,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_autodiscovery": _q_feed_autodiscovery,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct_tokens": _q_hll_distinct,
+        "events_hourly_rollup": _q_events_rollup,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3873,6 +3887,15 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "events_hourly_rollup": """
+            SELECT event_type,
+                   CASE WHEN grouping(h) = 0 THEN h END AS hour,
+                   count(*)::BIGINT AS n_events
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 3600000000 AS h
+                  FROM events)
+            GROUP BY ROLLUP(event_type, h)
         """,
         "hll_distinct_tokens": f"""
             -- every register re-derived: idx = md5_le64(t) % 64,

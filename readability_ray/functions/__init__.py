@@ -11,7 +11,7 @@ from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
-    top_users_per_type,
+    top_users_per_type, events_hourly_rollup,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
@@ -93,7 +93,7 @@ __all__ = [
     "corpus_report", "crawl_diff",
     "parse_robots", "robots_allowed", "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
-    "sitemap_discovery", "top_users_per_type",
+    "sitemap_discovery", "top_users_per_type", "events_hourly_rollup",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -686,3 +686,63 @@ def top_users_per_type(events: ray.data.Dataset, k: int = 5, *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def events_hourly_rollup(events: ray.data.Dataset
+                         ) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(event_type, hour): the grouping-sets shape —
+    per-(type, hour) counts plus per-type margins plus the grand
+    total, NULL-keyed margins exactly as SQL ROLLUP emits them.
+
+    Bounded-cardinality key (|types|×|hours|), so this is the
+    pricing_summary rule: per-batch partials collapse each block to
+    ≤ groups rows, ONE single-block merge computes all three grouping
+    sets — no keyed shuffle at any corpus size.  Output:
+    (event_type, hour, n_events) with NULLs marking margin rows.
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        frame = pd.DataFrame({"event_type": batch["event_type"],
+                              "hour": hours})
+        g = frame.groupby(["event_type", "hour"], as_index=False,
+                          sort=False).size() \
+            .rename(columns={"size": "n"})
+        return arrow_out(g)
+
+    def rollup(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        g = batch.groupby(["event_type", "hour"], as_index=False,
+                          sort=False)["n"].sum()
+        by_type = g.groupby("event_type", as_index=False,
+                            sort=False)["n"].sum()
+        rows_t, rows_h, rows_n = [], [], []
+        for r in g.itertuples(index=False):
+            rows_t.append(r.event_type)
+            rows_h.append(int(r.hour))
+            rows_n.append(int(r.n))
+        for r in by_type.itertuples(index=False):
+            rows_t.append(r.event_type)
+            rows_h.append(None)
+            rows_n.append(int(r.n))
+        rows_t.append(None)
+        rows_h.append(None)
+        rows_n.append(int(g["n"].sum()))
+        return pa.table({
+            "event_type": pa.array(rows_t, pa.string()),
+            "hour": pa.array(rows_h, pa.int64()),
+            "n_events": pa.array(rows_n, pa.int64())})
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "ts"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(rollup, batch_format="pandas", batch_size=None)

@@ -18,3 +18,27 @@ def test_top_users_per_type_rank_and_ties(ray_session):
     # 9 has 2 events, then tie 3/4... for b: user 9 n=2, user 8 n=1
     assert list(b["user_id"]) == [9, 8]
     assert list(b["rank"]) == [1, 2]
+
+
+def test_events_hourly_rollup_margins(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_hourly_rollup
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                         "2024-01-01 01:10", "2024-01-01 00:20"])
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["c", "c", "c", "v"], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    out = events_hourly_rollup(ds).to_pandas()
+    # detail rows
+    detail = out[out["hour"].notna() & out["event_type"].notna()]
+    assert len(detail) == 3
+    # per-type margins
+    marg = out[out["hour"].isna() & out["event_type"].notna()] \
+        .set_index("event_type")["n_events"]
+    assert marg["c"] == 3 and marg["v"] == 1
+    # grand total
+    total = out[out["event_type"].isna()]
+    assert len(total) == 1 and total["n_events"].iloc[0] == 4
