@@ -1354,6 +1354,29 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
 
 
+def _q_host_split(sf_dir: str):
+    """Leakage-safe host-keyed split (functions/corpus.host_split):
+    every page of a host lands in one train/val/test set — the
+    evaluation-grade web split (doc-id splits leak same-site
+    near-duplicates across sets).  Constructible host family
+    (w{doc_id%30}.test) so the md5 bucket arithmetic re-derives in
+    SQL exactly like hash_split's."""
+    import pyarrow as pa
+    from readability_ray.functions import host_split
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(
+                [f"https://w{i % 30}.test/p/{i}" for i in ids],
+                pa.string()),
+        })
+
+    return host_split(
+        _docs(sf_dir).map_batches(synth, batch_format="pyarrow"))
+
+
 def _q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP shape (functions/textstats.
     events_hourly_rollup): all three grouping sets from one
@@ -2113,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct_tokens": _q_hll_distinct,
         "events_hourly_rollup": _q_events_rollup,
+        "host_split": _q_host_split,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3887,6 +3911,24 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "host_split": """
+            -- hash_split's md5-bucket arithmetic on the constructed
+            -- host (see _q_host_split)
+            WITH d AS (
+                SELECT doc_id,
+                       'w' || (doc_id % 30) || '.test' AS host
+                FROM documents
+            )
+            SELECT doc_id, host,
+                   (('0x' || substr(md5(host), 1, 8))::UBIGINT
+                    % 100)::BIGINT AS bucket,
+                   CASE WHEN ('0x' || substr(md5(host), 1, 8))
+                             ::UBIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5(host), 1, 8))
+                             ::UBIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM d
         """,
         "events_hourly_rollup": """
             SELECT event_type,

@@ -28,7 +28,7 @@ from .windows import (
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
     ccnet_buckets, compression_ratios, decontaminate, gopher_rules,
-    hash_split,
+    hash_split, host_split,
     normalize_text, pii_redact, pii_scan, repetition_scores, source_cap,
     source_mixture_weights, stratified_sample, weighted_sample_k,
 )
@@ -75,7 +75,7 @@ __all__ = [
     "bpe_token_stats",
     "decontaminate", "gopher_rules", "hash_split", "normalize_text",
     "pii_redact",
-    "pii_scan", "repetition_scores", "source_cap",
+    "pii_scan", "repetition_scores", "source_cap", "host_split",
     "source_mixture_weights",
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",

@@ -708,3 +708,42 @@ def compression_ratios(ds: ray.data.Dataset, *,
     return strip_schema_metadata(
         ds.select_columns([id_col, text_col])) \
         .map_batches(run, batch_format="pyarrow")
+
+
+def host_split(ds: ray.data.Dataset, *, train_pct: int = 80,
+               val_pct: int = 10, url_col: str = "url",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Leakage-safe train/val/test assignment by HOST hash — the
+    web-corpus split rule (same-site pages are near-duplicates and
+    template-share; splitting by doc id leaks them across sets, so
+    evaluation-grade splits key on the registrable host).
+
+    Same deterministic md5-bucket arithmetic as ``hash_split`` applied
+    to the lowercased hostname: every page of a host lands in ONE
+    split, stable across runs, partitionings and cluster sizes.  Pure
+    map, zero shuffle.  Output: (id_col, host, bucket, split)."""
+    from urllib.parse import urlsplit
+
+    def run(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for u in batch.column(url_col).to_pylist():
+            try:
+                hosts.append((urlsplit(u or "").hostname or "").lower())
+            except ValueError:
+                hosts.append("")
+        buckets = np.fromiter(
+            (int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % 100
+             for h in hosts), dtype=np.int64, count=len(hosts))
+        split = np.where(buckets < train_pct, "train",
+                         np.where(buckets < train_pct + val_pct,
+                                  "val", "test"))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "host": pa.array(hosts, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, url_col])) \
+        .map_batches(run, batch_format="pyarrow")

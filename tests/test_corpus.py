@@ -53,3 +53,22 @@ def test_compression_ratios_signal(ray_session):
     # deterministic across runs
     out2 = compression_ratios(ds).to_pandas().set_index("doc_id")
     assert (out["compression_ratio"] == out2["compression_ratio"]).all()
+
+
+def test_host_split_cohesion(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import host_split
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "url": pa.array([f"https://h{i % 3}.test/p/{i}"
+                         for i in range(20)], pa.string()),
+    }))
+    out = host_split(ds).to_pandas()
+    # all pages of one host share a split (the leakage guard)
+    assert (out.groupby("host")["split"].nunique() == 1).all()
+    # deterministic across runs and partitionings
+    out2 = host_split(ds.repartition(5)).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    m2 = out2.set_index("doc_id")["split"]
+    assert (m.sort_index() == m2.sort_index()).all()
