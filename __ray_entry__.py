@@ -1354,6 +1354,17 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
 
 
+def _q_minhash_recall(sf_dir: str):
+    """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
+    MinHash-LSH recall vs the exact set-similarity join at the same
+    0.5 threshold, as ONE gated row — pair sets tagged + unioned, one
+    pair-keyed exchange, scalar partials.  The SQL oracle re-derives
+    both sides (the proven exact-jaccard CTE and the HUGEINT minhash
+    signature CTE) and the same floor-6 ratios."""
+    from readability_ray.functions import minhash_recall_stats
+    return minhash_recall_stats(_docs(sf_dir))
+
+
 def _q_host_split(sf_dir: str):
     """Leakage-safe host-keyed split (functions/corpus.host_split):
     every page of a host lands in one train/val/test set — the
@@ -2137,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": _q_hll_distinct,
         "events_hourly_rollup": _q_events_rollup,
         "host_split": _q_host_split,
+        "minhash_recall": _q_minhash_recall,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3911,6 +3923,37 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "minhash_recall": _minhash_cte() + """
+            , counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::DOUBLE AS c
+                FROM grams a
+                JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), ex AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE floor(i.c / (ca.n + cb.n - i.c) * 1000000)
+                      / 1000000 >= 0.5
+            ), mh AS (
+                SELECT e.doc_a, e.doc_b
+                FROM ex e JOIN cand c USING (doc_a, doc_b)
+            ), agg AS (
+                SELECT (SELECT count(*) FROM ex) AS ne,
+                       (SELECT count(*) FROM mh) AS nm
+            )
+            SELECT ne::BIGINT AS n_exact, nm::BIGINT AS n_minhash,
+                   nm::BIGINT AS n_common,
+                   floor(CASE WHEN ne = 0 THEN 1.0
+                              ELSE nm::DOUBLE / ne END * 1000000)
+                       / 1000000 AS recall,
+                   1.0::DOUBLE AS "precision"
+            FROM agg
         """,
         "host_split": """
             -- hash_split's md5-bucket arithmetic on the constructed

@@ -130,7 +130,7 @@ def _run_benchmarks() -> None:
                      "top_users_per_type", "page_link_graph", "html_tables",
                      "weighted_order_sample", "feed_autodiscovery",
                      "cms_heavy_hitters", "hll_distinct_tokens",
-                     "events_hourly_rollup", "host_split",
+                     "events_hourly_rollup", "host_split", "minhash_recall",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

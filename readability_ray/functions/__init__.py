@@ -14,8 +14,9 @@ from .textstats import (
     top_users_per_type, events_hourly_rollup,
 )
 from .dedup import (
-    content_hashes, exact_dedup, minhash_lsh_pairs, near_dup_keepers,
-    ngram_jaccard_pairs, simhash_near_pairs, simhash_signatures,
+    content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
+    near_dup_keepers, ngram_jaccard_pairs, simhash_near_pairs,
+    simhash_signatures,
 )
 from .similarity import (
     embedding_dup_pairs, embedding_quantize, ivf_ann_topk, kmeans_assign,
@@ -66,7 +67,7 @@ __all__ = [
     "quality_scores", "kmeans_assign",
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
-    "near_dup_keepers", "ngram_jaccard_pairs",
+    "near_dup_keepers", "ngram_jaccard_pairs", "minhash_recall_stats",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk", "semdedup_keepers",
     "extract_pdf_text", "make_pdf", "pdf_text",

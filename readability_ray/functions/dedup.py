@@ -785,3 +785,87 @@ def near_dup_keepers(pairs: ray.data.Dataset, *, n_iter: int = 16,
                          "keeper_doc_id": batch.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def minhash_recall_stats(ds: ray.data.Dataset, *,
+                         shingle_k: int = 3,
+                         jaccard_threshold: float = 0.5,
+                         num_perm: int = 64, bands: int = 16,
+                         n_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Dedup-quality metrology: MinHash-LSH recall measured against
+    the exact set-similarity join at the SAME threshold, as a gated
+    value rather than prose — (n_exact, n_minhash, n_common,
+    recall, precision).
+
+    With verify="exact" both operators apply the identical jaccard
+    gate, so minhash pairs ⊆ exact pairs (precision pinned at 1.0
+    whenever any pair exists); recall measures what LSH banding
+    misses.  Scale shape: both pair sets are tagged and UNIONed, ONE
+    (doc_a, doc_b)-keyed exchange co-locates each pair's tags, and
+    per-partition scalar partials merge in a single tiny block —
+    pair sets never centralize.
+    """
+    import math
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    exact = ngram_jaccard_pairs(
+        ds, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        n_partitions=n_partitions) \
+        .select_columns(["doc_a", "doc_b"])
+    mh = minhash_lsh_pairs(
+        ds, num_perm=num_perm, shingle_k=shingle_k, bands=bands,
+        jaccard_threshold=jaccard_threshold, verify="exact",
+        n_partitions=n_partitions) \
+        .select_columns(["doc_a", "doc_b"])
+
+    def tag(which):
+        def run(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "src", pa.array([which] * batch.num_rows, pa.string()))
+        return run
+
+    both = strip_schema_metadata(exact).map_batches(
+        tag("e"), batch_format="pyarrow") \
+        .union(strip_schema_metadata(mh).map_batches(
+            tag("m"), batch_format="pyarrow")) \
+        .repartition(num_blocks=k, keys=["doc_a", "doc_b"])
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "src" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "n_exact": pd.Series([0], dtype="int64"),
+                "n_minhash": pd.Series([0], dtype="int64"),
+                "n_common": pd.Series([0], dtype="int64")}))
+        g = batch.groupby(["doc_a", "doc_b"])["src"] \
+            .agg(lambda s: "".join(sorted(set(s))))
+        n_e = int((g.str.contains("e")).sum())
+        n_m = int((g.str.contains("m")).sum())
+        n_c = int((g == "em").sum())
+        return arrow_out(pd.DataFrame({
+            "n_exact": pd.Series([n_e], dtype="int64"),
+            "n_minhash": pd.Series([n_m], dtype="int64"),
+            "n_common": pd.Series([n_c], dtype="int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        ne = int(batch["n_exact"].sum())
+        nm = int(batch["n_minhash"].sum())
+        nc = int(batch["n_common"].sum())
+        rec = math.floor((nc / ne if ne else 1.0) * 1e6) / 1e6
+        prec = math.floor((nc / nm if nm else 1.0) * 1e6) / 1e6
+        return arrow_out(pd.DataFrame({
+            "n_exact": pd.Series([ne], dtype="int64"),
+            "n_minhash": pd.Series([nm], dtype="int64"),
+            "n_common": pd.Series([nc], dtype="int64"),
+            "recall": pd.Series([rec], dtype="float64"),
+            "precision": pd.Series([prec], dtype="float64")}))
+
+    return both.map_batches(partials, batch_format="pandas",
+                            batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
