@@ -1354,6 +1354,16 @@ def _q_cms_heavy_hitters(sf_dir: str):
     return cms_top_token_counts(_docs(sf_dir), k=50, d=4, w=1024)
 
 
+def _q_ann_recall(sf_dir: str):
+    """ANN-quality metrology (functions/similarity.ann_recall_stats):
+    LSH top-5 recall per query vs the exact brute-force top-5 —
+    gated values built from the two already-oracled sides (identical
+    tie-breaks make the overlap deterministic)."""
+    from readability_ray.functions import ann_recall_stats
+    return ann_recall_stats(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4],
+                            k=5)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
     MinHash-LSH recall vs the exact set-similarity join at the same
@@ -2149,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_rollup": _q_events_rollup,
         "host_split": _q_host_split,
         "minhash_recall": _q_minhash_recall,
+        "ann_recall": _q_ann_recall,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -3923,6 +3934,76 @@ def oracle_sql() -> dict[str, str]:
                    ((fetch_order - 1) * delay_ms)::BIGINT
                        AS fetch_offset_ms
             FROM s
+        """,
+        "ann_recall": f"""
+            -- both sides re-derived (the knn + lsh oracle CTEs,
+            -- renamed to coexist) + the same floor-6 recall
+            WITH planes(d, pj, w) AS
+                (VALUES {_lsh_plane_values(seed=11, n_planes=8)}),
+            emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, e FROM emb
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), esims AS (
+                SELECT q.query_id, emb.vec_id AS nid,
+                       floor(list_cosine_similarity(emb.e, q.e)
+                             * 1000000) / 1000000 AS s
+                FROM emb, q WHERE emb.vec_id <> q.query_id
+            ), eranked AS (
+                SELECT query_id, nid, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+                FROM esims
+            ), ex AS (
+                SELECT query_id, nid FROM eranked WHERE rn <= 5
+            ), comp AS (
+                SELECT vec_id, unnest(generate_series(1, 64)) AS i1,
+                       unnest(e) AS x
+                FROM emb
+            ), dots AS (
+                SELECT c.vec_id, p.pj, sum(c.x * p.w) AS dot
+                FROM comp c JOIN planes p ON p.d = c.i1 - 1
+                GROUP BY c.vec_id, p.pj
+            ), buckets AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN (1 << pj)
+                           ELSE 0 END)::BIGINT AS bucket
+                FROM dots GROUP BY vec_id
+            ), qb AS (
+                SELECT vec_id AS query_id, bucket FROM buckets
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), acand AS (
+                SELECT qb.query_id, b.vec_id AS nid,
+                       floor(list_cosine_similarity(eq.e, eb.e)
+                             * 1000000) / 1000000 AS s
+                FROM qb
+                JOIN buckets b ON b.bucket = qb.bucket
+                               AND b.vec_id <> qb.query_id
+                JOIN emb eq ON eq.vec_id = qb.query_id
+                JOIN emb eb ON eb.vec_id = b.vec_id
+            ), aranked AS (
+                SELECT query_id, nid, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+                FROM acand
+            ), ap AS (
+                SELECT query_id, nid FROM aranked WHERE rn <= 5
+            ), stats AS (
+                SELECT q.query_id,
+                    (SELECT count(*) FROM ex
+                     WHERE ex.query_id = q.query_id) AS ne,
+                    (SELECT count(*) FROM ap
+                     WHERE ap.query_id = q.query_id) AS na,
+                    (SELECT count(*) FROM ex JOIN ap
+                     USING (query_id, nid)
+                     WHERE ex.query_id = q.query_id) AS nc
+                FROM q
+            )
+            SELECT query_id::BIGINT AS query_id, ne::BIGINT AS n_exact,
+                   na::BIGINT AS n_lsh, nc::BIGINT AS n_common,
+                   floor(CASE WHEN ne = 0 THEN 1.0
+                              ELSE nc::DOUBLE / ne END * 1000000)
+                       / 1000000 AS recall
+            FROM stats
         """,
         "minhash_recall": _minhash_cte() + """
             , counts AS (

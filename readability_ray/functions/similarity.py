@@ -670,3 +670,46 @@ def semdedup_keepers(ds: ray.data.Dataset, *, k: int = 8,
         .map_batches(assign, batch_format="pyarrow") \
         .repartition(num_blocks=n_parts, keys=["cluster"]) \
         .map_batches(prune, batch_format="pandas", batch_size=None)
+
+
+def ann_recall_stats(ds: ray.data.Dataset, query_ids: list[int],
+                     k: int = 5, *, n_planes: int = 8,
+                     seed: int = 11,
+                     id_col: str = "vec_id") -> ray.data.Dataset:
+    """ANN-quality metrology: LSH top-k recall measured against the
+    exact brute-force top-k per query, as gated values — (query_id,
+    n_exact, n_lsh, n_common, recall).
+
+    Both sides already stream at scale (knn_topk: broadcast query
+    matrix + local top-k merge; lsh_ann_topk: bucket-restricted
+    search); their RESULTS are |queries|×k rows — the bounded small
+    side — so the comparison itself is a driver-side set intersection
+    per query, floor-6 recall.  Ties inside either top-k are broken
+    identically (score desc, id asc), making the overlap
+    deterministic and SQL-reproducible.
+    """
+    import math
+
+    import ray
+
+    exact = knn_topk(ds, query_ids, k=k, id_col=id_col).to_pandas()
+    approx = lsh_ann_topk(ds, query_ids, k=k, n_planes=n_planes,
+                          seed=seed, id_col=id_col).to_pandas()
+    e_by_q = exact.groupby("query_id")["neighbor_id"] \
+        .agg(lambda s: set(int(x) for x in s))
+    a_by_q = approx.groupby("query_id")["neighbor_id"] \
+        .agg(lambda s: set(int(x) for x in s))
+    rows = []
+    for q in sorted(int(x) for x in query_ids):
+        es = e_by_q.get(q, set())
+        as_ = a_by_q.get(q, set())
+        nc = len(es & as_)
+        rows.append({
+            "query_id": q,
+            "n_exact": len(es),
+            "n_lsh": len(as_),
+            "n_common": nc,
+            "recall": math.floor((nc / len(es) if es else 1.0)
+                                 * 1e6) / 1e6,
+        })
+    return ray.data.from_items(rows)
