@@ -692,13 +692,21 @@ def ann_recall_stats(ds: ray.data.Dataset, query_ids: list[int],
 
     import ray
 
+    import pandas as pd
+
+    def _by_q(df: "pd.DataFrame") -> "pd.Series":
+        # an empty Dataset (e.g. every query bucket-mate-less) arrives
+        # as a column-less frame — treat as no neighbors anywhere
+        if len(df) == 0 or "query_id" not in df.columns:
+            return pd.Series(dtype=object)
+        return df.groupby("query_id")["neighbor_id"] \
+            .agg(lambda s: set(int(x) for x in s))
+
     exact = knn_topk(ds, query_ids, k=k, id_col=id_col).to_pandas()
     approx = lsh_ann_topk(ds, query_ids, k=k, n_planes=n_planes,
                           seed=seed, id_col=id_col).to_pandas()
-    e_by_q = exact.groupby("query_id")["neighbor_id"] \
-        .agg(lambda s: set(int(x) for x in s))
-    a_by_q = approx.groupby("query_id")["neighbor_id"] \
-        .agg(lambda s: set(int(x) for x in s))
+    e_by_q = _by_q(exact)
+    a_by_q = _by_q(approx)
     rows = []
     for q in sorted(int(x) for x in query_ids):
         es = e_by_q.get(q, set())
