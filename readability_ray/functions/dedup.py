@@ -363,6 +363,22 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
     from .util import strip_schema_metadata
     scrub = max(2, k // 8)
     docs = strip_schema_metadata(ds.select_columns([doc_id_col, "text"]))
+    # Sentinel seed: when the candidate set is EMPTY (dup-free corpus,
+    # or a doc sample that kept no pair), every candidate block is a
+    # schema-less shuffle empty; repartition PRUNES 0-row blocks, so a
+    # typed-empty seed vanishes and Acero gets a schema-less left side
+    # ("no match for key field doc_a").  A 1-ROW sentinel pair
+    # (doc_a = doc_b = -1, matched by a sentinel doc so it survives
+    # BOTH inner joins and keeps every downstream block typed) cannot
+    # be pruned; verify_jaccard drops it in its final vectorized mask.
+    seed_pair = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([-1], pa.int64()),
+        "doc_b": pa.array([-1], pa.int64())}))
+    seed_doc = ray.data.from_arrow(pa.table({
+        doc_id_col: pa.array([-1], pa.int64()),
+        "text": pa.array([""], pa.string())}))
+    candidates = candidates.union(seed_pair)
+    docs = docs.union(seed_doc)
     with_a = candidates.repartition(scrub) \
         .join(docs, "inner", num_partitions=k,
               on=("doc_a",), right_on=(doc_id_col,))
@@ -387,7 +403,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
             "doc_b": pa.array(doc_b, pa.int64()),
             "jaccard": pa.array(jac, pa.float64()),
         })
-        mask = pa.array([j >= jaccard_threshold for j in jac])
+        mask = pa.array([j >= jaccard_threshold and a >= 0
+                         for j, a in zip(jac, doc_a)])
         return out.filter(mask)
 
     return with_b.map_batches(verify_jaccard, batch_format="pyarrow")
@@ -791,6 +808,7 @@ def minhash_recall_stats(ds: ray.data.Dataset, *,
                          shingle_k: int = 3,
                          jaccard_threshold: float = 0.5,
                          num_perm: int = 64, bands: int = 16,
+                         sample_pct: int | None = None,
                          n_partitions: int | None = None
                          ) -> ray.data.Dataset:
     """Dedup-quality metrology: MinHash-LSH recall measured against
@@ -805,6 +823,13 @@ def minhash_recall_stats(ds: ray.data.Dataset, *,
     (doc_a, doc_b)-keyed exchange co-locates each pair's tags, and
     per-partition scalar partials merge in a single tiny block —
     pair sets never centralize.
+
+    ``sample_pct``: recall at corpus scale is measured on a
+    deterministic md5-bucket sample of docs (the exact set-similarity
+    join is the one thing you cannot run over the full corpus) —
+    keep docs where ``md5(str(doc_id))[:8] % 100 < sample_pct``, the
+    hash_split bucket arithmetic, so DuckDB re-derives the identical
+    sample.  None / 100 = full corpus (tiny-table tests).
     """
     import math
 
@@ -812,6 +837,21 @@ def minhash_recall_stats(ds: ray.data.Dataset, *,
     from .util import arrow_out, strip_schema_metadata
     ensure_hash_shuffle(ds)
     k = n_partitions or default_partitions()
+
+    if sample_pct is not None and sample_pct < 100:
+        import hashlib
+
+        def keep_sample(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return batch
+            mask = pa.array(
+                [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 % 100 < sample_pct
+                 for i in batch.column("doc_id").to_pylist()],
+                pa.bool_())
+            return batch.filter(mask)
+
+        ds = ds.map_batches(keep_sample, batch_format="pyarrow")
 
     exact = ngram_jaccard_pairs(
         ds, shingle_k=shingle_k,
@@ -830,10 +870,19 @@ def minhash_recall_stats(ds: ray.data.Dataset, *,
                 "src", pa.array([which] * batch.num_rows, pa.string()))
         return run
 
+    # Neutral sentinel row (src="x": counted by no stat) so the merged
+    # stream is never fully empty — a pair-free sample would otherwise
+    # leave only schema-less blocks, every pandas stage skipped, and
+    # the query would emit 0 rows instead of the recall=1.0 row.
+    seed = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([-1], pa.int64()),
+        "doc_b": pa.array([-1], pa.int64()),
+        "src": pa.array(["x"], pa.string())}))
     both = strip_schema_metadata(exact).map_batches(
         tag("e"), batch_format="pyarrow") \
         .union(strip_schema_metadata(mh).map_batches(
             tag("m"), batch_format="pyarrow")) \
+        .union(seed) \
         .repartition(num_blocks=k, keys=["doc_a", "doc_b"])
 
     def partials(batch: pd.DataFrame) -> pa.Table:

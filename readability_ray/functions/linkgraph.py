@@ -53,12 +53,12 @@ def anchor_text_stats(edges, *,
             "src": batch.column(src_col).to_pylist(),
         })
         g = df.groupby(["href", "anchor"], as_index=False, sort=False) \
-            .agg(n=("src", "size"), srcs=("src", "nunique"))
-        # srcs is a per-(href,anchor) partial; exact distinct-src needs
-        # the src values — ship a deduped (href, src) side instead:
+            .agg(n=("src", "size"))
+        # exact distinct-src needs the src values — ship a deduped
+        # (href, src) side instead of a non-mergeable nunique partial:
         s = df[["href", "src"]].drop_duplicates()
         g["kind"] = "a"
-        s = s.assign(anchor="", n=0, srcs=0, kind="s",
+        s = s.assign(anchor="", n=0, kind="s",
                      src=s["src"].astype(str))
         g = g.assign(src="")
         cols = ["href", "anchor", "n", "src", "kind"]

@@ -89,7 +89,7 @@ def cms_top_token_counts(ds: ray.data.Dataset, *, k: int = 50,
     from .textstats import token_frequency_topk
 
     sketch = cms_sketch(ds, d=d, w=w, text_col=text_col)
-    exact = token_frequency_topk(ds, k=k).to_pandas()
+    exact = token_frequency_topk(ds, k=k, text_col=text_col).to_pandas()
     # token_frequency_topk output: (token, n) ordered
     tok_col = "token" if "token" in exact.columns else exact.columns[0]
     n_col = "n" if "n" in exact.columns else exact.columns[1]

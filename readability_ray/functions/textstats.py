@@ -187,8 +187,8 @@ def doc_lang_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
-                         ) -> ray.data.Dataset:
+def token_frequency_topk(ds: ray.data.Dataset, k: int = 50,
+                         text_col: str = "text") -> ray.data.Dataset:
     """Corpus vocabulary statistics: top-k tokens by frequency.
 
     The classic wide-shuffle shape, done right: tokens are counted
@@ -205,7 +205,7 @@ def token_frequency_topk(ds: ray.data.Dataset, k: int = 50
     def partial_counts(batch: pa.Table) -> pa.Table:
         import collections
         counter: collections.Counter = collections.Counter()
-        for text in batch.column("text").to_pylist():
+        for text in batch.column(text_col).to_pylist():
             counter.update(ascii_token.findall(text))
         if not counter:
             return pa.table({"token": pa.array([], pa.string()),

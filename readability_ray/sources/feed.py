@@ -32,8 +32,10 @@ import pyarrow as pa
 
 
 def _esc(v: str) -> str:
+    # &quot; is needed only in attribute context (<link href="...">)
+    # but is valid everywhere, so escape it unconditionally.
     return (str(v).replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;"))
+            .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def make_rss_xml(channel_title: str, items: list[dict]) -> str:

@@ -17,3 +17,74 @@ def test_minhash_recall_stats_shape(ray_session):
     assert r["n_common"] == r["n_minhash"]  # verify=exact ⊆ exact
     assert 0.0 <= r["recall"] <= 1.0
     assert r["precision"] == 1.0
+
+
+def test_minhash_recall_stats_sampled(ray_session):
+    """sample_pct keeps docs by the md5-bucket rule; a pair survives
+    only when BOTH endpoints land in the sample."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import minhash_recall_stats
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    ids = list(range(1, 21))
+    texts = [base + f" tail{i}" if i % 2 else base for i in ids]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    pct = 60
+    kept = {i for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 100 < pct}
+    assert 0 < len(kept) < len(ids)
+    out = minhash_recall_stats(ds, sample_pct=pct,
+                               n_partitions=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # exact pairs live only inside the sample: every even-id doc shares
+    # the identical base text, so the sampled exact count is
+    # C(|kept evens|, 2) at threshold 0.5 plus any odd-tail near-dups.
+    assert r["n_exact"] >= 1
+    assert r["n_common"] == r["n_minhash"]
+    assert r["precision"] == 1.0
+
+
+def test_minhash_recall_stats_empty_sample(ray_session):
+    """A sample that keeps no pair (or no docs) must still emit the
+    single stats row — recall/precision convention 1.0 — not crash in
+    the Acero join on schema-less empty candidate blocks."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import minhash_recall_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one two three four",
+                          "five six seven eight",
+                          "nine ten eleven twelve"], pa.string()),
+    }))
+    out = minhash_recall_stats(ds, n_partitions=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_exact"] == 0 and r["n_minhash"] == 0
+    assert r["recall"] == 1.0 and r["precision"] == 1.0
+
+
+def test_minhash_verify_exact_no_pairs(ray_session):
+    """minhash_lsh_pairs(verify='exact') on a dup-free corpus: the
+    candidate stream is fully empty; the sentinel seed must keep the
+    text-attach joins alive and the output must be zero TYPED rows."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import minhash_lsh_pairs
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb cc dd ee", "vv ww xx yy zz"],
+                         pa.string()),
+    }))
+    df = minhash_lsh_pairs(ds, n_partitions=2).to_pandas()
+    assert len(df) == 0
