@@ -49,7 +49,8 @@ from .tables import extract_tables, page_tables
 from .sketch import cms_sketch, cms_top_token_counts, hll_distinct_tokens
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
-    parse_robots_sitemaps, robots_allowed, robots_filter,
+    parse_robots_rows, parse_robots_sitemaps, robots_allowed,
+    robots_filter,
     sitemap_discovery,
 )
 from .packing import pack_sequences, shard_shuffle
@@ -94,7 +95,8 @@ __all__ = [
     "dsir_weights_hashed",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "corpus_report", "crawl_diff",
-    "parse_robots", "robots_allowed", "robots_filter",
+    "parse_robots", "parse_robots_rows", "robots_allowed",
+    "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type", "events_hourly_rollup",
     "anchor_text_stats", "host_stats", "ccnet_buckets",

@@ -449,6 +449,21 @@ def _aes_key(doc_id, weight: float) -> float:
     return math.log(u) / weight
 
 
+def _aes_keys_floor6(ids, weights) -> np.ndarray:
+    """Vectorized ``_aes_key`` + floor-6: the md5 draw stays one
+    (bounded, post-aggregation) hash call per id; the scale / ln /
+    floor arithmetic runs as single numpy passes.  uint64→float64
+    conversion rounds identically to ``float(x)``, and np.log agrees
+    with math.log at floor-6 on this stack (probed over 50k draws —
+    ulp-level differences never straddle a 1e-6 boundary)."""
+    xs = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:16],
+                       16) for i in ids], dtype=np.uint64)
+    u = xs.astype(np.float64) / float(1 << 64)
+    u[xs == np.uint64(0)] = 2.0 ** -64
+    w = np.asarray(weights, dtype=np.float64)
+    return np.floor(np.log(u) / w * 1e6) / 1e6
+
+
 def weighted_sample_k(ds: ray.data.Dataset, *, k: int = 50,
                       weight_col: str, id_col: str = "doc_id",
                       n_partitions: int | None = None
@@ -478,14 +493,16 @@ def weighted_sample_k(ds: ray.data.Dataset, *, k: int = 50,
     weight_type = sch.types[sch.names.index(weight_col)]
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        ws = batch.column(weight_col).to_pylist()
-        rows = [(i, w, math.floor(_aes_key(i, float(w)) * 1e6) / 1e6)
-                for i, w in zip(ids, ws) if w is not None and w > 0]
+        wcol = batch.column(weight_col)
+        b = batch.filter(pc.and_kleene(pc.is_valid(wcol),
+                                       pc.greater(wcol, 0)))
+        keys = _aes_keys_floor6(
+            b.column(id_col).to_pylist(),
+            b.column(weight_col).to_numpy(zero_copy_only=False))
         return pa.table({
-            id_col: pa.array([r[0] for r in rows], id_type),
-            weight_col: pa.array([r[1] for r in rows], weight_type),
-            "sample_key": pa.array([r[2] for r in rows], pa.float64()),
+            id_col: b.column(id_col).cast(id_type),
+            weight_col: b.column(weight_col).cast(weight_type),
+            "sample_key": pa.array(keys, pa.float64()),
         })
 
     def topk(batch: pd.DataFrame) -> pa.Table:

@@ -231,3 +231,115 @@ def test_sitemap_discovery_explode(ray_session):
                                         "https://a.test/2.xml"]
     assert list(out["host"]) == ["a.test", "a.test"]
     assert list(out["pos"]) == [0, 1]
+
+
+# --- round 5: distributed parse + colocate fallback --------------------
+
+def _strategy_fixture():
+    import pyarrow as pa
+    import ray.data
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.test", "b.test", "c.test"], pa.string()),
+        "robots_txt": pa.array([
+            "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+            "Crawl-delay: 2\n",
+            "User-agent: *\nDisallow: /\nCrawl-delay: 0.25\n",
+            "# comments only\n",
+        ], pa.string()),
+    }))
+    urls = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 8)), pa.int64()),
+        "url": pa.array([
+            "https://a.test/private/x",
+            "https://a.test/private/pub/y",
+            "https://a.test/open",
+            "https://b.test/anything",
+            "https://c.test/z",
+            "https://norow.test/q?x=1",
+            "https://a.test/open2",
+        ], pa.string()),
+    }))
+    return urls, robots
+
+
+def test_robots_filter_colocate_equals_broadcast(ray_session):
+    """The above-budget host-keyed-join fallback must produce exactly
+    the broadcast verdict table (rows, values, dtypes)."""
+    import pandas as pd
+    urls, robots = _strategy_fixture()
+    key = ["doc_id"]
+    b = robots_filter(urls, robots, strategy="broadcast").to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    c = robots_filter(urls, robots, strategy="colocate",
+                      n_partitions=3).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, c[b.columns])
+
+
+def test_fetch_schedule_colocate_equals_broadcast(ray_session):
+    import pandas as pd
+    urls, robots = _strategy_fixture()
+    b = fetch_schedule(urls, robots, strategy="broadcast",
+                       n_partitions=2).to_pandas() \
+        .sort_values(["host", "fetch_order"]).reset_index(drop=True)
+    c = fetch_schedule(urls, robots, strategy="colocate",
+                       n_partitions=3).to_pandas() \
+        .sort_values(["host", "fetch_order"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, c)
+
+
+def test_robots_filter_colocate_partition_invariant(ray_session):
+    urls, robots = _strategy_fixture()
+    a = robots_filter(urls, robots, strategy="colocate",
+                      n_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = robots_filter(urls, robots, strategy="colocate",
+                      n_partitions=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_robots_dup_host_md5_resolution(ray_session):
+    """Duplicate host rows resolve to the max-md5(body) row in BOTH
+    strategies — the distributed-friendly deterministic tiebreak."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data
+    bodies = ["User-agent: *\nDisallow: /x\n",
+              "User-agent: *\nDisallow: /y\n"]
+    winner = max(bodies, key=lambda b: hashlib.md5(b.encode()).hexdigest())
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["d.test", "d.test"], pa.string()),
+        "robots_txt": pa.array(bodies, pa.string()),
+    }))
+    urls = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://d.test/x", "https://d.test/y"],
+                        pa.string())}))
+    expect_x_blocked = "/x" in winner
+    for strat in ("broadcast", "colocate"):
+        out = robots_filter(urls, robots, strategy=strat,
+                            n_partitions=2).to_pandas() \
+            .set_index("url")["allowed"]
+        assert out["https://d.test/x"] == (not expect_x_blocked)
+        assert out["https://d.test/y"] == expect_x_blocked
+
+
+def test_parse_robots_rows_compact(ray_session):
+    """The distributed parse emits compact rows — patterns/flags/delay,
+    never the body."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import parse_robots_rows
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a.test"], pa.string()),
+        "robots_txt": pa.array(
+            ["User-agent: *\nDisallow: /p\nAllow: /p/q\n"
+             "Crawl-delay: 1.5\n"], pa.string()),
+    }))
+    df = parse_robots_rows(robots).to_pandas()
+    assert list(df.columns) == ["host", "body_md5", "patterns",
+                                "allows", "delay_ms"]
+    assert list(df["patterns"][0]) == ["/p", "/p/q"]
+    assert list(df["allows"][0]) == [False, True]
+    assert df["delay_ms"][0] == 1500

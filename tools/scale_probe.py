@@ -538,6 +538,80 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--s9" in sys.argv:
+        # round-5 probes (VERDICT r4 items 3 + 8): distributed robots
+        # parse at 100k hosts (broadcast vs colocate strategies), the
+        # sampled minhash-recall metrology, and the join-bearing
+        # queries at 10x to pin that the fixed hash-join spin-up
+        # amortizes sublinearly.
+        from readability_ray.functions import (minhash_recall_stats,
+                                               priority_line_counts,
+                                               robots_filter,
+                                               weighted_order_sample)
+
+        def synth_robots(batch):
+            ids = batch["id"].to_pylist()
+            return pa.table({
+                "host": pa.array([f"h{int(i)}.test" for i in ids],
+                                 pa.string()),
+                "robots_txt": pa.array(
+                    [(f"User-agent: *\nDisallow: /d{int(i)}\n"
+                      f"Allow: /d{int(i)}/ok\nCrawl-delay: "
+                      f"{(int(i) % 7) / 2}\n") for i in ids],
+                    pa.string()),
+            })
+
+        def synth_urls9(batch):
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(
+                    [f"https://h{i % 100_000}.test/d{i % 100_000}/"
+                     f"{'x' if i % 2 else 'ok/page'}?i={i}"
+                     for i in ids], pa.string()),
+            })
+
+        def robots100k(strategy):
+            robots_ds = ray.data.range(100_000).map_batches(
+                synth_robots, batch_format="pyarrow")
+            urls = ray.data.read_parquet(docs10) \
+                .map_batches(synth_urls9, batch_format="pyarrow")
+            return robots_filter(urls, robots_ds, strategy=strategy)
+
+        timed("robots_100k_hosts_broadcast",
+              lambda: robots100k("broadcast"))
+        timed("robots_100k_hosts_colocate",
+              lambda: robots100k("colocate"))
+
+        timed("minhash_recall_50k_sample40",
+              lambda: minhash_recall_stats(
+                  ray.data.read_parquet(docs10), sample_pct=40))
+
+        li10 = os.path.join(tmp, "lineitem10c.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li10, 10,
+            {"l_orderkey": 10_000_000})
+        ord10 = os.path.join(tmp, "orders10c.parquet")
+        replicate_stride(
+            os.path.join(sf, "orders.parquet"), ord10, 10,
+            {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+        timed("priority_line_counts_6m",
+              lambda: priority_line_counts(
+                  ray.data.read_parquet(ord10),
+                  ray.data.read_parquet(li10)))
+        timed("weighted_order_sample_6m",
+              lambda: weighted_order_sample(
+                  ray.data.read_parquet(ord10),
+                  ray.data.read_parquet(li10), k=50))
+
+        results["n_lineitem"] = n_li
+        results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
     if new_only:
         from readability_ray.functions import (
             bpe_token_stats, decontaminate, events_range_join,
