@@ -1364,6 +1364,22 @@ def _q_ann_recall(sf_dir: str):
                             k=5)
 
 
+def _q_ivf_recall(sf_dir: str):
+    """IVF-ANN quality metrology (functions/similarity.ivf_recall_stats,
+    VERDICT r4 item 6): recall of IVF search per query vs exact
+    brute-force top-5.  The coarse quantizer is FIXED-POINT Lloyd's
+    (integer lattice floor(x·2^20+0.5), exact int64 partial sums,
+    floor(sum/count) updates, integer-argmin assignment with ties to
+    the lowest cluster) so — unlike the float quantizer behind
+    ivf_ann_top5, whose re-associated float sums are partitioning-
+    dependent — training, assignments, probe lists, candidate sets and
+    the floor-6 cosine ranking are ALL re-derived in the DuckDB
+    oracle; the driver gates the values end to end."""
+    from readability_ray.functions import ivf_recall_stats
+    return ivf_recall_stats(_embs(sf_dir), query_ids=[0, 1, 2, 3, 4],
+                            k=5, n_clusters=8, n_probe=2, n_iter=2)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
     MinHash-LSH recall vs the exact set-similarity join at the same
@@ -2075,10 +2091,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
     the 35 oracled queries that had never been driver-checked (they
-    sat past the window in rounds 3-4) now occupy the front, padded to
-    exactly 50 with 15 core queries that already have CORRECTNESS_r04
-    driver evidence; the remaining 35 r4-driver-green queries move
-    past the window.  Across r4+r5 every one of the 85 oracled queries
+    sat past the window in rounds 3-4) occupy the front — plus the
+    new round-5 ivf_recall — padded to exactly 50 with 14 core
+    queries that already have CORRECTNESS_r04 driver evidence; the
+    remaining r4-driver-green queries move past the window.  Across r4+r5 every one of the 85 oracled queries
     has a driver-green row.  Invariant pinned by
     tests/test_entry_contract.py: the first 50 keys must all have an
     oracle_sql() entry; rows-only queries go last."""
@@ -2116,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_split": _q_host_split,
         "minhash_recall": _q_minhash_recall,
         "ann_recall": _q_ann_recall,
+        "ivf_recall": _q_ivf_recall,
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
@@ -2134,9 +2151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "substring_dedup": _q_substring_dedup,
         "corpus_clean": _q_corpus_clean,
-        "bloom_novelty": _q_bloom_novelty,
         # -- SQL-oracled, past the 50-entry window (all driver-green in
         #    CORRECTNESS_r04) -------------------------------------------
+        "bloom_novelty": _q_bloom_novelty,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "jaccard_dedup_keepers": _q_jaccard_keepers,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -2314,6 +2331,117 @@ def _simhash_cte() -> str:
             SELECT doc_id, 0::UBIGINT AS simhash
             FROM toks WHERE len(t) = 0
         )
+    """
+
+
+def _ivf_recall_sql(n_clusters: int = 8, n_iter: int = 2,
+                    n_probe: int = 2, k: int = 5,
+                    qids: str = "0, 1, 2, 3, 4",
+                    scale: int = 1 << 20) -> str:
+    """Whole-pipeline IVF re-derivation: quantize to the integer
+    lattice, unroll the fixed-point Lloyd iterations as chained CTEs
+    (integer distances, row_number argmin with ties to the lowest
+    cluster, floor(sum/count) centroid updates, empty clusters keep
+    the previous centroid via LEFT JOIN), then probe lists, candidate
+    restriction, the proven floor-6 cosine ranking, and per-query
+    recall vs the exact knn CTE."""
+    iters = []
+    for t in range(1, n_iter + 1):
+        prev = f"c{t - 1}"
+        iters.append(f"""
+        d{t} AS (
+            SELECT xi.vec_id, c.cl,
+                   sum((xi.x - c.c) * (xi.x - c.c)) AS dist
+            FROM xint xi JOIN {prev} c USING (d)
+            GROUP BY xi.vec_id, c.cl
+        ), a{t} AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cl) AS rn
+                FROM d{t}) WHERE rn = 1
+        ), s{t} AS (
+            SELECT a.cl, xi.d, sum(xi.x)::DOUBLE AS sx, count(*) AS n
+            FROM a{t} a JOIN xint xi USING (vec_id)
+            GROUP BY a.cl, xi.d
+        ), c{t} AS (
+            SELECT p.cl, p.d,
+                   CASE WHEN s.sx IS NULL THEN p.c
+                        ELSE floor(s.sx / s.n)::BIGINT END AS c
+            FROM {prev} p LEFT JOIN s{t} s USING (cl, d)
+        )""")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), xint AS (
+            SELECT vec_id, i - 1 AS d,
+                   floor(x * {scale}.0 + 0.5)::BIGINT AS x
+            FROM (SELECT vec_id, unnest(e) AS x,
+                         unnest(generate_series(1, len(e))) AS i
+                  FROM emb)
+        ), c0 AS (
+            SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cl, d,
+                   x AS c
+            FROM xint WHERE vec_id IN (
+                SELECT vec_id FROM emb ORDER BY vec_id
+                LIMIT {n_clusters})
+        ),{",".join(iters)}
+        , dfin AS (
+            SELECT xi.vec_id, c.cl,
+                   sum((xi.x - c.c) * (xi.x - c.c)) AS dist
+            FROM xint xi JOIN c{n_iter} c USING (d)
+            GROUP BY xi.vec_id, c.cl
+        ), afin AS (
+            SELECT vec_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cl) AS rn
+                FROM dfin) WHERE rn = 1
+        ), qprobe AS (
+            SELECT vec_id AS query_id, cl FROM (
+                SELECT vec_id, cl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cl) AS rn
+                FROM dfin WHERE vec_id IN ({qids}))
+            WHERE rn <= {n_probe}
+        ), acand AS (
+            SELECT qp.query_id, af.vec_id AS nid,
+                   floor(list_cosine_similarity(eq.e, en.e)
+                         * 1000000) / 1000000 AS s
+            FROM qprobe qp
+            JOIN afin af ON af.cl = qp.cl AND af.vec_id <> qp.query_id
+            JOIN emb eq ON eq.vec_id = qp.query_id
+            JOIN emb en ON en.vec_id = af.vec_id
+        ), ap AS (
+            SELECT query_id, nid FROM (
+                SELECT query_id, nid, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+                FROM acand) WHERE rn <= {k}
+        ), esims AS (
+            SELECT q.vec_id AS query_id, emb.vec_id AS nid,
+                   floor(list_cosine_similarity(emb.e, q.e)
+                         * 1000000) / 1000000 AS s
+            FROM emb, (SELECT vec_id, e FROM emb
+                       WHERE vec_id IN ({qids})) q
+            WHERE emb.vec_id <> q.vec_id
+        ), ex AS (
+            SELECT query_id, nid FROM (
+                SELECT query_id, nid, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+                FROM esims) WHERE rn <= {k}
+        ), qs AS (SELECT unnest([{qids}]) AS query_id)
+        SELECT q.query_id::BIGINT AS query_id,
+               ne::BIGINT AS n_exact, na::BIGINT AS n_ivf,
+               nc::BIGINT AS n_common,
+               floor(CASE WHEN ne = 0 THEN 1.0
+                          ELSE nc::DOUBLE / ne END * 1000000)
+                   / 1000000 AS recall
+        FROM (
+            SELECT q.query_id,
+                (SELECT count(*) FROM ex
+                 WHERE ex.query_id = q.query_id) AS ne,
+                (SELECT count(*) FROM ap
+                 WHERE ap.query_id = q.query_id) AS na,
+                (SELECT count(*) FROM ex JOIN ap USING (query_id, nid)
+                 WHERE ex.query_id = q.query_id) AS nc
+            FROM qs q) q
     """
 
 
@@ -4014,6 +4142,7 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000 AS recall
             FROM stats
         """,
+        "ivf_recall": _ivf_recall_sql(),
         "minhash_recall": _minhash_cte(docs_from=(
             "(SELECT doc_id, text FROM documents WHERE "
             "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT "

@@ -20,8 +20,8 @@ from .dedup import (
 )
 from .similarity import (
     ann_recall_stats, embedding_dup_pairs, embedding_quantize,
-    ivf_ann_topk, kmeans_assign, knn_topk, lsh_ann_topk,
-    semdedup_keepers,
+    ivf_ann_topk, ivf_recall_stats, kmeans_assign, knn_topk,
+    lsh_ann_topk, semdedup_keepers,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
@@ -72,7 +72,7 @@ __all__ = [
     "near_dup_keepers", "ngram_jaccard_pairs", "minhash_recall_stats",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk", "semdedup_keepers",
-    "ann_recall_stats",
+    "ann_recall_stats", "ivf_recall_stats",
     "extract_pdf_text", "make_pdf", "pdf_text",
     "fingerprint_overlap_pairs", "winnow_fingerprints",
     "events_asof_join", "events_range_join", "events_rolling_counts",

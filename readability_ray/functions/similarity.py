@@ -721,3 +721,198 @@ def ann_recall_stats(ds: ray.data.Dataset, query_ids: list[int],
                                  * 1e6) / 1e6,
         })
     return ray.data.from_items(rows)
+
+
+def _quant_int(mat: np.ndarray, scale_bits: int) -> np.ndarray:
+    """Fixed-point lattice: floor(x·2^bits + 0.5) — the
+    embedding_quantize bit-identity rule (numpy round() is
+    half-to-even, DuckDB round() half-away; the floor form is the one
+    both engines compute identically)."""
+    return np.floor(mat.astype(np.float64) * float(1 << scale_bits)
+                    + 0.5).astype(np.int64)
+
+
+def _train_centroids_fixedpoint(ds: ray.data.Dataset, k: int,
+                                n_iter: int, id_col: str = "vec_id",
+                                scale_bits: int = 20) -> np.ndarray:
+    """Lloyd's k-means on the INTEGER lattice — the bit-reproducible
+    quantizer an IVF metrology can be VALUE-gated on.
+
+    Float Lloyd's (``_train_centroids``) re-associates float partial
+    sums, so its centroids depend on partitioning and cannot match a
+    SQL re-derivation.  Here every step is exact integer arithmetic
+    (the relational.py fixed-point money rule): embeddings quantize to
+    floor(x·2^bits + 0.5); per-cluster partial sums are int64 (exact,
+    order-independent); the centroid update is floor(sum/count) per
+    dim (the double division is exact-rounded far below the 1/count
+    gap, so floor agrees between numpy and DuckDB); assignment is
+    integer-argmin with ties to the lowest cluster id.  Init = the k
+    globally smallest ids, found distributed as in the float twin.
+    """
+    scale = float(1 << scale_bits)
+
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids)[:min(k, len(ids))]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "embedding": batch.column("embedding").take(pa.array(order)),
+        })
+
+    cand = (ds.select_columns([id_col, "embedding"])
+            .map_batches(local_min_ids, batch_format="pyarrow")
+            .take_all())
+    cand.sort(key=lambda r: r[id_col])
+    centroids = _quant_int(np.asarray(
+        [r["embedding"] for r in cand[:k]], dtype=np.float64),
+        scale_bits)
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cents = ray.get(ref)
+            mat = _quant_int(_matrix(batch), scale_bits)
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2) \
+                .sum(axis=2)
+            assign = d2.argmin(axis=1)  # first min = lowest cluster id
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            np.add.at(sums, assign, mat)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "cluster": pa.array(range(len(cents)), pa.int32()),
+                "vec_sum": pa.array([row.tolist() for row in sums],
+                                    pa.list_(pa.int64())),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        rows = ds.map_batches(partials, batch_format="pyarrow") \
+            .take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for row in rows:
+            sums[row["cluster"]] += np.asarray(row["vec_sum"],
+                                               dtype=np.int64)
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        # floor(exact-int-sum / count) as a double expression — the
+        # form DuckDB computes identically (sums < 2^40 are exact in
+        # float64; the quotient's rounding error is orders below the
+        # 1/count distance to the nearest integer)
+        centroids[nonzero] = np.floor(
+            sums[nonzero].astype(np.float64)
+            / counts[nonzero, None]).astype(np.int64)
+
+    return centroids
+
+
+def ivf_recall_stats(ds: ray.data.Dataset, query_ids: list[int],
+                     k: int = 5, *, n_clusters: int = 8,
+                     n_probe: int = 2, n_iter: int = 2,
+                     scale_bits: int = 20,
+                     id_col: str = "vec_id") -> ray.data.Dataset:
+    """IVF-ANN quality metrology (VERDICT r4 item 6): recall of the
+    fixed-point-quantizer IVF search against exact brute-force top-k,
+    per query — (query_id, n_exact, n_ivf, n_common, recall).
+
+    The coarse quantizer is ``_train_centroids_fixedpoint`` so the
+    ENTIRE pipeline — training iterations, assignments, probe lists,
+    candidate sets, cosine floor-6 ranking, recall — is re-derivable
+    in DuckDB SQL and driver-gated as values, unlike ``ivf_ann_topk``
+    (float Lloyd's, rows-only by necessity).  Inside probed clusters
+    the ranking is the exact-cosine arithmetic the knn oracle already
+    pins.  Scale shape: centroids broadcast once; one vectorized map
+    emits per-batch local top-ks (queries×k rows each); single tiny
+    merge; the recall join is |queries|×k rows on the driver.
+    """
+    import math
+
+    import pandas as pd
+
+    centroids = _train_centroids_fixedpoint(
+        ds, n_clusters, n_iter, id_col=id_col, scale_bits=scale_bits)
+
+    queries = _take_by_ids(ds, id_col, query_ids)
+    q_ids = np.array([r[id_col] for r in queries], dtype=np.int64)
+    q_mat = np.asarray([r["embedding"] for r in queries],
+                       dtype=np.float64)
+    q_int = _quant_int(q_mat, scale_bits)
+    d2q = ((q_int[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    # n_probe nearest clusters, ties to the lowest cluster id
+    cl_idx = np.arange(n_clusters)
+    probe = np.stack([
+        np.lexsort((cl_idx, row))[:n_probe] for row in d2q])
+    q_norm = _normalize(q_mat)
+    broadcast = ray.put((q_ids, q_norm, probe, centroids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, probe_q, cents = ray.get(broadcast)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        raw = _matrix(batch)
+        xi = _quant_int(raw, scale_bits)
+        d2 = ((xi[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        mat = _normalize(raw)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            mask = np.isin(assign, probe_q[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = _floor6(mat[mask] @ mat_q[qi])
+            take = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -sims))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order])
+            out_s.extend(sims[order])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "cos_sim": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
+
+    from .util import arrow_out
+
+    def merge_topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "query_id" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64")}))
+        out = []
+        for _qid, group in batch.groupby("query_id", sort=True):
+            top = group.sort_values(
+                ["cos_sim", "neighbor_id"],
+                ascending=[False, True]).head(k)
+            out.append(top[["query_id", "neighbor_id"]])
+        return arrow_out(pd.concat(out, ignore_index=True))
+
+    approx = ds.map_batches(local_topk, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge_topk, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    exact = knn_topk(ds, query_ids, k=k, id_col=id_col).to_pandas()
+
+    def _by_q(df: "pd.DataFrame") -> "pd.Series":
+        if len(df) == 0 or "query_id" not in df.columns:
+            return pd.Series(dtype=object)
+        return df.groupby("query_id")["neighbor_id"] \
+            .agg(lambda s: set(int(x) for x in s))
+
+    e_by_q = _by_q(exact)
+    a_by_q = _by_q(approx)
+    rows = []
+    for q in sorted(int(x) for x in query_ids):
+        es = e_by_q.get(q, set())
+        as_ = a_by_q.get(q, set())
+        nc = len(es & as_)
+        rows.append({
+            "query_id": q,
+            "n_exact": len(es),
+            "n_ivf": len(as_),
+            "n_common": nc,
+            "recall": math.floor((nc / len(es) if es else 1.0)
+                                 * 1e6) / 1e6,
+        })
+    return ray.data.from_items(rows)
