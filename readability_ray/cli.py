@@ -17,8 +17,15 @@ import sys
 
 def _load(url_or_path: str) -> str:
     if url_or_path.startswith(("http://", "https://")):
-        raise SystemExit("network fetch is unavailable in this environment; "
-                         "pass a local HTML file path")
+        # reference cli.js:17-36 URL branch — works where the
+        # environment has network; in this sandbox every connect
+        # fails and surfaces the documented guidance instead
+        from .sources.netfetch import FetchUnavailable, fetch_url
+        try:
+            return fetch_url(url_or_path)
+        except FetchUnavailable as exc:
+            raise SystemExit(
+                f"{exc}; or pass a local HTML file path")
     try:
         with open(url_or_path, encoding="utf-8") as f:
             return f.read()

@@ -137,11 +137,21 @@ def call_tool(name: str, arguments: dict) -> dict:
                 arguments["html"], arguments.get("url"),
                 arguments.get("charThreshold")))
         if name == "read_url_content_as_markdown":
-            raise RuntimeError(
-                "network access is unavailable in this environment; "
-                "fetch the page yourself and pass its HTML to "
-                "read_html_as_markdown, or a saved copy to "
-                "read_file_content_as_markdown")
+            # reference mcp-server.ts:20-60 — real fetch where network
+            # exists; in this sandbox the connect fails and the error
+            # result carries the documented redirection to the
+            # offline tools (same isError contract either way)
+            from .sources.netfetch import FetchUnavailable, fetch_url
+            url = arguments["url"]
+            try:
+                html = fetch_url(url)
+            except FetchUnavailable as exc:
+                raise RuntimeError(
+                    f"{exc}; pass the HTML to read_html_as_markdown, "
+                    "or a saved copy to "
+                    "read_file_content_as_markdown") from exc
+            return _tool_result(_extract_markdown(
+                html, url, arguments.get("charThreshold")))
         if name == "read_file_content_as_markdown":
             path = arguments["path"]
             try:
