@@ -1380,6 +1380,35 @@ def _q_ivf_recall(sf_dir: str):
                             k=5, n_clusters=8, n_probe=2, n_iter=2)
 
 
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape (functions/relational.order_priority_counts):
+    the distributed SEMI-JOIN — per-priority counts of window orders
+    where EXISTS a lineitem with returnflag R.  No Acero join and no
+    multiplicity inflation: the line side sheds to per-batch DISTINCT
+    orderkeys (ids only), one keyed exchange co-locates membership
+    tags with order rows, bounded (priority, n) partials merge in a
+    single block."""
+    import ray.data
+
+    from readability_ray.functions import order_priority_counts
+    return order_priority_counts(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window counts (functions/textstats.events_hopping_counts):
+    60-min windows every 15 min — overlapping-window streaming
+    semantics; each event lands in 4 windows, exploded and collapsed
+    INSIDE the batch, bounded-key single-block merge."""
+    import os as _os
+    import ray.data
+    from readability_ray.functions import events_hopping_counts
+    return events_hopping_counts(
+        ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet")),
+        window_min=60, hop_min=15)
+
+
 def _q_minhash_recall(sf_dir: str):
     """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
     MinHash-LSH recall vs the exact set-similarity join at the same
@@ -2099,7 +2128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tests/test_entry_contract.py: the first 50 keys must all have an
     oracle_sql() entry; rows-only queries go last."""
     return {
-        # -- SQL-oracled (driver window): 35 never-driver-verified ------
+        # -- SQL-oracled (driver window): 38 entries — the 35 r4
+        #    never-driver-verified + ivf_recall + the two round-5 ops --
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -2136,7 +2166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": _q_forecast_revenue,
         "priority_line_counts": _q_priority_line_counts,
         "promo_revenue_share": _q_promo_revenue,
-        # -- window padding: 15 core queries with r4 driver evidence ----
+        "order_priority_counts": _q_order_priority_counts,
+        "events_hopping_counts": _q_events_hopping,
+        # -- window padding: 12 core queries with r4 driver evidence
+        #    (38 + 12 = exactly the 50-slot window) ---------------------
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_keepers": _q_minhash_keepers,
@@ -2149,11 +2182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "dedup_pages_by_url": _q_dedup_pages,
         "warc_ingest": _q_warc_ingest,
-        "substring_dedup": _q_substring_dedup,
-        "corpus_clean": _q_corpus_clean,
         # -- SQL-oracled, past the 50-entry window (all driver-green in
         #    CORRECTNESS_r04) -------------------------------------------
         "bloom_novelty": _q_bloom_novelty,
+        "corpus_clean": _q_corpus_clean,
+        "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
         "jaccard_dedup_keepers": _q_jaccard_keepers,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -4141,6 +4174,29 @@ def oracle_sql() -> dict[str, str]:
                               ELSE nc::DOUBLE / ne END * 1000000)
                        / 1000000 AS recall
             FROM stats
+        """,
+        "events_hopping_counts": """
+            WITH e AS (
+                SELECT event_type,
+                       epoch_us(ts) // 60000000 AS tmin
+                FROM events
+            ), j AS (SELECT unnest(generate_series(0, 3)) AS j)
+            SELECT event_type,
+                   ((tmin // 15) * 15 - 15 * j)::BIGINT
+                       AS window_start_min,
+                   count(*)::BIGINT AS n_events
+            FROM e CROSS JOIN j
+            GROUP BY 1, 2
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "ivf_recall": _ivf_recall_sql(),
         "minhash_recall": _minhash_cte(docs_from=(

@@ -131,7 +131,8 @@ def _run_benchmarks() -> None:
                      "weighted_order_sample", "feed_autodiscovery",
                      "cms_heavy_hitters", "hll_distinct_tokens",
                      "events_hourly_rollup", "host_split", "minhash_recall",
-                     "ann_recall",
+                     "ann_recall", "ivf_recall", "order_priority_counts",
+                     "events_hopping_counts",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -11,7 +11,7 @@ from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
-    top_users_per_type, events_hourly_rollup,
+    top_users_per_type, events_hourly_rollup, events_hopping_counts,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -56,7 +56,8 @@ from .robots import (
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
-    forecast_revenue, pricing_summary, priority_line_counts,
+    forecast_revenue, order_priority_counts, pricing_summary,
+    priority_line_counts,
     promo_revenue_share, region_nation_revenue, segment_top_orders,
     weighted_order_sample,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
+    "order_priority_counts",
     "weighted_order_sample",
     "extract_head_links", "head_links",
     "extract_feed_links", "feed_autodiscovery",
@@ -99,6 +101,7 @@ __all__ = [
     "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type", "events_hourly_rollup",
+    "events_hopping_counts",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

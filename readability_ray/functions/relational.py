@@ -626,3 +626,93 @@ def weighted_order_sample(orders: ray.data.Dataset,
                               batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def order_priority_counts(orders: ray.data.Dataset,
+                          lineitem: ray.data.Dataset, *,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01",
+                          returnflag: str = "R",
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """TPC-H Q4 shape — the distributed SEMI-JOIN (EXISTS) pattern.
+
+    Adapted to this schema (no commitdate/receiptdate): count window
+    orders per priority where EXISTS a lineitem of the order carrying
+    ``returnflag``.  Unlike an inner join, the answer must not be
+    inflated by line multiplicity — the semi-join needs only key
+    MEMBERSHIP, so no Acero join: the line side sheds to per-batch
+    DISTINCT orderkeys (ids only, one int per matching order per
+    batch), the orders side ships (key, priority), ONE keyed exchange
+    co-locates each key's rows, and the per-partition pass counts
+    priorities of order rows whose key has a line tag — emitting
+    bounded (priority, n) partials merged in a single block (the
+    pricing_summary bounded-key rule).
+
+    Output: (o_orderpriority, order_count) ordered by priority.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    # The keyed repartition runs on l_side.union(o_side), which carries
+    # the FIRST input's context snapshot — flip both sides.
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(lineitem)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def line_keys(batch: pd.DataFrame) -> pa.Table:
+        keys = batch.loc[batch["l_returnflag"] == returnflag,
+                         "l_orderkey"].unique()
+        return arrow_out(pd.DataFrame({
+            "key": pd.Series(keys, dtype="int64"),
+            "priority": pd.Series([""] * len(keys), dtype="object"),
+            "_side": pd.Series(["l"] * len(keys), dtype="object")}))
+
+    def order_rows(batch: pd.DataFrame) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        return arrow_out(pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "priority": b["o_orderpriority"].to_numpy(),
+            "_side": np.full(len(b), "o", dtype=object)}))
+
+    l_side = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_returnflag"])) \
+        .map_batches(line_keys, batch_format="pandas")
+    o_side = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])) \
+        .map_batches(order_rows, batch_format="pandas")
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "order_count": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        tagged = set(batch.loc[batch["_side"] == "l", "key"])
+        o = batch[batch["_side"] == "o"]
+        m = o[o["key"].isin(tagged)]
+        if len(m) == 0:
+            return arrow_out(empty)
+        g = m.groupby("priority", sort=False).size() \
+            .reset_index(name="order_count")
+        return arrow_out(pd.DataFrame({
+            "o_orderpriority": g["priority"],
+            "order_count": g["order_count"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_orderpriority" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "order_count": pd.Series([], dtype="int64")}))
+        g = batch.groupby("o_orderpriority", as_index=False,
+                          sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return l_side.union(o_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -746,3 +746,64 @@ def events_hourly_rollup(events: ray.data.Dataset
         .map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+def events_hopping_counts(events: ray.data.Dataset, *,
+                          window_min: int = 60,
+                          hop_min: int = 15) -> ray.data.Dataset:
+    """Hopping-window counts — the OVERLAPPING-window streaming shape
+    tumbling hourly can't express: windows of ``window_min`` minutes
+    advancing every ``hop_min`` (window_min must be a multiple of
+    hop_min), each event counted in window_min/hop_min windows.
+
+    The explode happens INSIDE the batch and collapses to per-(type,
+    window) partials before anything moves — a batch of n events emits
+    ≤ |types|×|windows-in-batch-span| rows, not n×m.  The merge key is
+    bounded (|types| × time-range/hop), so it is the pricing_summary
+    single-block rule; no keyed shuffle at any corpus size.
+
+    Output: (event_type, window_start_min, n_events) — window_start_min
+    the window's start in epoch minutes, n_events the count of events
+    with window_start ≤ t < window_start + window_min.
+    """
+    if window_min % hop_min != 0:
+        raise ValueError("window_min must be a multiple of hop_min")
+    m = window_min // hop_min
+
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        tmin = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                .astype("int64") // 60_000_000)
+        base = (tmin // hop_min) * hop_min
+        types = batch["event_type"].to_numpy()
+        frame = pd.DataFrame({
+            "event_type": np.tile(types, m),
+            "window_start_min": np.concatenate(
+                [base - j * hop_min for j in range(m)]),
+        })
+        g = frame.groupby(["event_type", "window_start_min"],
+                          as_index=False, sort=False).size() \
+            .rename(columns={"size": "n"})
+        return arrow_out(g)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start_min": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        g = batch.groupby(["event_type", "window_start_min"],
+                          as_index=False, sort=True)["n"].sum() \
+            .rename(columns={"n": "n_events"})
+        g["window_start_min"] = g["window_start_min"].astype("int64")
+        g["n_events"] = g["n_events"].astype("int64")
+        return arrow_out(g)
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "ts"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -221,3 +221,38 @@ def test_weighted_order_sample_join_weights(ray_session):
     out2 = weighted_order_sample(_ds(ray, orders), _ds(ray, li), k=2,
                                  n_partitions=3).to_pandas()
     assert list(out["o_orderkey"]) == list(out2["o_orderkey"])
+
+
+def test_order_priority_counts_semi_join(ray_session):
+    """Q4 shape: EXISTS semantics — an order with THREE matching lines
+    counts once; an order with none counts zero; outside-window orders
+    excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import order_priority_counts
+
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(
+            np.array(["1996-02-01", "1996-03-01", "1996-04-01",
+                      "1999-01-01"], dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "3-MEDIUM", "1-URGENT"],
+            pa.string()),
+    }))
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 3, 4], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R"],
+                                 pa.string()),
+    }))
+    out = order_priority_counts(orders, lineitem,
+                                n_partitions=2).to_pandas()
+    # order 1: 3 R-lines -> counts ONCE; order 2: no lines; order 3:
+    # only N; order 4: R but outside window
+    expect = pd.DataFrame({"o_orderpriority": ["1-URGENT"],
+                           "order_count": [1]})
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        expect.astype({"order_count": "int64"}))
