@@ -1409,6 +1409,47 @@ def _q_events_hopping(sf_dir: str):
         window_min=60, hop_min=15)
 
 
+def _q_inactive_customers(sf_dir: str):
+    """Distributed ANTI-JOIN / NOT EXISTS (functions/relational.
+    inactive_customers): per-segment counts of customers with no
+    window order.  Orders shed to per-batch distinct custkeys, one
+    keyed union exchange, absence provable because co-location is
+    total per key."""
+    import ray.data
+
+    from readability_ray.functions import inactive_customers
+    return inactive_customers(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_large_order_totals(sf_dir: str):
+    """TPC-H Q18 shape (functions/relational.large_order_totals):
+    HAVING over the near-unique orderkey + global top-k — per-batch
+    (orderkey, qty) combiners, union-idiom keyed exchange for the
+    attribute attach, two-level top-k."""
+    import ray.data
+
+    from readability_ray.functions import large_order_totals
+    return large_order_totals(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        qty_threshold=250, k=100)
+
+
+def _q_quantity_moments(sf_dir: str):
+    """Distributed exact second moments (functions/relational.
+    quantity_moments): per-(flag, status) mean + population variance
+    from int64 (n, Σq, Σq²) partials — one bounded row per batch, the
+    only float ops are the two final divisions, mirrored op-for-op in
+    the DuckDB oracle at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import quantity_moments
+    return quantity_moments(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_minhash_recall(sf_dir: str):
     """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
     MinHash-LSH recall vs the exact set-similarity join at the same
@@ -2185,6 +2226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- SQL-oracled, past the 50-entry window (all driver-green in
         #    CORRECTNESS_r04) -------------------------------------------
         "bloom_novelty": _q_bloom_novelty,
+        "inactive_customers": _q_inactive_customers,
+        "large_order_totals": _q_large_order_totals,
+        "quantity_moments": _q_quantity_moments,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4187,6 +4231,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM e CROSS JOIN j
             GROUP BY 1, 2
+        """,
+        "inactive_customers": """
+            SELECT c_mktsegment,
+                   count(*)::BIGINT AS inactive_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '1996-01-01'
+                                AND o.o_orderdate < DATE '1997-01-01')
+            GROUP BY c_mktsegment
+        """,
+        "large_order_totals": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(l_quantity AS BIGINT))::BIGINT
+                           AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   round(o_totalprice * 100)::BIGINT
+                       AS o_totalprice_c2,
+                   total_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+            ORDER BY o_totalprice_c2 DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "quantity_moments": """
+            WITH p AS (
+                SELECT l_returnflag, l_linestatus,
+                       count(*)::BIGINT AS n,
+                       sum(CAST(l_quantity AS BIGINT))::BIGINT AS s,
+                       sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT))::BIGINT
+                           AS ssq
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, n,
+                   floor((s::DOUBLE / n::DOUBLE) * 1000000)
+                       / 1000000 AS mean_qty,
+                   floor(((n * ssq - s * s)::DOUBLE
+                          / (n * n)::DOUBLE) * 1000000)
+                       / 1000000 AS var_pop_qty
+            FROM p
         """,
         "order_priority_counts": """
             SELECT o_orderpriority, count(*)::BIGINT AS order_count

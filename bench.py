@@ -132,7 +132,8 @@ def _run_benchmarks() -> None:
                      "cms_heavy_hitters", "hll_distinct_tokens",
                      "events_hourly_rollup", "host_split", "minhash_recall",
                      "ann_recall", "ivf_recall", "order_priority_counts",
-                     "events_hopping_counts",
+                     "events_hopping_counts", "inactive_customers",
+                     "large_order_totals", "quantity_moments",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

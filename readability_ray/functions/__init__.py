@@ -56,10 +56,10 @@ from .robots import (
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
-    forecast_revenue, order_priority_counts, pricing_summary,
-    priority_line_counts,
-    promo_revenue_share, region_nation_revenue, segment_top_orders,
-    weighted_order_sample,
+    forecast_revenue, inactive_customers, large_order_totals,
+    order_priority_counts, pricing_summary, priority_line_counts,
+    promo_revenue_share, quantity_moments, region_nation_revenue,
+    segment_top_orders, weighted_order_sample,
 )
 from .headlinks import (extract_feed_links, extract_head_links,
                         feed_autodiscovery, head_links)
@@ -85,7 +85,8 @@ __all__ = [
     "doc_length_percentiles", "token_postings",
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
-    "order_priority_counts",
+    "order_priority_counts", "inactive_customers", "large_order_totals",
+    "quantity_moments",
     "weighted_order_sample",
     "extract_head_links", "head_links",
     "extract_feed_links", "feed_autodiscovery",

@@ -716,3 +716,257 @@ def order_priority_counts(orders: ray.data.Dataset,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def inactive_customers(customer: ray.data.Dataset,
+                       orders: ray.data.Dataset, *,
+                       date_lo: str = "1996-01-01",
+                       date_hi: str = "1997-01-01",
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """Distributed ANTI-JOIN (NOT EXISTS) — the complement of
+    ``order_priority_counts``'s semi-join: per market segment, count
+    customers with NO order in the window.
+
+    Same membership discipline: the orders side sheds to per-batch
+    DISTINCT custkeys (ids only), customers ship (key, segment), ONE
+    keyed union exchange co-locates them, and the per-partition pass
+    counts customer rows whose key carries no order tag.  Anti-join
+    needs the SAME co-location guarantee as semi-join (a key's absence
+    is only provable when every occurrence of the key is local), which
+    the hash exchange provides; partials are bounded (segment, n) rows
+    merged in a single block.
+
+    Output: (c_mktsegment, inactive_customers) ordered by segment.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    # keyed repartition runs on the union — flip both inputs' contexts
+    ensure_hash_shuffle(customer)
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def order_keys(batch: pd.DataFrame) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        keys = batch.loc[(d >= lo) & (d < hi), "o_custkey"].unique()
+        return arrow_out(pd.DataFrame({
+            "key": pd.Series(keys, dtype="int64"),
+            "segment": pd.Series([""] * len(keys), dtype="object"),
+            "_side": pd.Series(["o"] * len(keys), dtype="object")}))
+
+    def cust_rows(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "key": batch["c_custkey"].to_numpy(dtype=np.int64),
+            "segment": batch["c_mktsegment"].to_numpy(),
+            "_side": np.full(len(batch), "c", dtype=object)}))
+
+    o_side = strip_schema_metadata(
+        orders.select_columns(["o_custkey", "o_orderdate"])) \
+        .map_batches(order_keys, batch_format="pandas")
+    c_side = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_mktsegment"])) \
+        .map_batches(cust_rows, batch_format="pandas")
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype="object"),
+            "inactive_customers": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        tagged = set(batch.loc[batch["_side"] == "o", "key"])
+        c = batch[batch["_side"] == "c"]
+        m = c[~c["key"].isin(tagged)]
+        if len(m) == 0:
+            return arrow_out(empty)
+        g = m.groupby("segment", sort=False).size() \
+            .reset_index(name="inactive_customers")
+        return arrow_out(pd.DataFrame({
+            "c_mktsegment": g["segment"],
+            "inactive_customers":
+                g["inactive_customers"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "c_mktsegment" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "inactive_customers": pd.Series([], dtype="int64")}))
+        g = batch.groupby("c_mktsegment", as_index=False,
+                          sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return o_side.union(c_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def large_order_totals(orders: ray.data.Dataset,
+                       lineitem: ray.data.Dataset, *,
+                       qty_threshold: int = 250,
+                       k: int = 100,
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """TPC-H Q18 shape — HAVING over a NEAR-UNIQUE key + global top-k.
+
+    Orders whose total lineitem quantity exceeds ``qty_threshold``,
+    top ``k`` by (o_totalprice desc, o_orderkey asc).  The per-order
+    quantity sum is the mostly-unique-key aggregate a Dataset groupby
+    must never pay (CLAUDE.md round-3 finding): per-batch (orderkey,
+    qty) combiners shed the line rows to ≤ |orders-in-batch| partials,
+    the union idiom co-locates them with order attribute rows on ONE
+    keyed exchange, the per-partition pass finishes the sum + HAVING
+    filter + attribute attach, and top-k is two-level (partition-local
+    head, single-block merge of ≤ k×partitions candidates).
+
+    Money is exact integer cents (o_totalprice_c2); quantities in this
+    corpus are integral doubles, summed as int64.
+
+    Output: (o_orderkey, o_custkey, o_orderdate, o_totalprice_c2,
+    total_qty), ordered totalprice desc, orderkey asc.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(lineitem)
+    kparts = n_partitions or default_partitions()
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        qty = np.rint(batch["l_quantity"].to_numpy()).astype(np.int64)
+        g = pd.DataFrame({"key": batch["l_orderkey"].to_numpy(),
+                          "qty": qty}) \
+            .groupby("key", sort=False, as_index=False)["qty"].sum()
+        n = len(g)
+        return arrow_out(pd.DataFrame({
+            "key": g["key"].astype("int64"),
+            "qty": g["qty"].astype("int64"),
+            "custkey": np.zeros(n, dtype=np.int64),
+            "date_us": np.zeros(n, dtype=np.int64),
+            "price_c2": np.zeros(n, dtype=np.int64),
+            "_side": np.full(n, "l", dtype=object)}))
+
+    def order_rows(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        return arrow_out(pd.DataFrame({
+            "key": batch["o_orderkey"].to_numpy(dtype=np.int64),
+            "qty": np.zeros(n, dtype=np.int64),
+            "custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+            "date_us": batch["o_orderdate"]
+                .to_numpy(dtype="datetime64[us]").astype(np.int64),
+            "price_c2": _cents(batch["o_totalprice"]),
+            "_side": np.full(n, "o", dtype=object)}))
+
+    l_side = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_quantity"])) \
+        .map_batches(line_partials, batch_format="pandas")
+    o_side = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey",
+                               "o_orderdate", "o_totalprice"])) \
+        .map_batches(order_rows, batch_format="pandas")
+
+    empty = pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice_c2": pd.Series([], dtype="int64"),
+        "total_qty": pd.Series([], dtype="int64")})
+
+    def local_head(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty.copy())
+        lines = batch[batch["_side"] == "l"]
+        sums = lines.groupby("key", sort=False)["qty"].sum()
+        big = sums[sums > qty_threshold]
+        if len(big) == 0:
+            return arrow_out(empty.copy())
+        o = batch[batch["_side"] == "o"].set_index("key")
+        o = o.loc[o.index.intersection(big.index)]
+        frame = pd.DataFrame({
+            "o_orderkey": o.index.to_numpy(dtype=np.int64),
+            "o_custkey": o["custkey"].to_numpy(dtype=np.int64),
+            "o_orderdate": o["date_us"].to_numpy()
+                .astype("datetime64[us]"),
+            "o_totalprice_c2": o["price_c2"].to_numpy(dtype=np.int64),
+            "total_qty": big.loc[o.index].to_numpy(dtype=np.int64)})
+        frame = frame.sort_values(
+            ["o_totalprice_c2", "o_orderkey"], ascending=[False, True],
+            kind="stable").head(k)
+        return arrow_out(frame.reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_orderkey" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.sort_values(
+            ["o_totalprice_c2", "o_orderkey"], ascending=[False, True],
+            kind="stable").head(k)
+        return arrow_out(g.reset_index(drop=True))
+
+    return l_side.union(o_side) \
+        .repartition(num_blocks=kparts, keys=["key"]) \
+        .map_batches(local_head, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def quantity_moments(lineitem: ray.data.Dataset
+                     ) -> ray.data.Dataset:
+    """Distributed EXACT second moments — mean and population variance
+    of l_quantity per (l_returnflag, l_linestatus).
+
+    The parallel-moments shape: each batch emits ONE bounded-key row of
+    integer partials (n, Σq, Σq²) — quantities in this corpus are
+    integral, so the partials are exact int64 and re-associate freely
+    across any partitioning (float sumsq would be order-dependent and
+    could never hash-match the oracle).  The single-block merge sums
+    the integers, then takes the ONLY float steps last, mirroring the
+    DuckDB expression op-for-op: mean = double(Σq)/double(n), var_pop
+    = double(n·Σq² − (Σq)²)/double(n²) — one correctly-rounded IEEE
+    division each, floor-6 on both sides.
+
+    Output: (l_returnflag, l_linestatus, n, mean_qty, var_pop_qty).
+    """
+    FLOOR6 = 1_000_000
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        qty = np.rint(batch["l_quantity"].to_numpy()).astype(np.int64)
+        frame = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_numpy(),
+            "l_linestatus": batch["l_linestatus"].to_numpy(),
+            "n": np.ones(len(batch), dtype=np.int64),
+            "s": qty, "ssq": qty * qty})
+        g = frame.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False, sort=False).sum()
+        return arrow_out(g)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "l_returnflag" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype="object"),
+                "l_linestatus": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "mean_qty": pd.Series([], dtype="float64"),
+                "var_pop_qty": pd.Series([], dtype="float64")}))
+        g = batch.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False, sort=True).sum()
+        mean, var = [], []
+        for n, s, ssq in zip(g["n"], g["s"], g["ssq"]):
+            n, s, ssq = int(n), int(s), int(ssq)  # arbitrary precision
+            m = float(s) / float(n)
+            v = float(n * ssq - s * s) / float(n * n)
+            mean.append(np.floor(m * FLOOR6) / FLOOR6)
+            var.append(np.floor(v * FLOOR6) / FLOOR6)
+        return arrow_out(pd.DataFrame({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n": g["n"].astype("int64"),
+            "mean_qty": np.asarray(mean, dtype=np.float64),
+            "var_pop_qty": np.asarray(var, dtype=np.float64)}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_returnflag", "l_linestatus",
+                                 "l_quantity"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

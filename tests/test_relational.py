@@ -256,3 +256,102 @@ def test_order_priority_counts_semi_join(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True),
         expect.astype({"order_count": "int64"}))
+
+
+def test_inactive_customers_anti_join(ray_session):
+    """NOT EXISTS: a customer with an in-window order is excluded even
+    with 3 orders; out-of-window orders don't count as activity."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import inactive_customers
+
+    customer = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(
+            ["BUILDING", "BUILDING", "MACHINERY", "MACHINERY"],
+            pa.string()),
+    }))
+    orders = ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 1, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["1996-02-01", "1996-03-01", "1996-04-01", "1999-01-01",
+             "1996-06-01"], dtype="datetime64[us]")),
+    }))
+    out = inactive_customers(customer, orders,
+                             n_partitions=2).to_pandas()
+    # cust 1 active (3 windows orders, counts once as active); cust 2
+    # no orders at all; cust 3 only out-of-window; cust 4 active
+    expect = pd.DataFrame({
+        "c_mktsegment": ["BUILDING", "MACHINERY"],
+        "inactive_customers": [1, 1]})
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        expect.astype({"inactive_customers": "int64"}))
+
+
+def test_large_order_totals_having_topk(ray_session):
+    """Q18: per-order qty sums cross batches; HAVING strictly greater;
+    top-k ordered (price desc, orderkey asc)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import large_order_totals
+
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["1996-01-01", "1996-01-02", "1996-01-03"],
+            dtype="datetime64[us]")),
+        "o_totalprice": pa.array([100.50, 200.25, 200.25],
+                                 pa.float64()),
+    }))
+    # order 1: qty 5+5=10 (> 9 passes, > 10 fails); order 2: 12;
+    # order 3: 3
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([5.0, 5.0, 12.0, 3.0], pa.float64()),
+    }))
+    out = large_order_totals(orders, lineitem, qty_threshold=9,
+                             k=10, n_partitions=2).to_pandas()
+    assert list(out["o_orderkey"]) == [2, 1]   # price desc, key asc
+    assert list(out["total_qty"]) == [12, 10]
+    assert list(out["o_totalprice_c2"]) == [20025, 10050]
+    # strict >: threshold 10 drops order 1
+    out2 = large_order_totals(orders, lineitem, qty_threshold=10,
+                              k=10, n_partitions=3).to_pandas()
+    assert list(out2["o_orderkey"]) == [2]
+    # k truncation
+    out3 = large_order_totals(orders, lineitem, qty_threshold=1,
+                              k=2, n_partitions=2).to_pandas()
+    assert len(out3) == 2 and list(out3["o_orderkey"]) == [2, 3]
+
+
+def test_quantity_moments_exact(ray_session):
+    """Moments from int partials equal the direct computation and are
+    partitioning-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import quantity_moments
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(1, 51, size=400).astype(np.float64)
+    flags = np.where(rng.random(400) < 0.5, "A", "R")
+    ds = ray.data.from_arrow(pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array(["O"] * 400, pa.string()),
+        "l_quantity": pa.array(q, pa.float64()),
+    }))
+    out = quantity_moments(ds).to_pandas()
+    for _, row in out.iterrows():
+        sel = q[flags == row["l_returnflag"]]
+        assert row["n"] == len(sel)
+        assert abs(row["mean_qty"] - sel.mean()) < 2e-6
+        assert abs(row["var_pop_qty"] - sel.var()) < 2e-6
+    out2 = quantity_moments(ds.repartition(7)).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
