@@ -1450,6 +1450,45 @@ def _q_quantity_moments(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Ordered string_agg (functions/windows.user_event_paths):
+    order-dependent aggregation — each user's event sequence in
+    (ts, id) order; one keyed exchange, per-partition vectorized
+    sort + concat."""
+    import ray.data
+
+    from readability_ray.functions import user_event_paths
+    return user_event_paths(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_event_interarrival(sf_dir: str):
+    """LAG-diff + exact moments (functions/windows.
+    event_interarrival_stats): per-user inter-arrival gaps in exact
+    int64 µs; arbitrary-precision (n, Σg, Σg²) partials — Σg²
+    overflows int64 — with the only float steps the two final
+    divisions, mirrored op-for-op in SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import event_interarrival_stats
+    return event_interarrival_stats(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_funnel_counts(sf_dir: str):
+    """Funnel conversion (functions/windows.funnel_counts): longest
+    step-prefix present as an ordered subsequence of each user's
+    (ts, id)-ordered event stream; greedy vectorized matcher, one
+    keyed exchange, bounded-key merge.  SQL side proves subsequence
+    EXISTENCE with regexes over the ordered path string (greedy
+    first-match finds a prefix iff it exists)."""
+    import ray.data
+
+    from readability_ray.functions import funnel_counts
+    return funnel_counts(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_minhash_recall(sf_dir: str):
     """Dedup-quality metrology (functions/dedup.minhash_recall_stats):
     MinHash-LSH recall vs the exact set-similarity join at the same
@@ -2229,6 +2268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": _q_inactive_customers,
         "large_order_totals": _q_large_order_totals,
         "quantity_moments": _q_quantity_moments,
+        "user_event_paths": _q_user_event_paths,
+        "event_interarrival_stats": _q_event_interarrival,
+        "funnel_counts": _q_funnel_counts,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4231,6 +4273,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM e CROSS JOIN j
             GROUP BY 1, 2
+        """,
+        "user_event_paths": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS path
+            FROM events
+            GROUP BY user_id
+        """,
+        "event_interarrival_stats": """
+            WITH g AS (
+                SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS gap
+                FROM events
+            ), p AS (
+                SELECT count(gap)::BIGINT AS n,
+                       sum(gap::HUGEINT)::HUGEINT AS s,
+                       sum(gap::HUGEINT * gap::HUGEINT)::HUGEINT
+                           AS ssq
+                FROM g WHERE gap IS NOT NULL
+            )
+            SELECT n AS n_gaps,
+                   floor((s::DOUBLE / n::DOUBLE) * 1000000)
+                       / 1000000 AS mean_gap_us,
+                   floor(((n * ssq - s * s)::DOUBLE
+                          / (n::HUGEINT * n::HUGEINT)::DOUBLE)
+                         * 1000000) / 1000000 AS var_pop_gap_us
+            FROM p
+        """,
+        "funnel_counts": """
+            WITH p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                FROM events GROUP BY user_id
+            ), s AS (
+                SELECT CASE
+                    WHEN regexp_matches(path,
+                         '(^|>)view(>[^>]+)*>click(>[^>]+)*>purchase(>|$)')
+                        THEN 3
+                    WHEN regexp_matches(path,
+                         '(^|>)view(>[^>]+)*>click(>|$)') THEN 2
+                    WHEN regexp_matches(path, '(^|>)view(>|$)') THEN 1
+                    ELSE 0 END AS steps_completed
+                FROM p
+            ), c AS (
+                SELECT steps_completed,
+                       count(*)::BIGINT AS n_users
+                FROM s GROUP BY 1
+            )
+            SELECT lvl AS steps_completed,
+                   coalesce(n_users, 0)::BIGINT AS n_users
+            FROM (SELECT unnest([0, 1, 2, 3])::BIGINT AS lvl)
+            LEFT JOIN c ON c.steps_completed = lvl
         """,
         "inactive_customers": """
             SELECT c_mktsegment,

@@ -25,7 +25,8 @@ from .similarity import (
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
-    events_asof_join, events_range_join, events_rolling_counts,
+    event_interarrival_stats, events_asof_join, events_range_join,
+    events_rolling_counts, funnel_counts, user_event_paths,
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
@@ -86,7 +87,8 @@ __all__ = [
     "pricing_summary", "segment_top_orders", "region_nation_revenue",
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
     "order_priority_counts", "inactive_customers", "large_order_totals",
-    "quantity_moments",
+    "quantity_moments", "user_event_paths", "event_interarrival_stats",
+    "funnel_counts",
     "weighted_order_sample",
     "extract_head_links", "head_links",
     "extract_feed_links", "feed_autodiscovery",

@@ -279,3 +279,220 @@ def events_rolling_counts(ds: ray.data.Dataset, *, window: int = 3,
     return ds.map_batches(partials, batch_format="pyarrow") \
         .repartition(num_blocks=k, keys=["event_type"]) \
         .map_batches(roll, batch_format="pandas", batch_size=None)
+
+
+def user_event_paths(ds: ray.data.Dataset, *,
+                     key_col: str = "user_id",
+                     type_col: str = "event_type",
+                     ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     sep: str = ">",
+                     n_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """ORDER-DEPENDENT aggregation: each user's full event sequence
+    concatenated in (ts, id) order — the ordered ``string_agg`` shape
+    (clickstream paths / funnel mining).
+
+    Order-sensitive aggregates cannot be tree-reduced from unordered
+    partials; they need every row of a key in one place, in order.
+    ONE keyed exchange co-locates each user's rows (only (key, type,
+    ts, id) move — no payload), the per-partition pass is a vectorized
+    sort + groupby-join, and the output is one row per user.  The
+    deterministic (ts, id) tie-break makes the path reproducible at
+    any partitioning and bit-equal to the SQL oracle's
+    ``string_agg(... ORDER BY ts, event_id)``.
+
+    Skew: a partition holds all events of its users; a single
+    pathological hot key at web scale would need per-key segmented
+    concat (prefix pieces re-joined by segment index) — not required
+    on this corpus, same documented bound as events_asof_join.
+
+    Output: (user_id, n_events, path).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def paths(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or key_col not in batch.columns:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string())})
+        b = batch.sort_values([key_col, ts_col, id_col],
+                              kind="stable")
+        g = b.groupby(key_col, sort=True)[type_col] \
+            .agg(n_events="size", path=sep.join).reset_index()
+        return arrow_out(pd.DataFrame({
+            "user_id": g[key_col].astype("int64"),
+            "n_events": g["n_events"].astype("int64"),
+            "path": g["path"]}))
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, type_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(paths, batch_format="pandas", batch_size=None)
+
+
+def event_interarrival_stats(ds: ray.data.Dataset, *,
+                             key_col: str = "user_id",
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             n_partitions: int | None = None
+                             ) -> ray.data.Dataset:
+    """LAG-diff + exact distributed moments: mean and population
+    variance of per-user inter-arrival gaps (µs), corpus-wide.
+
+    The LAG is order-dependent per key → ONE keyed exchange, per-
+    partition vectorized sort + diff.  Gaps are exact int64 epoch-µs
+    differences, so the moment partials (n, Σg, Σg²) are exact
+    integers that re-associate freely (the quantity_moments rule);
+    Σg² needs arbitrary precision (µs² overflows int64), carried as
+    Python ints in OBJECT partial columns — one row per partition —
+    then the only float steps are the two final divisions, mirrored
+    op-for-op in the DuckDB oracle at floor-6.
+
+    Output: one row (n_gaps, mean_gap_us, var_pop_gap_us).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    FLOOR6 = 1_000_000
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        # A gap-less partition emits a ZERO row, never an empty
+        # frame: map_batches is skipped on empty blocks, so an
+        # all-empty plan would skip the merge UDF entirely and the
+        # output would lose its schema (the hash-shuffle gotcha).
+        zero = pd.DataFrame({
+            "n": pd.Series([0], dtype="int64"),
+            "s": pd.Series(["0"], dtype="object"),
+            "ssq": pd.Series(["0"], dtype="object")})
+        if len(batch) == 0 or key_col not in batch.columns:
+            return arrow_out(zero)
+        b = batch.sort_values([key_col, ts_col, id_col],
+                              kind="stable")
+        keys = b[key_col].to_numpy()
+        t = b[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = keys[1:] == keys[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        if len(gaps) == 0:
+            return arrow_out(zero)
+        s = int(gaps.sum())
+        ssq = sum(int(g) * int(g) for g in gaps)
+        return arrow_out(pd.DataFrame({
+            "n": pd.Series([len(gaps)], dtype="int64"),
+            "s": pd.Series([str(s)], dtype="object"),
+            "ssq": pd.Series([str(ssq)], dtype="object")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n" not in batch.columns or \
+                int(batch["n"].sum()) == 0:
+            return pa.table({
+                "n_gaps": pa.array([0], pa.int64()),
+                "mean_gap_us": pa.array([None], pa.float64()),
+                "var_pop_gap_us": pa.array([None], pa.float64())})
+        n = int(batch["n"].sum())
+        s = sum(int(x) for x in batch["s"])
+        ssq = sum(int(x) for x in batch["ssq"])
+        mean = float(s) / float(n)
+        var = float(n * ssq - s * s) / float(n * n)
+        return pa.table({
+            "n_gaps": pa.array([n], pa.int64()),
+            "mean_gap_us": pa.array(
+                [np.floor(mean * FLOOR6) / FLOOR6], pa.float64()),
+            "var_pop_gap_us": pa.array(
+                [np.floor(var * FLOOR6) / FLOOR6], pa.float64())})
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def funnel_counts(ds: ray.data.Dataset, *,
+                  steps: tuple[str, ...] = ("view", "click",
+                                            "purchase"),
+                  key_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  n_partitions: int | None = None
+                  ) -> ray.data.Dataset:
+    """Funnel conversion: per user, the longest PREFIX of ``steps``
+    that appears as an ordered subsequence of their event stream in
+    (ts, id) order — the clickstream funnel shape.
+
+    Subsequence matching is order-dependent per key → ONE keyed
+    exchange co-locates each user's (key, type, ts, id) rows (ids
+    only, no payload).  The per-partition pass is fully vectorized:
+    greedy matching advances one step at a time over ALL users at
+    once with ``np.minimum.reduceat`` over segment-masked row
+    positions (first occurrence of the step past each user's
+    pointer).  Greedy-first-match finds a prefix iff it exists as a
+    subsequence, so the result equals the oracle's existence regexes
+    over the ordered path string.  Output keys are bounded
+    (len(steps)+1 values) → per-partition bincount partials merged in
+    a single block (the pricing_summary bounded-key rule).
+
+    Output: (steps_completed, n_users), one row per 0..len(steps).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    n_steps = len(steps)
+    levels = np.arange(n_steps + 1, dtype=np.int64)
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        # Zero rows (not an empty frame) so the single-block merge
+        # always sees a schema (map_batches skips empty blocks).
+        if len(batch) == 0 or key_col not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "steps_completed": levels,
+                "n_users": np.zeros(n_steps + 1, dtype=np.int64)}))
+        b = batch.sort_values([key_col, ts_col, id_col],
+                              kind="stable")
+        keys = b[key_col].to_numpy()
+        n = len(b)
+        starts = np.flatnonzero(
+            np.r_[True, keys[1:] != keys[:-1]])
+        seg_len = np.diff(np.append(starts, n))
+        user_of_row = np.repeat(np.arange(len(starts)), seg_len)
+        pos = np.arange(n, dtype=np.int64)
+        ptr = np.full(len(starts), -1, dtype=np.int64)
+        completed = np.zeros(len(starts), dtype=np.int64)
+        types = b[type_col]
+        for step in steps:
+            hit = (types == step).to_numpy() & (pos > ptr[user_of_row])
+            vals = np.where(hit, pos, n)
+            first = np.minimum.reduceat(vals, starts)
+            ok = first < n
+            completed += ok
+            # A user that missed this step can never match later
+            # ones: park the pointer past every row.
+            ptr = np.where(ok, first, n)
+        counts = np.bincount(completed, minlength=n_steps + 1)
+        return arrow_out(pd.DataFrame({
+            "steps_completed": levels,
+            "n_users": counts.astype(np.int64)}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("steps_completed", as_index=False,
+                          sort=True)["n_users"].sum()
+        return arrow_out(pd.DataFrame({
+            "steps_completed": g["steps_completed"].astype("int64"),
+            "n_users": g["n_users"].astype("int64")}))
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, type_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -32,3 +32,120 @@ def test_events_hopping_counts(ray_session):
                                  hop_min=15).to_pandas()
     import pandas as pd
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_user_event_paths(ray_session):
+    """Ordered string_agg: path follows (ts, id) order regardless of
+    input row order or partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import user_event_paths
+
+    ts = np.array(["2024-01-01T00:02:00", "2024-01-01T00:01:00",
+                   "2024-01-01T00:01:00", "2024-01-01T00:03:00",
+                   "2024-01-01T00:00:30"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "event_type": pa.array(["c", "b", "a", "z", "y"], pa.string()),
+        "ts": pa.array(ts),
+        "event_id": pa.array([5, 2, 1, 3, 4], pa.int64()),
+    }))
+    out = user_event_paths(ds, n_partitions=2).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # user 7: ties at 00:01 broken by event_id (1 then 2) -> a>b>c
+    assert out.loc[0, "path"] == "a>b>c"
+    assert int(out.loc[0, "n_events"]) == 3
+    assert out.loc[1, "path"] == "y>z"
+    # partition-count invariance
+    out2 = user_event_paths(ds.repartition(4),
+                            n_partitions=3).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_interarrival_stats(ray_session):
+    """LAG-diff moments: exact vs a hand computation; gaps only
+    within a user; single-event users contribute nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_interarrival_stats
+
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:00:10",
+                   "2024-01-01T00:00:40", "2024-01-01T00:05:00",
+                   "2024-01-01T00:00:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(ts),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    out = event_interarrival_stats(ds, n_partitions=2).to_pandas()
+    # user 1 gaps: 10s, 30s (us). users 2,3: single events, no gap.
+    gaps = np.array([10_000_000, 30_000_000], dtype=np.int64)
+    n, s = len(gaps), int(gaps.sum())
+    ssq = int((gaps.astype(object) ** 2).sum())
+    mean = np.floor((s / n) * 1e6) / 1e6
+    var = np.floor(((n * ssq - s * s) / (n * n)) * 1e6) / 1e6
+    assert int(out.loc[0, "n_gaps"]) == 2
+    assert out.loc[0, "mean_gap_us"] == mean
+    assert out.loc[0, "var_pop_gap_us"] == var
+    # partition-count invariance (exact integer partials)
+    out2 = event_interarrival_stats(ds.repartition(5),
+                                    n_partitions=4).to_pandas()
+    assert out.equals(out2)
+
+
+def test_event_interarrival_empty(ray_session):
+    """No repeated users -> zero gaps, null moments, no crash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_interarrival_stats
+
+    ts = np.array(["2024-01-01T00:00:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array(ts),
+        "event_id": pa.array([1], pa.int64()),
+    }))
+    out = event_interarrival_stats(ds, n_partitions=2).to_pandas()
+    assert int(out.loc[0, "n_gaps"]) == 0
+    assert out.loc[0, "mean_gap_us"] is None or \
+        np.isnan(out.loc[0, "mean_gap_us"])
+
+
+def test_funnel_counts(ray_session):
+    """Greedy subsequence funnel: prefix depth per user, order from
+    (ts, id); all levels present even when empty."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import funnel_counts
+
+    # u1: view,click,purchase (full).  u2: click,view,click (stops
+    # at 2 — the view must precede a click).  u3: purchase only (0).
+    # u4: view only (1).  Ties at equal ts break by event_id.
+    ts = np.array(["2024-01-01T00:00:00"] * 3 +
+                  ["2024-01-01T00:00:00"] * 3 +
+                  ["2024-01-01T00:00:00",
+                   "2024-01-01T00:00:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase",
+                                "click", "view", "click",
+                                "purchase", "view"], pa.string()),
+        "ts": pa.array(ts),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+    }))
+    out = funnel_counts(ds, n_partitions=3).to_pandas() \
+        .sort_values("steps_completed").reset_index(drop=True)
+    assert out["steps_completed"].tolist() == [0, 1, 2, 3]
+    assert out["n_users"].tolist() == [1, 1, 1, 1]
+    # partition-count invariance
+    out2 = funnel_counts(ds.repartition(5),
+                         n_partitions=2).to_pandas() \
+        .sort_values("steps_completed").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
