@@ -1475,6 +1475,36 @@ def _q_event_interarrival(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape (functions/relational.
+    customer_order_distribution): outer-join count distribution —
+    per-batch custkey combiners, one ids-only keyed exchange,
+    bounded count-of-counts histogram partials; the zero bucket is
+    |customer| minus the nonzero mass (FK containment), never an
+    outer join."""
+    import ray.data
+
+    from readability_ray.functions import customer_order_distribution
+    return customer_order_distribution(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_top_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape (functions/relational.top_returned_customers):
+    two equi-joins on the union idiom — (orderkey) exchange maps
+    returned-line revenue onto custkeys, (custkey) exchange attaches
+    customer attributes; per-partition head-N, single tiny merge.
+    Revenue in exact c4 fixed point."""
+    import ray.data
+
+    from readability_ray.functions import top_returned_customers
+    return top_returned_customers(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_funnel_counts(sf_dir: str):
     """Funnel conversion (functions/windows.funnel_counts): longest
     step-prefix present as an ordered subsequence of each user's
@@ -2271,6 +2301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "event_interarrival_stats": _q_event_interarrival,
         "funnel_counts": _q_funnel_counts,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "top_returned_customers": _q_top_returned_customers,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4301,6 +4333,41 @@ def oracle_sql() -> dict[str, str]:
                           / (n::HUGEINT * n::HUGEINT)::DOUBLE)
                          * 1000000) / 1000000 AS var_pop_gap_us
             FROM p
+        """,
+        "top_returned_customers": """
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       sum(round(l.l_extendedprice * 100)::BIGINT
+                           * (100 - round(l.l_discount * 100)::BIGINT)
+                           )::BIGINT AS revenue_c4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+                GROUP BY 1
+            )
+            SELECT c.c_custkey, c.c_name,
+                   round(c.c_acctbal * 100)::BIGINT AS c_acctbal_cents,
+                   rev.revenue_c4
+            FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+            ORDER BY rev.revenue_c4 DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "customer_order_distribution": """
+            WITH oc AS (
+                SELECT o_custkey, count(*)::BIGINT AS c_count
+                FROM orders WHERE o_orderstatus <> 'P'
+                GROUP BY 1
+            ), per_cust AS (
+                SELECT c.c_custkey,
+                       coalesce(oc.c_count, 0) AS c_count
+                FROM customer c
+                LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+            )
+            SELECT c_count::BIGINT AS c_count,
+                   count(*)::BIGINT AS custdist
+            FROM per_cust GROUP BY 1
         """,
         "funnel_counts": """
             WITH p AS (

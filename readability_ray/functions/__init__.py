@@ -57,10 +57,11 @@ from .robots import (
 from .packing import pack_sequences, shard_shuffle
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
-    forecast_revenue, inactive_customers, large_order_totals,
+    customer_order_distribution, forecast_revenue, inactive_customers,
+    large_order_totals,
     order_priority_counts, pricing_summary, priority_line_counts,
     promo_revenue_share, quantity_moments, region_nation_revenue,
-    segment_top_orders, weighted_order_sample,
+    segment_top_orders, top_returned_customers, weighted_order_sample,
 )
 from .headlinks import (extract_feed_links, extract_head_links,
                         feed_autodiscovery, head_links)
@@ -88,7 +89,8 @@ __all__ = [
     "forecast_revenue", "priority_line_counts", "promo_revenue_share",
     "order_priority_counts", "inactive_customers", "large_order_totals",
     "quantity_moments", "user_event_paths", "event_interarrival_stats",
-    "funnel_counts",
+    "funnel_counts", "customer_order_distribution",
+    "top_returned_customers",
     "weighted_order_sample",
     "extract_head_links", "head_links",
     "extract_feed_links", "feed_autodiscovery",

@@ -970,3 +970,252 @@ def quantity_moments(lineitem: ray.data.Dataset
         .map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def customer_order_distribution(customer: ray.data.Dataset,
+                                orders: ray.data.Dataset, *,
+                                exclude_status: str = "P",
+                                n_partitions: int | None = None
+                                ) -> ray.data.Dataset:
+    """TPC-H Q13 shape — the OUTER-join count distribution: how many
+    customers placed exactly c orders (excluding ``exclude_status``
+    orders), INCLUDING the zero-order customers an inner join would
+    drop.
+
+    No Acero join: the orders side sheds to per-batch (custkey,
+    partial_n) combiner rows (ids only — distinct custkeys per batch,
+    not order rows), ONE keyed exchange finalizes per-customer counts,
+    and each partition emits its count-of-counts histogram (bounded:
+    max orders per customer).  The LEFT-join zero bucket needs only
+    |customer| (FK guarantees order custkeys ⊆ customers): the
+    customer side ships one (|batch|) tally row per batch, exchange-
+    free, and the single-block merge computes ``custdist(0) =
+    |customer| − Σ_{c≥1} custdist(c)`` — the zero row costs one
+    subtraction, not an outer join.
+
+    Output: (c_count, custdist), zero row present only when nonempty
+    (matching the SQL LEFT JOIN, which emits 0 only if some customer
+    has no qualifying order).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+
+    def order_partials(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["o_orderstatus"] != exclude_status]
+        g = b.groupby("o_custkey", sort=False).size() \
+            .reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "key": g["o_custkey"].astype("int64"),
+            "n": g["n"].astype("int64")}))
+
+    def hist_partials(batch: pd.DataFrame) -> pa.Table:
+        # Zero-row-safe: always emit at least the schema via a
+        # sentinel (c_count=-1, 0) so the merge UDF runs even on an
+        # all-empty plan (empty-block skip gotcha).
+        sentinel = pd.DataFrame({
+            "c_count": pd.Series([-1], dtype="int64"),
+            "custdist": pd.Series([0], dtype="int64")})
+        if len(batch) == 0 or "key" not in batch.columns:
+            return arrow_out(sentinel)
+        per_cust = batch.groupby("key", sort=False)["n"].sum()
+        h = per_cust.value_counts()
+        out = pd.DataFrame({
+            "c_count": h.index.to_numpy(dtype=np.int64),
+            "custdist": h.to_numpy(dtype=np.int64)})
+        return arrow_out(pd.concat([out, sentinel],
+                                   ignore_index=True))
+
+    o_hist = strip_schema_metadata(
+        orders.select_columns(["o_custkey", "o_orderstatus"])) \
+        .map_batches(order_partials, batch_format="pandas") \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(hist_partials, batch_format="pandas",
+                     batch_size=None)
+
+    def cust_tally(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "c_count": pd.Series([-2], dtype="int64"),
+            "custdist": pd.Series([len(batch)], dtype="int64")}))
+
+    c_tally = strip_schema_metadata(
+        customer.select_columns(["c_custkey"])) \
+        .map_batches(cust_tally, batch_format="pandas")
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        total = int(batch.loc[batch["c_count"] == -2,
+                              "custdist"].sum())
+        dist = batch[batch["c_count"] >= 1] \
+            .groupby("c_count", as_index=False, sort=True)["custdist"] \
+            .sum()
+        zero = total - int(dist["custdist"].sum())
+        if zero > 0:
+            dist = pd.concat([pd.DataFrame({
+                "c_count": pd.Series([0], dtype="int64"),
+                "custdist": pd.Series([zero], dtype="int64")}),
+                dist], ignore_index=True)
+        return arrow_out(pd.DataFrame({
+            "c_count": dist["c_count"].astype("int64"),
+            "custdist": dist["custdist"].astype("int64")}))
+
+    return o_hist.union(c_tally) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def top_returned_customers(customer: ray.data.Dataset,
+                           orders: ray.data.Dataset,
+                           lineitem: ray.data.Dataset, *,
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1996-07-01",
+                           returnflag: str = "R", n: int = 20,
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """TPC-H Q10 shape — returned-item revenue per customer, top-N
+    with customer attributes: lineitem(flag) ⋈ orders(window) ⋈
+    customer, revenue in exact c4 fixed point.
+
+    No Acero join: BOTH equi-joins ride the union idiom.  Exchange 1
+    (orderkey): lineitem sheds to per-batch (orderkey, rev_c4)
+    combiner rows, orders to (orderkey, custkey) window rows — the
+    per-partition pass maps each order's revenue onto its custkey and
+    re-combines, so only (custkey, rev_c4) partials leave.  Exchange 2
+    (custkey): those partials union with customer attribute rows; each
+    partition finalizes its custkeys' revenue, attaches attributes
+    with an in-partition merge, and heads N — the single merge block
+    sees ≤ N × partitions candidate rows.  Ids+cents+one name column
+    move; lineitem payload never does.
+
+    Output: (c_custkey, c_name, c_acctbal_cents, revenue_c4), top N
+    by (revenue desc, custkey asc).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    for d in (customer, orders, lineitem):
+        ensure_hash_shuffle(d)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["l_returnflag"] == returnflag]
+        if len(b) == 0:
+            return arrow_out(pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "rev_c4": pd.Series([], dtype="int64"),
+                "custkey": pd.Series([], dtype="int64"),
+                "_side": pd.Series([], dtype="object")}))
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "key": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "rev_c4": price_c * (100 - disc_bp),
+        }).groupby("key", as_index=False, sort=False).sum()
+        g["custkey"] = np.int64(0)
+        g["_side"] = "l"
+        return arrow_out(g)
+
+    def order_rows(batch: pd.DataFrame) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        return arrow_out(pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "rev_c4": np.zeros(len(b), dtype=np.int64),
+            "custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+            "_side": np.full(len(b), "o", dtype=object)}))
+
+    l_side = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_returnflag"])) \
+        .map_batches(line_partials, batch_format="pandas")
+    o_side = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey",
+                               "o_orderdate"])) \
+        .map_batches(order_rows, batch_format="pandas")
+
+    def to_custkey(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "key": pd.Series([], dtype="int64"),
+            "rev_c4": pd.Series([], dtype="int64"),
+            "name": pd.Series([], dtype="object"),
+            "acctbal_c": pd.Series([], dtype="int64"),
+            "_side": pd.Series([], dtype="object")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        rev = batch[batch["_side"] == "l"] \
+            .groupby("key", as_index=False, sort=False)["rev_c4"].sum()
+        o = batch.loc[batch["_side"] == "o", ["key", "custkey"]]
+        m = rev.merge(o, on="key", how="inner")
+        if len(m) == 0:
+            return arrow_out(empty)
+        g = m.groupby("custkey", as_index=False, sort=False)["rev_c4"] \
+            .sum()
+        return arrow_out(pd.DataFrame({
+            "key": g["custkey"].astype("int64"),
+            "rev_c4": g["rev_c4"].astype("int64"),
+            "name": pd.Series([""] * len(g), dtype="object"),
+            "acctbal_c": pd.Series([0] * len(g), dtype="int64"),
+            "_side": pd.Series(["r"] * len(g), dtype="object")}))
+
+    rev_side = l_side.union(o_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(to_custkey, batch_format="pandas",
+                     batch_size=None)
+    ensure_hash_shuffle(rev_side)
+
+    def cust_rows(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "key": batch["c_custkey"].to_numpy(dtype=np.int64),
+            "rev_c4": np.zeros(len(batch), dtype=np.int64),
+            "name": batch["c_name"].to_numpy(),
+            "acctbal_c": _cents(batch["c_acctbal"]),
+            "_side": np.full(len(batch), "c", dtype=object)}))
+
+    c_side = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_name",
+                                 "c_acctbal"])) \
+        .map_batches(cust_rows, batch_format="pandas")
+
+    out_cols = ["c_custkey", "c_name", "c_acctbal_cents", "revenue_c4"]
+
+    def local_topn(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype="object"),
+            "c_acctbal_cents": pd.Series([], dtype="int64"),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        rev = batch[batch["_side"] == "r"] \
+            .groupby("key", as_index=False, sort=False)["rev_c4"].sum()
+        attrs = batch.loc[batch["_side"] == "c",
+                          ["key", "name", "acctbal_c"]]
+        m = rev.merge(attrs, on="key", how="inner")
+        if len(m) == 0:
+            return arrow_out(empty)
+        top = m.sort_values(["rev_c4", "key"],
+                            ascending=[False, True]).head(n)
+        return arrow_out(pd.DataFrame({
+            "c_custkey": top["key"].astype("int64"),
+            "c_name": top["name"],
+            "c_acctbal_cents": top["acctbal_c"].astype("int64"),
+            "revenue_c4": top["rev_c4"].astype("int64")}))
+
+    def topn_merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "c_custkey" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+                "c_acctbal_cents": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64")}))
+        top = batch.sort_values(["revenue_c4", "c_custkey"],
+                                ascending=[False, True]).head(n)
+        return arrow_out(top[out_cols].reset_index(drop=True))
+
+    return rev_side.union(c_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(local_topn, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(topn_merge, batch_format="pandas",
+                     batch_size=None)

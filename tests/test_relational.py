@@ -355,3 +355,78 @@ def test_quantity_moments_exact(ray_session):
         assert abs(row["var_pop_qty"] - sel.var()) < 2e-6
     out2 = quantity_moments(ds.repartition(7)).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_customer_order_distribution(ray_session):
+    """Q13 outer-join distribution: zero bucket from the customer
+    tally, excluded status dropped, partition invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import customer_order_distribution
+
+    customer = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    # cust 1: 3 orders; cust 2: 1; cust 3: only a 'P' order (-> 0);
+    # custs 4,5: none.
+    orders = ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", "O", "P"],
+                                  pa.string()),
+    }))
+    out = customer_order_distribution(
+        customer, orders, n_partitions=2).to_pandas() \
+        .sort_values("c_count").reset_index(drop=True)
+    assert out["c_count"].tolist() == [0, 1, 3]
+    assert out["custdist"].tolist() == [3, 1, 1]
+    out2 = customer_order_distribution(
+        customer.repartition(3), orders.repartition(4),
+        n_partitions=3).to_pandas() \
+        .sort_values("c_count").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_top_returned_customers(ray_session):
+    """Q10: returned-line revenue mapped through orders onto
+    customers, exact cents, deterministic top-N."""
+    import pandas as pd
+    import pyarrow as pa
+    import numpy as np
+    import ray.data
+    from readability_ray.functions import top_returned_customers
+
+    customer = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"], pa.string()),
+        "c_acctbal": pa.array([10.50, -3.25, 0.0], pa.float64()),
+    }))
+    dates = np.array(["1996-02-01", "1996-03-01", "1995-01-01"],
+                     dtype="datetime64[us]")
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 200, 300], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1], pa.int64()),
+        "o_orderdate": pa.array(dates),
+    }))
+    # order 100: two R lines; order 200: one R line; order 300 out of
+    # window; one A line ignored.
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([100, 100, 200, 300, 100], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 5.0, 99.0, 7.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.10, 0.0, 0.05, 0.0, 0.0],
+                               pa.float64()),
+        "l_returnflag": pa.array(["R", "R", "R", "R", "A"],
+                                 pa.string()),
+    }))
+    out = top_returned_customers(customer, orders, lineitem,
+                                 n_partitions=2).to_pandas()
+    # cust 1: 1000c*90 + 2000c*100 = 290000 c4; cust 2: 500*95=47500
+    assert out["c_custkey"].tolist() == [1, 2]
+    assert out["revenue_c4"].tolist() == [290000, 47500]
+    assert out["c_acctbal_cents"].tolist() == [1050, -325]
+    assert out["c_name"].tolist() == ["a", "b"]
+    out2 = top_returned_customers(
+        customer.repartition(2), orders.repartition(3),
+        lineitem.repartition(4), n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
