@@ -1475,6 +1475,20 @@ def _q_event_interarrival(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_hll_by_lang(sf_dir: str):
+    """Grouped HLL (functions/sketch.hll_distinct_by_group): one
+    64-register vector per language, merged by per-group element-wise
+    max in a single bounded block; exact side = distinct (lang, token)
+    pairs through one token-keyed exchange, re-entering the same
+    merge via the union idiom.  Whole-sketch SQL oracle — every
+    register re-derived per group."""
+    import ray.data
+
+    from readability_ray.functions import hll_distinct_by_group
+    return hll_distinct_by_group(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_customer_order_distribution(sf_dir: str):
     """TPC-H Q13 shape (functions/relational.
     customer_order_distribution): outer-join count distribution —
@@ -2303,6 +2317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "customer_order_distribution": _q_customer_order_distribution,
         "top_returned_customers": _q_top_returned_customers,
+        "hll_distinct_by_lang": _q_hll_by_lang,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4559,6 +4574,56 @@ def oracle_sql() -> dict[str, str]:
                    (floor(est * 1e6) / 1e6)::DOUBLE AS hll_estimate,
                    64::BIGINT AS n_registers
             FROM fixed
+        """,
+        "hll_distinct_by_lang": f"""
+            -- the grouped sketch, every register re-derived per lang:
+            -- same arithmetic as hll_distinct_tokens with lang carried
+            -- through tok/th/tw/bl and registers seeded per (lang, idx)
+            WITH tok AS (
+                SELECT DISTINCT lang, unnest(regexp_extract_all(text,
+                    '[^ \\t\\n\\r\\f\\v]+')) AS token
+                FROM documents
+            ), th AS (
+                SELECT lang, token, {MD5_64_LE_SQL} AS h
+                FROM (SELECT lang, token, md5(token) AS h FROM tok)
+            ), tw AS (
+                SELECT lang, (h % 64)::BIGINT AS idx,
+                       (h // 64)::UBIGINT AS w
+                FROM th
+            ), bl AS (
+                SELECT lang, idx,
+                       coalesce(max(CASE WHEN (w >> i) > 0
+                                    THEN i + 1 END), 0) AS bitlen
+                FROM tw CROSS JOIN
+                     (SELECT unnest(generate_series(0, 57)) AS i)
+                GROUP BY lang, idx, w
+            ), reg AS (
+                SELECT r.lang, r.idx,
+                       coalesce(max(58 - b.bitlen + 1), 0) AS v
+                FROM ((SELECT DISTINCT lang FROM tok) CROSS JOIN
+                      (SELECT unnest(generate_series(0, 63)) AS idx)) r
+                LEFT JOIN bl b ON b.idx = r.idx AND b.lang = r.lang
+                GROUP BY r.lang, r.idx
+            ), raw AS (
+                SELECT lang,
+                       (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 /
+                           sum(pow(2.0, -v)) AS est,
+                       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS zeros
+                FROM reg GROUP BY lang
+            ), fixed AS (
+                SELECT lang,
+                       CASE WHEN est <= 2.5 * 64 AND zeros > 0
+                            THEN 64 * ln(64.0 / zeros)
+                            ELSE est END AS est
+                FROM raw
+            ), ex AS (
+                SELECT lang, count(*)::BIGINT AS exact_distinct
+                FROM tok GROUP BY lang
+            )
+            SELECT f.lang AS "group", ex.exact_distinct,
+                   (floor(f.est * 1e6) / 1e6)::DOUBLE AS hll_estimate
+            FROM fixed f JOIN ex ON ex.lang = f.lang
         """,
         "cms_heavy_hitters": f"""
             -- the whole sketch re-derived: position of token t in row

@@ -47,7 +47,8 @@ from .report import corpus_report
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
 from .tables import extract_tables, page_tables
-from .sketch import cms_sketch, cms_top_token_counts, hll_distinct_tokens
+from .sketch import (cms_sketch, cms_top_token_counts,
+                     hll_distinct_by_group, hll_distinct_tokens)
 from .robots import (
     fetch_schedule, parse_crawl_delay, parse_robots,
     parse_robots_rows, parse_robots_sitemaps, robots_allowed,
@@ -111,6 +112,7 @@ __all__ = [
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",
     "cms_sketch", "cms_top_token_counts", "hll_distinct_tokens",
+    "hll_distinct_by_group",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

@@ -201,3 +201,118 @@ def hll_distinct_tokens(ds: ray.data.Dataset, *,
         "hll_estimate": pa.array([est6], pa.float64()),
         "n_registers": pa.array([_HLL_M], pa.int64()),
     }))
+
+
+def hll_distinct_by_group(ds: ray.data.Dataset, *,
+                          group_col: str = "lang",
+                          text_col: str = "text") -> ray.data.Dataset:
+    """GROUPED HyperLogLog: per-group distinct-token estimates beside
+    the exact counts — the per-language vocab census shape (one
+    register vector per group, constant-size × |groups|).
+
+    Scale shape: register rows are (group, 64 ints) — mergeable by
+    per-group element-wise MAX, so each batch emits one row per group
+    it saw and the bounded-group single-block merge closes every
+    sketch (groups here are languages: ≤ tens).  The exact side
+    ships distinct (group, token) pairs per batch through ONE
+    token-keyed exchange (the hll_distinct_tokens shape, group
+    carried along) and re-enters the same merge via the union idiom —
+    no Acero join, the final block sees |groups| register rows +
+    |partitions|×|groups| count partials.
+
+    Output: (group, exact_distinct, hll_estimate) per group, the
+    estimate floor-6 with the linear-counting small-range branch.
+    """
+    import math
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(ds)
+    k = default_partitions()
+
+    def reg_partials(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        per_group: dict[str, set] = {}
+        for g, t in zip(groups, texts):
+            per_group.setdefault(g, set()).update(
+                _TOKEN_RE.findall(t or ""))
+        out_g, out_r = [], []
+        for g, toks in per_group.items():
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            for tok in toks:
+                idx, rho = _hll_register_updates(tok)
+                if rho > regs[idx]:
+                    regs[idx] = rho
+            out_g.append(g)
+            out_r.append(regs.tolist())
+        return pa.table({
+            "group": pa.array(out_g, pa.string()),
+            "regs": pa.array(out_r, pa.list_(pa.int64())),
+            "n": pa.array([0] * len(out_g), pa.int64()),
+            "_side": pa.array(["r"] * len(out_g), pa.string())})
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        pairs = set()
+        for g, t in zip(groups, texts):
+            for tok in _TOKEN_RE.findall(t or ""):
+                pairs.add((g, tok))
+        gs, ts = (list(x) for x in zip(*sorted(pairs))) \
+            if pairs else ([], [])
+        return pa.table({"group": pa.array(gs, pa.string()),
+                         "token": pa.array(ts, pa.string())})
+
+    def count_partials(batch: pd.DataFrame) -> pa.Table:
+        # typed empty (a pandas object column would infer arrow NULL
+        # type for regs and break the union's schema unify)
+        empty = pa.table({
+            "group": pa.array([], pa.string()),
+            "regs": pa.array([], pa.list_(pa.int64())),
+            "n": pa.array([], pa.int64()),
+            "_side": pa.array([], pa.string())})
+        if len(batch) == 0 or "token" not in batch.columns:
+            return empty
+        g = batch.drop_duplicates() \
+            .groupby("group", sort=False).size().reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "group": g["group"],
+            "regs": pd.Series([[0] * _HLL_M] * len(g), dtype="object"),
+            "n": g["n"].astype("int64"),
+            "_side": pd.Series(["e"] * len(g), dtype="object")}))
+
+    reg_side = strip_schema_metadata(
+        ds.select_columns([group_col, text_col])) \
+        .map_batches(reg_partials, batch_format="pyarrow")
+    exact_side = strip_schema_metadata(
+        ds.select_columns([group_col, text_col])) \
+        .map_batches(pair_partials, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["token"]) \
+        .map_batches(count_partials, batch_format="pandas",
+                     batch_size=None)
+    ensure_hash_shuffle(exact_side)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        out = []
+        for g in sorted(batch["group"].unique()):
+            b = batch[batch["group"] == g]
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            for r in b.loc[b["_side"] == "r", "regs"]:
+                regs = np.maximum(regs, np.asarray(r, dtype=np.int64))
+            est = _HLL_ALPHA * _HLL_M * _HLL_M / float(
+                sum(2.0 ** -int(r) for r in regs))
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * _HLL_M and zeros > 0:
+                est = _HLL_M * math.log(_HLL_M / zeros)
+            out.append((g, int(b.loc[b["_side"] == "e", "n"].sum()),
+                        math.floor(est * 1e6) / 1e6))
+        return pa.table({
+            "group": pa.array([o[0] for o in out], pa.string()),
+            "exact_distinct": pa.array([o[1] for o in out],
+                                       pa.int64()),
+            "hll_estimate": pa.array([o[2] for o in out],
+                                     pa.float64())})
+
+    return reg_side.union(exact_side) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

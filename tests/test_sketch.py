@@ -61,3 +61,35 @@ def test_hll_small_range_linear_counting(ray_session):
     assert int(out["exact_distinct"].iloc[0]) == 4
     est = float(out["hll_estimate"].iloc[0])
     assert 1 <= est <= 20  # linear-counting branch, tiny cardinality
+
+
+def test_hll_by_group_matches_ungrouped(ray_session):
+    """Per-group registers equal the single-group sketch run on that
+    group alone; exact counts are true distincts; partition
+    invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import (hll_distinct_by_group,
+                                           hll_distinct_tokens)
+
+    docs = pa.table({
+        "lang": pa.array(["en", "en", "de", "de", "de"], pa.string()),
+        "text": pa.array(["a b c", "b c d", "x y", "y z", "z x w"],
+                         pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+    out = hll_distinct_by_group(ds).to_pandas() \
+        .sort_values("group").reset_index(drop=True)
+    assert out["group"].tolist() == ["de", "en"]
+    assert out["exact_distinct"].tolist() == [4, 4]  # xyzw / abcd
+    # each group's estimate equals the ungrouped sketch on its slice
+    for g in ("en", "de"):
+        solo = hll_distinct_tokens(
+            ds.filter(expr=f"lang == '{g}'")).to_pandas()
+        row = out[out["group"] == g].iloc[0]
+        assert row["hll_estimate"] == solo.loc[0, "hll_estimate"]
+        assert row["exact_distinct"] == solo.loc[0, "exact_distinct"]
+    out2 = hll_distinct_by_group(ds.repartition(4)).to_pandas() \
+        .sort_values("group").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
