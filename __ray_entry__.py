@@ -1475,6 +1475,19 @@ def _q_event_interarrival(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_global_rank(sf_dir: str):
+    """Distributed global ORDER BY (functions/ranking.global_rank):
+    TeraSort-style range partition — bounded order-statistic sample →
+    splitters, exact per-range counts → prefix offsets, one range
+    exchange, in-partition sort; every row's rank exact at any
+    partitioning."""
+    import ray.data
+
+    from readability_ray.functions import global_rank
+    return global_rank(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_hll_by_lang(sf_dir: str):
     """Grouped HLL (functions/sketch.hll_distinct_by_group): one
     64-register vector per language, merged by per-group element-wise
@@ -2318,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "top_returned_customers": _q_top_returned_customers,
         "hll_distinct_by_lang": _q_hll_by_lang,
+        "global_rank": _q_global_rank,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4348,6 +4362,13 @@ def oracle_sql() -> dict[str, str]:
                           / (n::HUGEINT * n::HUGEINT)::DOUBLE)
                          * 1000000) / 1000000 AS var_pop_gap_us
             FROM p
+        """,
+        "global_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER
+                       (ORDER BY n_chars DESC, doc_id ASC)::BIGINT
+                       AS rank
+            FROM documents
         """,
         "top_returned_customers": """
             WITH rev AS (
