@@ -1475,6 +1475,17 @@ def _q_event_interarrival(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE (functions/textstats.events_hourly_cube): all
+    four grouping sets from finalized bounded-key cells — one
+    single-block merge, no keyed shuffle at any corpus size."""
+    import ray.data
+
+    from readability_ray.functions import events_hourly_cube
+    return events_hourly_cube(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_global_rank(sf_dir: str):
     """Distributed global ORDER BY (functions/ranking.global_rank):
     TeraSort-style range partition — bounded order-statistic sample →
@@ -2332,6 +2343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returned_customers": _q_top_returned_customers,
         "hll_distinct_by_lang": _q_hll_by_lang,
         "global_rank": _q_global_rank,
+        "events_hourly_cube": _q_events_cube,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4548,6 +4560,16 @@ def oracle_sql() -> dict[str, str]:
                          epoch_us(ts) // 3600000000 AS h
                   FROM events)
             GROUP BY ROLLUP(event_type, h)
+        """,
+        "events_hourly_cube": """
+            SELECT CASE WHEN grouping(event_type) = 0
+                        THEN event_type END AS event_type,
+                   CASE WHEN grouping(h) = 0 THEN h END AS hour,
+                   count(*)::BIGINT AS n_events
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 3600000000 AS h
+                  FROM events)
+            GROUP BY CUBE(event_type, h)
         """,
         "hll_distinct_tokens": f"""
             -- every register re-derived: idx = md5_le64(t) % 64,

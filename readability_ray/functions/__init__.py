@@ -11,7 +11,8 @@ from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
-    top_users_per_type, events_hourly_rollup, events_hopping_counts,
+    top_users_per_type, events_hourly_cube, events_hourly_rollup,
+    events_hopping_counts,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -108,7 +109,7 @@ __all__ = [
     "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type", "events_hourly_rollup",
-    "events_hopping_counts",
+    "events_hourly_cube", "events_hopping_counts",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

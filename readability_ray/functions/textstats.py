@@ -748,6 +748,73 @@ def events_hourly_rollup(events: ray.data.Dataset
         .map_batches(rollup, batch_format="pandas", batch_size=None)
 
 
+def events_hourly_cube(events: ray.data.Dataset
+                       ) -> ray.data.Dataset:
+    """GROUP BY CUBE(event_type, hour): all FOUR grouping sets —
+    per-(type, hour) cells, per-type margins, per-hour margins, and
+    the grand total, NULL-keyed margins exactly as SQL CUBE emits
+    them.  Same bounded-key topology as events_hourly_rollup (the
+    pricing_summary rule): per-batch partials collapse each block to
+    <= |types|x|hours| rows, one single-block merge derives every
+    grouping set from the finalized cells — margins cost zero extra
+    passes over the data.
+
+    Output: (event_type, hour, n_events), NULLs marking margins.
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        frame = pd.DataFrame({"event_type": batch["event_type"],
+                              "hour": hours})
+        g = frame.groupby(["event_type", "hour"], as_index=False,
+                          sort=False).size() \
+            .rename(columns={"size": "n"})
+        return arrow_out(g)
+
+    def cube(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        g = batch.groupby(["event_type", "hour"], as_index=False,
+                          sort=False)["n"].sum()
+        by_type = g.groupby("event_type", as_index=False,
+                            sort=False)["n"].sum()
+        by_hour = g.groupby("hour", as_index=False,
+                            sort=False)["n"].sum()
+        rows_t, rows_h, rows_n = [], [], []
+        for r in g.itertuples(index=False):
+            rows_t.append(r.event_type)
+            rows_h.append(int(r.hour))
+            rows_n.append(int(r.n))
+        for r in by_type.itertuples(index=False):
+            rows_t.append(r.event_type)
+            rows_h.append(None)
+            rows_n.append(int(r.n))
+        for r in by_hour.itertuples(index=False):
+            rows_t.append(None)
+            rows_h.append(int(r.hour))
+            rows_n.append(int(r.n))
+        rows_t.append(None)
+        rows_h.append(None)
+        rows_n.append(int(g["n"].sum()))
+        return pa.table({
+            "event_type": pa.array(rows_t, pa.string()),
+            "hour": pa.array(rows_h, pa.int64()),
+            "n_events": pa.array(rows_n, pa.int64())})
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "ts"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(cube, batch_format="pandas", batch_size=None)
+
+
 def events_hopping_counts(events: ray.data.Dataset, *,
                           window_min: int = 60,
                           hop_min: int = 15) -> ray.data.Dataset:

@@ -149,3 +149,35 @@ def test_funnel_counts(ray_session):
                          n_partitions=2).to_pandas() \
         .sort_values("steps_completed").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_hourly_cube(ray_session):
+    """CUBE = cells + both margins + grand total; margin sums check
+    out; partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_hourly_cube
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:40:00",
+                   "2024-01-01T01:10:00", "2024-01-01T01:20:00"],
+                  dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a", "b", "a", "a"], pa.string()),
+        "ts": pa.array(ts),
+    }))
+    out = events_hourly_cube(ds).to_pandas()
+    total = out[(out["event_type"].isna()) & (out["hour"].isna())]
+    assert total["n_events"].tolist() == [4]
+    a_margin = out[(out["event_type"] == "a") & (out["hour"].isna())]
+    assert a_margin["n_events"].tolist() == [3]
+    h0 = out[(out["event_type"].isna()) & (out["hour"].notna())]
+    assert sorted(h0["n_events"].tolist()) == [2, 2]
+    cells = out[(out["event_type"].notna()) & (out["hour"].notna())]
+    assert int(cells["n_events"].sum()) == 4
+    out2 = events_hourly_cube(ds.repartition(3)).to_pandas()
+    key = ["event_type", "hour"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True))
