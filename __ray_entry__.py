@@ -1475,6 +1475,52 @@ def _q_event_interarrival(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_qty_price_corr(sf_dir: str):
+    """Exact distributed Pearson correlation (functions/relational.
+    quantity_price_correlation): five integer-sum partials per batch,
+    big-int merge, the only float steps (two sqrt, one divide)
+    mirrored op-for-op in HUGEINT SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import quantity_price_correlation
+    return quantity_price_correlation(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_event_value_histogram(sf_dir: str):
+    """Fixed-width histogram (functions/textstats.
+    event_value_histogram): bit-equal floor(value/width) bin ids,
+    range-bounded bincount partials, single-block merge."""
+    import ray.data
+
+    from readability_ray.functions import event_value_histogram
+    return event_value_histogram(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_length_pct_by_lang(sf_dir: str):
+    """Grouped exact percentiles (functions/textstats.
+    doc_length_percentiles_by_group): per-(group, length) histogram
+    partials, bounded single-block merge, quantile_disc semantics
+    per language — never a sort."""
+    import ray.data
+
+    from readability_ray.functions import doc_length_percentiles_by_group
+    return doc_length_percentiles_by_group(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_user_modal_event(sf_dir: str):
+    """Grouped argmax / mode (functions/textstats.
+    user_modal_event_type): per-batch (user, type, n) combiners, one
+    ids-only keyed exchange, vectorized first-per-user pick."""
+    import ray.data
+
+    from readability_ray.functions import user_modal_event_type
+    return user_modal_event_type(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE (functions/textstats.events_hourly_cube): all
     four grouping sets from finalized bounded-key cells — one
@@ -2344,6 +2390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": _q_hll_by_lang,
         "global_rank": _q_global_rank,
         "events_hourly_cube": _q_events_cube,
+        "quantity_price_correlation": _q_qty_price_corr,
+        "event_value_histogram": _q_event_value_histogram,
+        "doc_length_percentiles_by_lang": _q_length_pct_by_lang,
+        "user_modal_event_type": _q_user_modal_event,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4374,6 +4424,65 @@ def oracle_sql() -> dict[str, str]:
                           / (n::HUGEINT * n::HUGEINT)::DOUBLE)
                          * 1000000) / 1000000 AS var_pop_gap_us
             FROM p
+        """,
+        "doc_length_percentiles_by_lang": """
+            WITH g AS (
+                SELECT lang,
+                       quantile_disc(length(text),
+                                     [0.25, 0.5, 0.75, 0.9]) AS qs
+                FROM documents GROUP BY lang
+            )
+            SELECT lang AS "group",
+                   floor(q * 1000000) / 1000000 AS q,
+                   v::BIGINT AS n_chars
+            FROM (SELECT lang,
+                         unnest([0.25, 0.5, 0.75, 0.9]) AS q,
+                         unnest(qs) AS v
+                  FROM g)
+        """,
+        "user_modal_event_type": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, n_events FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n_events DESC, event_type ASC) AS rn
+                FROM c) WHERE rn = 1
+        """,
+        "quantity_price_correlation": """
+            WITH p AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(round(l_quantity)::HUGEINT)::HUGEINT AS sq,
+                       sum(round(l_extendedprice * 100)::HUGEINT)
+                           ::HUGEINT AS sp,
+                       sum(round(l_quantity)::HUGEINT
+                           * round(l_extendedprice * 100)::HUGEINT)
+                           ::HUGEINT AS sqp,
+                       sum(round(l_quantity)::HUGEINT
+                           * round(l_quantity)::HUGEINT)::HUGEINT
+                           AS sqq,
+                       sum(round(l_extendedprice * 100)::HUGEINT
+                           * round(l_extendedprice * 100)::HUGEINT)
+                           ::HUGEINT AS spp
+                FROM lineitem
+            )
+            SELECT n,
+                   floor(((n * sqp - sq * sp)::DOUBLE
+                          / (sqrt((n * sqq - sq * sq)::DOUBLE)
+                             * sqrt((n * spp - sp * sp)::DOUBLE)))
+                         * 1000000) / 1000000 AS corr_qty_price
+            FROM p
+        """,
+        "event_value_histogram": """
+            SELECT floor(value / 10.0)::BIGINT AS bin,
+                   floor(value / 10.0) * 10.0 AS lo,
+                   count(*)::BIGINT AS n_events
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY 1, 2
         """,
         "global_rank": """
             SELECT doc_id, n_chars,

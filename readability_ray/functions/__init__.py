@@ -11,8 +11,9 @@ from .textstats import (
     bpe_token_stats, corpus_clean, doc_lang_stats, doc_length_percentiles,
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
-    top_users_per_type, events_hourly_cube, events_hourly_rollup,
-    events_hopping_counts,
+    top_users_per_type, doc_length_percentiles_by_group,
+    event_value_histogram, events_hourly_cube,
+    events_hourly_rollup, events_hopping_counts, user_modal_event_type,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -64,7 +65,8 @@ from .relational import (
     large_order_totals,
     order_priority_counts, pricing_summary, priority_line_counts,
     promo_revenue_share, quantity_moments, region_nation_revenue,
-    segment_top_orders, top_returned_customers, weighted_order_sample,
+    quantity_price_correlation, segment_top_orders,
+    top_returned_customers, weighted_order_sample,
 )
 from .headlinks import (extract_feed_links, extract_head_links,
                         feed_autodiscovery, head_links)
@@ -110,6 +112,8 @@ __all__ = [
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
     "sitemap_discovery", "top_users_per_type", "events_hourly_rollup",
     "events_hourly_cube", "events_hopping_counts",
+    "event_value_histogram", "quantity_price_correlation",
+    "doc_length_percentiles_by_group", "user_modal_event_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -1219,3 +1219,73 @@ def top_returned_customers(customer: ray.data.Dataset,
         .repartition(1) \
         .map_batches(topn_merge, batch_format="pandas",
                      batch_size=None)
+
+
+def quantity_price_correlation(lineitem: ray.data.Dataset
+                               ) -> ray.data.Dataset:
+    """Distributed EXACT Pearson correlation between l_quantity and
+    l_extendedprice — the five-sum parallel-correlation shape: each
+    batch emits ONE row of integer partials (n, Σq, Σp, Σqp, Σq²,
+    Σp²) over (quantity, price-cents), both integral in this corpus,
+    so the partials re-associate exactly at any partitioning.
+
+    Σp² and Σqp overflow int64 over a large corpus: per-element
+    products are exact int64 (≤1e14), the batch total is taken in
+    int64-safe chunks of 1024 via np.add.reduceat and summed into a
+    Python arbitrary-precision int carried as a STRING partial column
+    — the event_interarrival_stats technique, vectorized.  The merge
+    sums big ints, then mirrors the only float steps op-for-op with
+    the DuckDB HUGEINT oracle: r = double(nΣqp − ΣqΣp) /
+    (sqrt(double(nΣq² − Σq²)) · sqrt(double(nΣp² − Σp²))), floor-6.
+
+    Output: one row (n, corr_qty_price).
+    """
+    import math
+    FLOOR6 = 1_000_000
+
+    def _big_sum(arr: np.ndarray) -> int:
+        if len(arr) == 0:
+            return 0
+        cuts = np.arange(0, len(arr), 1024)
+        return sum(int(x) for x in np.add.reduceat(arr, cuts))
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        q = np.rint(batch["l_quantity"].to_numpy()).astype(np.int64)
+        p = _cents(batch["l_extendedprice"])
+        return arrow_out(pd.DataFrame({
+            "n": pd.Series([len(q)], dtype="int64"),
+            "sq": pd.Series([str(int(q.sum()))], dtype="object"),
+            "sp": pd.Series([str(_big_sum(p))], dtype="object"),
+            "sqp": pd.Series([str(_big_sum(q * p))], dtype="object"),
+            "sqq": pd.Series([str(int((q * q).sum()))],
+                             dtype="object"),
+            "spp": pd.Series([str(_big_sum(p * p))],
+                             dtype="object")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n" not in batch.columns or \
+                int(batch["n"].sum()) == 0:
+            return pa.table({
+                "n": pa.array([0], pa.int64()),
+                "corr_qty_price": pa.array([None], pa.float64())})
+        n = int(batch["n"].sum())
+        sq = sum(int(x) for x in batch["sq"])
+        sp = sum(int(x) for x in batch["sp"])
+        sqp = sum(int(x) for x in batch["sqp"])
+        sqq = sum(int(x) for x in batch["sqq"])
+        spp = sum(int(x) for x in batch["spp"])
+        num = float(n * sqp - sq * sp)
+        den = math.sqrt(float(n * sqq - sq * sq)) * \
+            math.sqrt(float(n * spp - sp * sp))
+        r = num / den if den != 0.0 else None
+        if r is not None:
+            r = np.floor(r * FLOOR6) / FLOOR6
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "corr_qty_price": pa.array([r], pa.float64())})
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_quantity", "l_extendedprice"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

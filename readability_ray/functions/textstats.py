@@ -365,6 +365,122 @@ def doc_length_percentiles(ds: ray.data.Dataset,
                      batch_size=None)
 
 
+def doc_length_percentiles_by_group(ds: ray.data.Dataset, *,
+                                    group_col: str = "lang",
+                                    quantiles: tuple = (0.25, 0.5,
+                                                        0.75, 0.9)
+                                    ) -> ray.data.Dataset:
+    """GROUPED exact percentiles: per-group document-length quantiles
+    from per-(group, length) histogram partials — the
+    doc_length_percentiles shape with the group key carried through.
+    The exchange still moves O(groups x distinct_lengths x batches)
+    partial rows, never O(rows); groups here are languages (bounded),
+    so the merge stays the single-block rule.
+
+    Discrete (lower, nearest-rank) semantics per group — the element
+    DuckDB's ``quantile_disc`` picks.  Output: (group, q, n_chars).
+    """
+    import pandas as pd
+
+    from .util import arrow_out
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        vc = pa.table({"group": batch.column(group_col),
+                       "n_chars": lengths}) \
+            .group_by(["group", "n_chars"]) \
+            .aggregate([("n_chars", "count")])
+        return pa.table({
+            "group": vc.column("group"),
+            "n_chars": vc.column("n_chars"),
+            "cnt": vc.column("n_chars_count").cast(pa.int64()),
+        })
+
+    def quantile_pass(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "group" not in batch.columns:
+            return arrow_out(pd.DataFrame(
+                {"group": pd.Series([], dtype="object"),
+                 "q": pd.Series([], dtype="float64"),
+                 "n_chars": pd.Series([], dtype="int64")}))
+        out_g, out_q, out_v = [], [], []
+        for g in sorted(batch["group"].unique()):
+            hist = batch[batch["group"] == g] \
+                .groupby("n_chars", sort=True)["cnt"].sum()
+            values = hist.index.to_numpy()
+            cum = hist.to_numpy().cumsum()
+            n = int(cum[-1])
+            for q in quantiles:
+                rank = max(1, int(np.ceil(q * n)))
+                out_g.append(g)
+                out_q.append(np.floor(q * 1e6) / 1e6)
+                out_v.append(int(values[np.searchsorted(cum, rank)]))
+        return arrow_out(pd.DataFrame(
+            {"group": pd.Series(out_g, dtype="object"),
+             "q": pd.Series(out_q, dtype="float64"),
+             "n_chars": pd.Series(out_v, dtype="int64")}))
+
+    from .util import strip_schema_metadata
+    return strip_schema_metadata(
+        ds.select_columns([group_col, "text"])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(quantile_pass, batch_format="pandas",
+                     batch_size=None)
+
+
+def user_modal_event_type(events: ray.data.Dataset, *,
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """Per-key MODE (argmax): each user's most frequent event type,
+    ties to the lexicographically smallest type — the grouped-argmax
+    shape (dominant category per entity).
+
+    Per-batch (user, type, n) combiners collapse each block to its
+    distinct pairs, ONE user-keyed ids-only exchange co-locates each
+    user's partials, and the per-partition pass is one vectorized
+    groupby-sum + sort + first-per-user.  Output:
+    (user_id, event_type, n_events).
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    k = n_partitions or default_partitions()
+
+    def combiners(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(["user_id", "event_type"],
+                          sort=False).size().reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64")}))
+
+    def argmax(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "user_id" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby(["user_id", "event_type"],
+                          as_index=False, sort=False)["n"].sum()
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          kind="stable")
+        top = g.drop_duplicates("user_id", keep="first")
+        return arrow_out(pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "event_type": top["event_type"],
+            "n_events": top["n"].astype("int64")}))
+
+    return strip_schema_metadata(
+        events.select_columns(["user_id", "event_type"])) \
+        .map_batches(combiners, batch_format="pandas") \
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(argmax, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:
@@ -813,6 +929,51 @@ def events_hourly_cube(events: ray.data.Dataset
         .map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+def event_value_histogram(events: ray.data.Dataset, *,
+                          width: float = 10.0) -> ray.data.Dataset:
+    """Binned value histogram — the fixed-width numeric histogram
+    primitive (monitoring dashboards, distribution drift checks).
+
+    bin = floor(value / width): one IEEE division + floor, identical
+    on both sides (width is a power-of-two-friendly literal; the
+    division is correctly rounded in both numpy and DuckDB, so bin
+    ids are bit-equal).  Per-batch bincount partials are bounded by
+    the VALUE RANGE, not the row count, so the merge is the
+    pricing_summary single-block rule — no keyed shuffle at any
+    corpus size.  Output: (bin, lo, n_events) with lo = bin*width.
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.floor(v / width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return arrow_out(pd.DataFrame({
+            "bin": u.astype(np.int64),
+            "n_events": c.astype(np.int64)}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "bin" not in batch.columns:
+            return pa.table({
+                "bin": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.float64()),
+                "n_events": pa.array([], pa.int64())})
+        g = batch.groupby("bin", as_index=False, sort=True)
+        g = g["n_events"].sum()
+        return arrow_out(pd.DataFrame({
+            "bin": g["bin"].astype("int64"),
+            "lo": g["bin"].to_numpy(dtype=np.float64) * width,
+            "n_events": g["n_events"].astype("int64")}))
+
+    return strip_schema_metadata(events.select_columns(["value"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def events_hopping_counts(events: ray.data.Dataset, *,

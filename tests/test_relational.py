@@ -430,3 +430,47 @@ def test_top_returned_customers(ray_session):
         customer.repartition(2), orders.repartition(3),
         lineitem.repartition(4), n_partitions=3).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_quantity_price_correlation(ray_session):
+    """Exact five-sum Pearson r vs numpy corrcoef at floor-6;
+    partition invariance of the big-int partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import quantity_price_correlation
+
+    q = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.float64)
+    p = np.array([10.0, 19.5, 31.0, 42.25, 48.0, 61.5, 70.0, 82.5])
+    ds = ray.data.from_arrow(pa.table({
+        "l_quantity": pa.array(q), "l_extendedprice": pa.array(p)}))
+    out = quantity_price_correlation(ds).to_pandas()
+    expected = np.corrcoef(q, np.rint(p * 100))[0, 1]
+    assert int(out.loc[0, "n"]) == 8
+    assert abs(out.loc[0, "corr_qty_price"] - expected) < 2e-6
+    out2 = quantity_price_correlation(ds.repartition(5)).to_pandas()
+    assert out.equals(out2)
+
+
+def test_quantity_price_correlation_bigint(ray_session):
+    """Sum-of-squares past int64: huge prices still exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import quantity_price_correlation
+
+    # per-element squares stay int64-exact (p_cents <= 1e7 -> p^2 <=
+    # 1e14); the chunked big-sum protects the corpus-level SUM, which
+    # is what overflows first at scale
+    n = 3000
+    p = np.full(n, 99_999.99)
+    p[: n // 2] = 88_888.88
+    q = np.ones(n)
+    q[: n // 2] = 2.0
+    ds = ray.data.from_arrow(pa.table({
+        "l_quantity": pa.array(q), "l_extendedprice": pa.array(p)}))
+    out = quantity_price_correlation(ds).to_pandas()
+    # perfectly anti-correlated two-point distribution -> r = -1
+    assert out.loc[0, "corr_qty_price"] == -1.0
+    out2 = quantity_price_correlation(ds.repartition(7)).to_pandas()
+    assert out.equals(out2)

@@ -181,3 +181,72 @@ def test_events_hourly_cube(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(key).reset_index(drop=True),
         out2.sort_values(key).reset_index(drop=True))
+
+
+def test_event_value_histogram(ray_session):
+    """floor(value/width) bins, range-bounded merge, invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_value_histogram
+
+    ds = ray.data.from_arrow(pa.table({
+        "value": pa.array([0.5, 9.99, 10.0, 19.99, 25.0, 25.0],
+                          pa.float64())}))
+    out = event_value_histogram(ds, width=10.0).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert out["bin"].tolist() == [0, 1, 2]
+    assert out["n_events"].tolist() == [2, 2, 2]
+    assert out["lo"].tolist() == [0.0, 10.0, 20.0]
+    out2 = event_value_histogram(ds.repartition(4),
+                                 width=10.0).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_doc_length_percentiles_by_group(ray_session):
+    """Per-group nearest-rank quantiles equal numpy's on each slice."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import doc_length_percentiles_by_group
+
+    texts = ["a" * n for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+    langs = ["en"] * 5 + ["de"] * 5
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    out = doc_length_percentiles_by_group(
+        ds, quantiles=(0.5,)).to_pandas() \
+        .sort_values(["group"]).reset_index(drop=True)
+    # en lengths 1..5 -> median rank ceil(0.5*5)=3 -> 3
+    # de lengths 6..10 -> 8
+    assert out["group"].tolist() == ["de", "en"]
+    assert out["n_chars"].tolist() == [8, 3]
+    out2 = doc_length_percentiles_by_group(
+        ds.repartition(4), quantiles=(0.5,)).to_pandas() \
+        .sort_values(["group"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_user_modal_event_type(ray_session):
+    """Grouped argmax with lexicographic tie-break; invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import user_modal_event_type
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["b", "b", "a", "z", "a", "q"],
+                               pa.string()),
+    }))
+    out = user_modal_event_type(ds, n_partitions=2).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["event_type"].tolist() == ["b", "a", "q"]  # tie: a<z
+    assert out["n_events"].tolist() == [2, 1, 1]
+    out2 = user_modal_event_type(ds.repartition(4),
+                                 n_partitions=3).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)

@@ -612,6 +612,63 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--s10" in sys.argv:
+        # round-5 third-session ops at 10-20x: the ordered/funnel
+        # event family (one user-keyed exchange each), the TeraSort
+        # global rank (full-output ORDER BY), Q13/Q10 join shapes,
+        # grouped HLL, and the five-sum correlation.
+        from readability_ray.functions import (
+            customer_order_distribution, event_interarrival_stats,
+            funnel_counts, global_rank, hll_distinct_by_group,
+            quantity_price_correlation, top_returned_customers,
+            user_event_paths)
+
+        timed("user_event_paths_200k", lambda: user_event_paths(
+            ray.data.read_parquet(events20)))
+        timed("event_interarrival_200k",
+              lambda: event_interarrival_stats(
+                  ray.data.read_parquet(events20)))
+        timed("funnel_counts_200k", lambda: funnel_counts(
+            ray.data.read_parquet(events20)))
+        timed("global_rank_500k", lambda: global_rank(
+            ray.data.read_parquet(docs10)))
+        timed("hll_by_group_500k", lambda: hll_distinct_by_group(
+            ray.data.read_parquet(docs10)))
+
+        li10b = os.path.join(tmp, "lineitem10b.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li10b, 10,
+            {"l_orderkey": 10_000_000})
+        ord10b = os.path.join(tmp, "orders10b.parquet")
+        replicate_stride(
+            os.path.join(sf, "orders.parquet"), ord10b, 10,
+            {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+        cust10 = os.path.join(tmp, "customer10.parquet")
+        replicate_stride(
+            os.path.join(sf, "customer.parquet"), cust10, 10,
+            {"c_custkey": 1_000_000})
+        timed("customer_order_distribution_150k",
+              lambda: customer_order_distribution(
+                  ray.data.read_parquet(cust10),
+                  ray.data.read_parquet(ord10b)))
+        timed("top_returned_customers_6m",
+              lambda: top_returned_customers(
+                  ray.data.read_parquet(cust10),
+                  ray.data.read_parquet(ord10b),
+                  ray.data.read_parquet(li10b)))
+        timed("quantity_price_correlation_6m",
+              lambda: quantity_price_correlation(
+                  ray.data.read_parquet(li10b)))
+
+        results["n_lineitem"] = n_li
+        results["n_docs"] = n_docs
+        results["n_events"] = n_events
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
     if new_only:
         from readability_ray.functions import (
             bpe_token_stats, decontaminate, events_range_join,
