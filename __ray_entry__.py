@@ -1521,6 +1521,18 @@ def _q_user_modal_event(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_hourly_unique_users(sf_dir: str):
+    """Grouped exact COUNT DISTINCT (functions/textstats.
+    events_hourly_unique_users): distinct (hour, user) pairs per
+    batch, one user-keyed exchange makes per-partition partials exact,
+    bounded-key merge sums."""
+    import ray.data
+
+    from readability_ray.functions import events_hourly_unique_users
+    return events_hourly_unique_users(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE (functions/textstats.events_hourly_cube): all
     four grouping sets from finalized bounded-key cells — one
@@ -2394,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": _q_event_value_histogram,
         "doc_length_percentiles_by_lang": _q_length_pct_by_lang,
         "user_modal_event_type": _q_user_modal_event,
+        "events_hourly_unique_users": _q_hourly_unique_users,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4439,6 +4452,11 @@ def oracle_sql() -> dict[str, str]:
                          unnest([0.25, 0.5, 0.75, 0.9]) AS q,
                          unnest(qs) AS v
                   FROM g)
+        """,
+        "events_hourly_unique_users": """
+            SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                   count(DISTINCT user_id)::BIGINT AS unique_users
+            FROM events GROUP BY 1
         """,
         "user_modal_event_type": """
             WITH c AS (

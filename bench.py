@@ -134,6 +134,14 @@ def _run_benchmarks() -> None:
                      "ann_recall", "ivf_recall", "order_priority_counts",
                      "events_hopping_counts", "inactive_customers",
                      "large_order_totals", "quantity_moments",
+                     "user_event_paths", "event_interarrival_stats",
+                     "funnel_counts", "customer_order_distribution",
+                     "top_returned_customers", "hll_distinct_by_lang",
+                     "global_rank", "events_hourly_cube",
+                     "quantity_price_correlation",
+                     "event_value_histogram",
+                     "doc_length_percentiles_by_lang",
+                     "user_modal_event_type",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -13,7 +13,8 @@ from .textstats import (
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
     top_users_per_type, doc_length_percentiles_by_group,
     event_value_histogram, events_hourly_cube,
-    events_hourly_rollup, events_hopping_counts, user_modal_event_type,
+    events_hourly_rollup, events_hourly_unique_users,
+    events_hopping_counts, user_modal_event_type,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -114,6 +115,7 @@ __all__ = [
     "events_hourly_cube", "events_hopping_counts",
     "event_value_histogram", "quantity_price_correlation",
     "doc_length_percentiles_by_group", "user_modal_event_type",
+    "events_hourly_unique_users",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

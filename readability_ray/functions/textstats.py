@@ -481,6 +481,70 @@ def user_modal_event_type(events: ray.data.Dataset, *,
         .map_batches(argmax, batch_format="pandas", batch_size=None)
 
 
+def events_hourly_unique_users(events: ray.data.Dataset, *,
+                               n_partitions: int | None = None
+                               ) -> ray.data.Dataset:
+    """Grouped COUNT DISTINCT: unique users per hour — the
+    high-cardinality-distinct-inside-bounded-groups shape (the exact
+    counterpart of the HLL estimate).
+
+    Per-batch DISTINCT (hour, user) pairs (ids only), ONE user-keyed
+    exchange — every (hour, user) pair then lives in exactly one
+    partition, so a per-partition drop_duplicates + per-hour size is
+    an EXACT partial and the bounded-key single-block merge just sums.
+    Output: (hour, unique_users).
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    k = n_partitions or default_partitions()
+
+    def pairs(batch: pd.DataFrame) -> pa.Table:
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        g = pd.DataFrame({"hour": hours,
+                          "user_id": batch["user_id"]
+                          .to_numpy(dtype=np.int64)}) \
+            .drop_duplicates()
+        return arrow_out(pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "user_id": g["user_id"].astype("int64")}))
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "hour": pd.Series([], dtype="int64"),
+            "unique_users": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "hour" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.drop_duplicates().groupby("hour", sort=False) \
+            .size().reset_index(name="unique_users")
+        return arrow_out(pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "unique_users": g["unique_users"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "hour" not in batch.columns:
+            return pa.table({
+                "hour": pa.array([], pa.int64()),
+                "unique_users": pa.array([], pa.int64())})
+        g = batch.groupby("hour", as_index=False, sort=True) \
+            ["unique_users"].sum()
+        return arrow_out(pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "unique_users": g["unique_users"].astype("int64")}))
+
+    return strip_schema_metadata(
+        events.select_columns(["ts", "user_id"])) \
+        .map_batches(pairs, batch_format="pandas") \
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -250,3 +250,28 @@ def test_user_modal_event_type(ray_session):
                                  n_partitions=3).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_hourly_unique_users(ray_session):
+    """Exact distinct users per hour; duplicates within and across
+    batches collapse; partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_hourly_unique_users
+
+    ts = np.array(["2024-01-01T00:05:00", "2024-01-01T00:45:00",
+                   "2024-01-01T00:50:00", "2024-01-01T01:05:00",
+                   "2024-01-01T01:30:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+    }))
+    out = events_hourly_unique_users(ds, n_partitions=2).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    assert out["unique_users"].tolist() == [2, 1]
+    out2 = events_hourly_unique_users(ds.repartition(5),
+                                      n_partitions=3).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)

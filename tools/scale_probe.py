@@ -623,16 +623,16 @@ def main() -> None:
             quantity_price_correlation, top_returned_customers,
             user_event_paths)
 
-        timed("user_event_paths_200k", lambda: user_event_paths(
+        timed("user_event_paths_2m", lambda: user_event_paths(
             ray.data.read_parquet(events20)))
-        timed("event_interarrival_200k",
+        timed("event_interarrival_2m",
               lambda: event_interarrival_stats(
                   ray.data.read_parquet(events20)))
-        timed("funnel_counts_200k", lambda: funnel_counts(
+        timed("funnel_counts_2m", lambda: funnel_counts(
             ray.data.read_parquet(events20)))
-        timed("global_rank_500k", lambda: global_rank(
+        timed("global_rank_50k", lambda: global_rank(
             ray.data.read_parquet(docs10)))
-        timed("hll_by_group_500k", lambda: hll_distinct_by_group(
+        timed("hll_by_group_50k", lambda: hll_distinct_by_group(
             ray.data.read_parquet(docs10)))
 
         li10b = os.path.join(tmp, "lineitem10b.parquet")
