@@ -1521,6 +1521,18 @@ def _q_user_modal_event(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_event_prop_stats(sf_dir: str):
+    """JSON payload extraction (functions/textstats.event_prop_stats):
+    compiled C-regex pull of the integer prop from the props JSON
+    column — no per-row json.loads — with bounded-key (n, sum, min,
+    max) partials."""
+    import ray.data
+
+    from readability_ray.functions import event_prop_stats
+    return event_prop_stats(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_hourly_unique_users(sf_dir: str):
     """Grouped exact COUNT DISTINCT (functions/textstats.
     events_hourly_unique_users): distinct (hour, user) pairs per
@@ -2407,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles_by_lang": _q_length_pct_by_lang,
         "user_modal_event_type": _q_user_modal_event,
         "events_hourly_unique_users": _q_hourly_unique_users,
+        "event_prop_stats": _q_event_prop_stats,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4452,6 +4465,16 @@ def oracle_sql() -> dict[str, str]:
                          unnest([0.25, 0.5, 0.75, 0.9]) AS q,
                          unnest(qs) AS v
                   FROM g)
+        """,
+        "event_prop_stats": """
+            SELECT event_type, count(k)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k,
+                   max(k)::BIGINT AS max_k
+            FROM (SELECT event_type,
+                         json_extract(props, '$.k')::BIGINT AS k
+                  FROM events)
+            GROUP BY 1
         """,
         "events_hourly_unique_users": """
             SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour,

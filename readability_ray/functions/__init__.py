@@ -12,7 +12,7 @@ from .textstats import (
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_postings, token_stats,
     top_users_per_type, doc_length_percentiles_by_group,
-    event_value_histogram, events_hourly_cube,
+    event_prop_stats, event_value_histogram, events_hourly_cube,
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
 )
@@ -115,7 +115,7 @@ __all__ = [
     "events_hourly_cube", "events_hopping_counts",
     "event_value_histogram", "quantity_price_correlation",
     "doc_length_percentiles_by_group", "user_modal_event_type",
-    "events_hourly_unique_users",
+    "events_hourly_unique_users", "event_prop_stats",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -545,6 +545,74 @@ def events_hourly_unique_users(events: ray.data.Dataset, *,
         .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def event_prop_stats(events: ray.data.Dataset, *,
+                     key: str = "k") -> ray.data.Dataset:
+    """Semi-structured (JSON) column extraction + stats: pull integer
+    property ``key`` out of the ``props`` JSON string column and
+    aggregate per event type — the JSON-payload shape every web event
+    log has.
+
+    The extraction is a compiled C regex over the flat integer
+    property (vectorized pandas str.extract — no per-row json.loads
+    in the hot path; a nested/typed payload would swap in a real
+    parser behind the same partials).  Missing keys are NULL and drop
+    from the aggregates, matching SQL.  Bounded-key (type) partials
+    (n, sum, min, max) merge in one block.
+
+    Output: (event_type, n, sum_k, min_k, max_k).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+    pat = _re.compile(r'"' + _re.escape(key) + r'"\s*:\s*(-?\d+)')
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        k = batch["props"].str.extract(pat, expand=False) \
+            .astype("float64")
+        f = pd.DataFrame({"event_type": batch["event_type"],
+                          "k": k}).dropna(subset=["k"])
+        if len(f) == 0:
+            return arrow_out(pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "sum_k": pd.Series([], dtype="int64"),
+                "min_k": pd.Series([], dtype="int64"),
+                "max_k": pd.Series([], dtype="int64")}))
+        f["k"] = f["k"].astype("int64")
+        g = f.groupby("event_type", sort=False)["k"] \
+            .agg(n="size", sum_k="sum", min_k="min", max_k="max") \
+            .reset_index()
+        return arrow_out(pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64"),
+            "sum_k": g["sum_k"].astype("int64"),
+            "min_k": g["min_k"].astype("int64"),
+            "max_k": g["max_k"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_k": pa.array([], pa.int64()),
+                "min_k": pa.array([], pa.int64()),
+                "max_k": pa.array([], pa.int64())})
+        g = batch.groupby("event_type", as_index=False, sort=True) \
+            .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                 min_k=("min_k", "min"), max_k=("max_k", "max"))
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return arrow_out(g)
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "props"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -275,3 +275,27 @@ def test_events_hourly_unique_users(ray_session):
                                       n_partitions=3).to_pandas() \
         .sort_values("hour").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_prop_stats(ray_session):
+    """JSON prop extraction: missing keys drop, negatives parse,
+    per-type mergeable stats; partition invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_prop_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "props": pa.array(['{"k": 5}', '{"k": -2}', '{"x": 9}',
+                           '{"k": 7}', '{}'], pa.string()),
+    }))
+    out = event_prop_stats(ds).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out["n"].tolist() == [2, 1]
+    assert out["sum_k"].tolist() == [3, 7]
+    assert out["min_k"].tolist() == [-2, 7]
+    assert out["max_k"].tolist() == [5, 7]
+    out2 = event_prop_stats(ds.repartition(4)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
