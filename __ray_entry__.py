@@ -1521,6 +1521,19 @@ def _q_user_modal_event(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_brand_quantity_revenue(sf_dir: str):
+    """TPC-H Q19 shape (functions/relational.brand_quantity_revenue):
+    disjunctive (brand, quantity-band) predicate join — part brands
+    broadcast as a dense int8 code LUT (Q14 rule generalized), zero
+    shuffles, bounded per-branch partials, ANY row ORs the masks."""
+    import ray.data
+
+    from readability_ray.functions import brand_quantity_revenue
+    return brand_quantity_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet"))
+
+
 def _q_event_prop_stats(sf_dir: str):
     """JSON payload extraction (functions/textstats.event_prop_stats):
     compiled C-regex pull of the integer prop from the props JSON
@@ -2420,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event_type": _q_user_modal_event,
         "events_hourly_unique_users": _q_hourly_unique_users,
         "event_prop_stats": _q_event_prop_stats,
+        "brand_quantity_revenue": _q_brand_quantity_revenue,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4465,6 +4479,39 @@ def oracle_sql() -> dict[str, str]:
                          unnest([0.25, 0.5, 0.75, 0.9]) AS q,
                          unnest(qs) AS v
                   FROM g)
+        """,
+        "brand_quantity_revenue": """
+            WITH m AS (
+                SELECT round(l.l_quantity)::BIGINT AS q,
+                       round(l.l_extendedprice * 100)::BIGINT
+                       * (100 - round(l.l_discount * 100)::BIGINT)
+                           AS rev,
+                       p.p_brand AS brand
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+            ), b AS (
+                SELECT 'Brand#1' AS branch, rev FROM m
+                WHERE brand = 'Brand#1' AND q BETWEEN 1 AND 15
+                UNION ALL
+                SELECT 'Brand#2', rev FROM m
+                WHERE brand = 'Brand#2' AND q BETWEEN 10 AND 25
+                UNION ALL
+                SELECT 'Brand#3', rev FROM m
+                WHERE brand = 'Brand#3' AND q BETWEEN 20 AND 35
+                UNION ALL
+                SELECT 'ANY', rev FROM m
+                WHERE (brand = 'Brand#1' AND q BETWEEN 1 AND 15)
+                   OR (brand = 'Brand#2' AND q BETWEEN 10 AND 25)
+                   OR (brand = 'Brand#3' AND q BETWEEN 20 AND 35)
+            ), lbl AS (
+                SELECT unnest(['Brand#1', 'Brand#2', 'Brand#3',
+                               'ANY']) AS branch
+            )
+            SELECT lbl.branch,
+                   coalesce(sum(b.rev), 0)::BIGINT AS revenue_c4,
+                   count(b.rev)::BIGINT AS n_lines
+            FROM lbl LEFT JOIN b ON b.branch = lbl.branch
+            GROUP BY lbl.branch
         """,
         "event_prop_stats": """
             SELECT event_type, count(k)::BIGINT AS n,

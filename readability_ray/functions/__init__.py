@@ -62,6 +62,7 @@ from .packing import pack_sequences, shard_shuffle
 from .ranking import global_rank
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
+    brand_quantity_revenue,
     customer_order_distribution, forecast_revenue, inactive_customers,
     large_order_totals,
     order_priority_counts, pricing_summary, priority_line_counts,
@@ -96,7 +97,7 @@ __all__ = [
     "order_priority_counts", "inactive_customers", "large_order_totals",
     "quantity_moments", "user_event_paths", "event_interarrival_stats",
     "funnel_counts", "customer_order_distribution",
-    "top_returned_customers",
+    "top_returned_customers", "brand_quantity_revenue",
     "weighted_order_sample",
     "extract_head_links", "head_links",
     "extract_feed_links", "feed_autodiscovery",

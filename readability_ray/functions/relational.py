@@ -1289,3 +1289,95 @@ def quantity_price_correlation(lineitem: ray.data.Dataset
         .map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def brand_quantity_revenue(lineitem: ray.data.Dataset,
+                           part: ray.data.Dataset, *,
+                           branches: tuple = (
+                               ("Brand#1", 1, 15),
+                               ("Brand#2", 10, 25),
+                               ("Brand#3", 20, 35)),
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """TPC-H Q19 shape — the DISJUNCTIVE multi-branch predicate join:
+    revenue from lines matching ANY (brand, quantity-band) branch,
+    per branch and overall.
+
+    The part table contributes one small-int BRAND CODE per partkey,
+    broadcast as a dense numpy int8 LUT (the Q14 one-bit rule
+    generalized to a code) — zero shuffles in the whole plan: each
+    branch mask is one vectorized compare chain, the ANY row ORs the
+    masks so an overlapping-branch line counts once, and the partials
+    are ≤ |branches|+1 bounded rows per batch, merged in one block.
+
+    Output: (branch, revenue_c4, n_lines), branch ∈ brands ∪ 'ANY'.
+    """
+    import ray as _ray
+
+    import pyarrow.compute as pc
+
+    from .lmscore import _get_broadcast
+
+    brand_code = {b: i for i, (b, _, _) in enumerate(branches)}
+    labels = [b for (b, _, _) in branches] + ["ANY"]
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        # project to (p_partkey, code) BEFORE the driver pull — one
+        # int + one small code per part row, never the brand strings;
+        # index_in is the vectorized string→code kernel
+        idx = pc.index_in(batch.column("p_brand"),
+                          value_set=pa.array(list(brand_code)))
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "code": pc.fill_null(idx, -1).cast(pa.int8())})
+
+    codes = {int(r["p_partkey"]): int(r["code"])
+             for r in part.select_columns(["p_partkey", "p_brand"])
+             .map_batches(code_rows, batch_format="pyarrow")
+             .take_all()}
+    size = (max(codes) + 1) if codes else 1
+    lut = np.full(size, -1, dtype=np.int8)
+    for pk, c in codes.items():
+        if pk >= 0:
+            lut[pk] = c
+    lut_ref = _ray.put(lut)
+
+    def partials(batch: pd.DataFrame, *, ref) -> pa.Table:
+        l = _get_broadcast(ref)
+        price_c = _cents(batch["l_extendedprice"])
+        disc_bp = np.rint(batch["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        rev = price_c * (100 - disc_bp)
+        q = np.rint(batch["l_quantity"].to_numpy()).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        code = np.where((pk >= 0) & (pk < len(l)),
+                        l[np.clip(pk, 0, len(l) - 1)], -1)
+        revs, ns = [], []
+        any_mask = np.zeros(len(batch), dtype=bool)
+        for i, (_, lo, hi) in enumerate(branches):
+            m = (code == i) & (q >= lo) & (q <= hi)
+            any_mask |= m
+            revs.append(int(rev[m].sum()))
+            ns.append(int(m.sum()))
+        revs.append(int(rev[any_mask].sum()))
+        ns.append(int(any_mask.sum()))
+        return arrow_out(pd.DataFrame({
+            "branch": pd.Series(labels, dtype="object"),
+            "revenue_c4": pd.Series(revs, dtype="int64"),
+            "n_lines": pd.Series(ns, dtype="int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("branch", as_index=False, sort=True) \
+            [["revenue_c4", "n_lines"]].sum()
+        return arrow_out(pd.DataFrame({
+            "branch": g["branch"],
+            "revenue_c4": g["revenue_c4"].astype("int64"),
+            "n_lines": g["n_lines"].astype("int64")}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"])) \
+        .map_batches(partials, batch_format="pandas",
+                     fn_kwargs={"ref": lut_ref}) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

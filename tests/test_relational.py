@@ -474,3 +474,37 @@ def test_quantity_price_correlation_bigint(ray_session):
     assert out.loc[0, "corr_qty_price"] == -1.0
     out2 = quantity_price_correlation(ds.repartition(7)).to_pandas()
     assert out.equals(out2)
+
+
+def test_brand_quantity_revenue(ray_session):
+    """Q19 disjunctive branches: per-branch masks, ANY counts
+    overlapping lines once, zero-match branch emits a zero row."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import brand_quantity_revenue
+
+    part = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["BA", "BB", "BC"], pa.string()),
+    }))
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([5.0, 20.0, 12.0, 30.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 10.0, 20.0, 30.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+    }))
+    # overlapping bands on BA and BB; BC band misses its only line
+    branches = (("BA", 1, 15), ("BB", 10, 25), ("BA", 4, 6))
+    out = brand_quantity_revenue(lineitem, part,
+                                 branches=branches).to_pandas() \
+        .set_index("branch")
+    # BA 1-15 matches qty 5 (rev 100000 c4); BA 4-6 matches same line
+    assert int(out.loc["ANY", "n_lines"]) == 2  # line1 once + BB line
+    assert int(out.loc["ANY", "revenue_c4"]) == 100000 + 200000
+    assert int(out.loc["BB", "n_lines"]) == 1
+    out2 = brand_quantity_revenue(lineitem.repartition(3), part,
+                                  branches=branches).to_pandas() \
+        .set_index("branch")
+    pd.testing.assert_frame_equal(out, out2)
