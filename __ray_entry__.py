@@ -1521,6 +1521,19 @@ def _q_user_modal_event(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_token_pmi_pairs(sf_dir: str):
+    """Collocation mining (functions/textstats.token_pmi_pairs):
+    doc-level PMI over the top-V vocabulary — the V-bound makes
+    per-batch partials constant-size (pairs via an in-batch pandas
+    self-merge, never a Python pair loop); single-block merge, PMI
+    floats computed once at the end, floor-6."""
+    import ray.data
+
+    from readability_ray.functions import token_pmi_pairs
+    return token_pmi_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_brand_quantity_revenue(sf_dir: str):
     """TPC-H Q19 shape (functions/relational.brand_quantity_revenue):
     disjunctive (brand, quantity-band) predicate join — part brands
@@ -2434,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_unique_users": _q_hourly_unique_users,
         "event_prop_stats": _q_event_prop_stats,
         "brand_quantity_revenue": _q_brand_quantity_revenue,
+        "token_pmi_pairs": _q_token_pmi_pairs,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4479,6 +4493,41 @@ def oracle_sql() -> dict[str, str]:
                          unnest([0.25, 0.5, 0.75, 0.9]) AS q,
                          unnest(qs) AS v
                   FROM g)
+        """,
+        "token_pmi_pairs": """
+            WITH tf AS (
+                SELECT token FROM (
+                    SELECT unnest(regexp_extract_all(
+                        text, '[^ \t\n\r\f\v]+')) AS token
+                    FROM documents)
+                GROUP BY token
+                ORDER BY count(*) DESC, token ASC LIMIT 200
+            ), dt AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(
+                        text, '[^ \t\n\r\f\v]+')) AS token
+                    FROM documents)
+                WHERE token IN (SELECT token FROM tf)
+            ), na AS (
+                SELECT token, count(*)::BIGINT AS n FROM dt GROUP BY 1
+            ), np AS (
+                SELECT a.token AS ta, b.token AS tb,
+                       count(*)::BIGINT AS nab
+                FROM dt a JOIN dt b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2
+            ), nn AS (SELECT count(*)::BIGINT AS nd FROM documents)
+            SELECT ta AS token_a, tb AS token_b, nab AS n_pair,
+                   floor(ln((nab * nd)::DOUBLE
+                            / (x.n * y.n)::DOUBLE) * 1000000)
+                       / 1000000 AS pmi
+            FROM np
+            CROSS JOIN nn
+            JOIN na x ON x.token = np.ta
+            JOIN na y ON y.token = np.tb
+            WHERE nab >= 5
+            ORDER BY pmi DESC, ta ASC, tb ASC
+            LIMIT 50
         """,
         "brand_quantity_revenue": """
             WITH m AS (

@@ -613,6 +613,104 @@ def event_prop_stats(events: ray.data.Dataset, *,
         .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def token_pmi_pairs(ds: ray.data.Dataset, *, top_v: int = 200,
+                    k: int = 50, min_pair: int = 5,
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Collocation mining: top-k token pairs by document-level PMI,
+    restricted to the top-V vocabulary — the co-occurrence shape
+    (pointwise mutual information over doc containment).
+
+    Unrestricted pair counting is quadratic in doc length; the
+    top-V restriction (V bounded, broadcast as a set) bounds the
+    WHOLE plan: per-batch partials are <= V^2/2 pair rows + V token
+    rows + 1 doc-count row regardless of corpus size, so the merge is
+    a single block and there is no keyed shuffle anywhere.  In-batch
+    pair generation is a pandas self-merge on doc_id (C code), never
+    a Python loop over pairs.  PMI = ln(n_ab*N / (n_a*n_b)) computed
+    once per surviving pair at the very end, floor-6, mirrored
+    op-for-op in SQL.
+
+    Output: (token_a, token_b, n_pair, pmi), top-k by (pmi desc,
+    token_a, token_b).
+    """
+    import math
+    import re as _re
+
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+    _TOKEN_RE = _re.compile(r"[^ \t\n\r\f\v]+")
+
+    top = token_frequency_topk(ds, k=top_v,
+                               text_col=text_col).to_pandas()
+    tok_col = "token" if "token" in top.columns else top.columns[0]
+    vocab = set(top[tok_col])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        rows_d, rows_t = [], []
+        for d, t in enumerate(texts):
+            seen = set(_TOKEN_RE.findall(t or "")) & vocab
+            rows_d.extend([d] * len(seen))
+            rows_t.extend(sorted(seen))
+        dt = pd.DataFrame({"d": rows_d, "t": rows_t})
+        na = dt.groupby("t", sort=False).size().reset_index(name="n")
+        m = dt.merge(dt, on="d")
+        m = m[m["t_x"] < m["t_y"]]
+        np_ = m.groupby(["t_x", "t_y"], sort=False) \
+            .size().reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "a": pd.concat([na["t"], np_["t_x"],
+                            pd.Series([""], dtype="object")],
+                           ignore_index=True),
+            "b": pd.concat([pd.Series([""] * len(na), dtype="object"),
+                            np_["t_y"],
+                            pd.Series([""], dtype="object")],
+                           ignore_index=True),
+            "n": pd.concat([na["n"], np_["n"],
+                            pd.Series([len(texts)], dtype="int64")],
+                           ignore_index=True).astype("int64"),
+            "kind": pd.concat(
+                [pd.Series(["t"] * len(na), dtype="object"),
+                 pd.Series(["p"] * len(np_), dtype="object"),
+                 pd.Series(["N"], dtype="object")],
+                ignore_index=True)}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "token_a": pd.Series([], dtype="object"),
+            "token_b": pd.Series([], dtype="object"),
+            "n_pair": pd.Series([], dtype="int64"),
+            "pmi": pd.Series([], dtype="float64")})
+        if len(batch) == 0 or "kind" not in batch.columns:
+            return arrow_out(empty)
+        N = int(batch.loc[batch["kind"] == "N", "n"].sum())
+        na = batch[batch["kind"] == "t"] \
+            .groupby("a", sort=False)["n"].sum()
+        pr = batch[batch["kind"] == "p"] \
+            .groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
+        pr = pr[pr["n"] >= min_pair]
+        if len(pr) == 0:
+            return arrow_out(empty)
+        pmi = [math.floor(math.log(
+            float(int(n) * N) / float(int(na[a]) * int(na[b])))
+            * 1e6) / 1e6
+            for a, b, n in zip(pr["a"], pr["b"], pr["n"])]
+        out = pd.DataFrame({
+            "token_a": pr["a"], "token_b": pr["b"],
+            "n_pair": pr["n"].astype("int64"),
+            "pmi": pd.Series(pmi, dtype="float64")})
+        out = out.sort_values(["pmi", "token_a", "token_b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(k)
+        return arrow_out(out.reset_index(drop=True))
+
+    return strip_schema_metadata(ds.select_columns([text_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -299,3 +299,33 @@ def test_event_prop_stats(ray_session):
     out2 = event_prop_stats(ds.repartition(4)).to_pandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_token_pmi_pairs(ray_session):
+    """Doc-level PMI: hand-computed on a tiny corpus; top-V and
+    min_pair gates; partition invariance."""
+    import math
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import token_pmi_pairs
+
+    # "x y" co-occur in 4 docs; x alone in 2; y alone in 2; z noise
+    texts = (["x y"] * 4) + (["x z"] * 2) + (["y z"] * 2)
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())}))
+    out = token_pmi_pairs(ds, top_v=10, k=10,
+                          min_pair=2).to_pandas()
+    got = {(r.token_a, r.token_b): (r.n_pair, r.pmi)
+           for r in out.itertuples(index=False)}
+    n = 8
+    nx, ny, nxy = 6, 6, 4
+    exp = math.floor(math.log(float(nxy * n) / float(nx * ny))
+                     * 1e6) / 1e6
+    assert got[("x", "y")][0] == 4
+    assert got[("x", "y")][1] == exp
+    # pairs below min_pair=2 still present: x-z and y-z have n=2
+    assert got[("x", "z")][0] == 2
+    out2 = token_pmi_pairs(ds.repartition(4), top_v=10, k=10,
+                           min_pair=2).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
