@@ -1595,6 +1595,17 @@ def _q_global_rank(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_doc_ntile(sf_dir: str):
+    """NTILE window function (functions/ranking.doc_ntile): exact
+    global_rank + closed-form bucket arithmetic (first N%n buckets one
+    extra row, the SQL ntile rule) — no pass beyond global_rank's."""
+    import ray.data
+
+    from readability_ray.functions import doc_ntile
+    return doc_ntile(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_hll_by_lang(sf_dir: str):
     """Grouped HLL (functions/sketch.hll_distinct_by_group): one
     64-register vector per language, merged by per-group element-wise
@@ -2448,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_prop_stats": _q_event_prop_stats,
         "brand_quantity_revenue": _q_brand_quantity_revenue,
         "token_pmi_pairs": _q_token_pmi_pairs,
+        "doc_ntile": _q_doc_ntile,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4626,6 +4638,16 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER
                        (ORDER BY n_chars DESC, doc_id ASC)::BIGINT
                        AS rank
+            FROM documents
+        """,
+        "doc_ntile": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER
+                       (ORDER BY n_chars DESC, doc_id ASC)::BIGINT
+                       AS rank,
+                   ntile(10) OVER
+                       (ORDER BY n_chars DESC, doc_id ASC)::BIGINT
+                       AS bucket
             FROM documents
         """,
         "top_returned_customers": """

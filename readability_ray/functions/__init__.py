@@ -60,7 +60,7 @@ from .robots import (
     sitemap_discovery,
 )
 from .packing import pack_sequences, shard_shuffle
-from .ranking import global_rank
+from .ranking import doc_ntile, global_rank
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     brand_quantity_revenue,
@@ -123,7 +123,7 @@ __all__ = [
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",
     "cms_sketch", "cms_top_token_counts", "hll_distinct_tokens",
-    "hll_distinct_by_group", "global_rank",
+    "hll_distinct_by_group", "global_rank", "doc_ntile",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
 ]

@@ -131,3 +131,49 @@ def global_rank(ds: ray.data.Dataset, *,
     return slim.map_batches(tag, batch_format="pandas") \
         .repartition(num_blocks=max(2, min(k, n_bins)), keys=["bin"]) \
         .map_batches(rank, batch_format="pandas", batch_size=None)
+
+
+def doc_ntile(ds: ray.data.Dataset, *, n: int = 10,
+              key_col: str = "n_chars", id_col: str = "doc_id",
+              descending: bool = True,
+              n_partitions: int | None = None) -> ray.data.Dataset:
+    """NTILE over the whole corpus: each row's bucket 1..n under the
+    global (key desc|asc, id asc) order — the window-function shape
+    behind decile reports and percentile-bucketed joins.
+
+    Rides global_rank (rank is exact and partitioning-invariant), then
+    the bucket is CLOSED-FORM from (rank, N): SQL ntile gives the
+    first N%n buckets one extra row, so with big = N%n and small =
+    N//n, bucket = (rank-1)//(small+1) + 1 inside the big span and
+    big + (rank-1-big*(small+1))//small + 1 past it — one vectorized
+    expression, no second pass over the data.  N rides along as a
+    count aggregate; no extra exchange beyond global_rank's one.
+
+    Output: (id, key, rank, bucket).
+    """
+    ranked = global_rank(ds, key_col=key_col, id_col=id_col,
+                         descending=descending,
+                         n_partitions=n_partitions)
+    total = int(ds.count())
+    small, big = total // n, total % n
+
+    def bucket(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "rank" not in batch.columns:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64())})
+        r = batch["rank"].to_numpy(dtype=np.int64) - 1
+        cut = big * (small + 1)
+        if small == 0:
+            # degenerate N < n: ntile gives each row its own bucket
+            b = r + 1
+        else:
+            b = np.where(r < cut, r // (small + 1),
+                         big + (r - cut) // small) + 1
+        out = batch.copy()
+        out["bucket"] = b.astype(np.int64)
+        return arrow_out(out)
+
+    return ranked.map_batches(bucket, batch_format="pandas")

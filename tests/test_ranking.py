@@ -54,3 +54,29 @@ def test_global_rank_few_rows_no_splitters(ray_session):
         .sort_values("rank").reset_index(drop=True)
     assert out["doc_id"].tolist() == [2, 3, 1]
     assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_doc_ntile(ray_session):
+    """ntile bucket rule: first N%n buckets get one extra row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import doc_ntile
+
+    # N=7, n=3 -> bucket sizes 3,2,2
+    ids = np.arange(7, dtype=np.int64)
+    keys = np.array([70, 60, 50, 40, 30, 20, 10], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "n_chars": pa.array(keys)}))
+    out = doc_ntile(ds, n=3, n_partitions=2).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert out["bucket"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    # degenerate N < n: one row per bucket
+    small = doc_ntile(ds.limit(2), n=5, n_partitions=2).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert small["bucket"].tolist() == [1, 2]
+    out2 = doc_ntile(ds.repartition(4), n=3,
+                     n_partitions=3).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
