@@ -1559,6 +1559,17 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_pivot(sf_dir: str):
+    """PIVOT / long-to-wide (functions/textstats.events_hourly_pivot):
+    bounded (hour, type, n) partials, single-block pandas pivot —
+    column set discovered in the merge, absent cells zero."""
+    import ray.data
+
+    from readability_ray.functions import events_hourly_pivot
+    return events_hourly_pivot(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_hourly_unique_users(sf_dir: str):
     """Grouped exact COUNT DISTINCT (functions/textstats.
     events_hourly_unique_users): distinct (hour, user) pairs per
@@ -2274,6 +2285,22 @@ def _q_events_asof(sf_dir: str):
     return events_asof_join(ds, left_type="click", right_type="view")
 
 
+def _q_events_asof_forward(sf_dir: str):
+    """Forward as-of join (click -> next view per user; ties to the
+    SMALLER event_id — merge_asof's first-match-≥ pick, mirrored by
+    the oracle's ORDER BY r.ts ASC, r.event_id ASC)."""
+    import os as _os
+
+    import ray.data
+
+    from readability_ray.functions import events_asof_join
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return events_asof_join(ds, left_type="click", right_type="view",
+                            direction="forward")
+
+
 def _q_events_range_join(sf_dir: str):
     """Non-equi interval self-join: same-user event pairs within a
     5-minute band — one keyed exchange + a vectorized searchsorted
@@ -2460,6 +2487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_quantity_revenue": _q_brand_quantity_revenue,
         "token_pmi_pairs": _q_token_pmi_pairs,
         "doc_ntile": _q_doc_ntile,
+        "events_hourly_pivot": _q_events_pivot,
+        "events_asof_join_forward": _q_events_asof_forward,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4583,6 +4612,40 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY 1
+        """,
+        "events_asof_join_forward": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            best AS (
+                SELECT l.event_id,
+                       r.event_id AS next_event_id,
+                       (epoch_us(r.ts) - epoch_us(l.ts)) / 1000000.0
+                           AS gap_sec,
+                       row_number() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts ASC, r.event_id ASC) AS rn
+                FROM l JOIN r
+                  ON l.user_id = r.user_id AND r.ts >= l.ts
+            )
+            SELECT l.event_id, l.user_id,
+                   b.next_event_id, b.gap_sec
+            FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                 USING (event_id)
+        """,
+        "events_hourly_pivot": """
+            SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                   sum(CASE WHEN event_type = 'click'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY 1
         """,
         "events_hourly_unique_users": """
             SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour,

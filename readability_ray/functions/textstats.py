@@ -711,6 +711,53 @@ def token_pmi_pairs(ds: ray.data.Dataset, *, top_v: int = 200,
         .map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def events_hourly_pivot(events: ray.data.Dataset
+                        ) -> ray.data.Dataset:
+    """PIVOT: hourly counts spread into one column per event type —
+    the long→wide reshape (dashboard matrices, feature tables).
+
+    Per-batch (hour, type, n) partials are the bounded events_hourly
+    shape; the single-block merge pivots with one pandas pivot_table
+    (columns discovered there — no driver pre-pull of the type list)
+    and emits hour + one int64 column per type, NULL-free (absent
+    cells are zero, matching the SQL conditional-sum form).
+
+    Output: (hour, <type columns sorted asc>...).
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        g = pd.DataFrame({"hour": hours,
+                          "event_type": batch["event_type"]}) \
+            .groupby(["hour", "event_type"], as_index=False,
+                     sort=False).size() \
+            .rename(columns={"size": "n"})
+        return arrow_out(g)
+
+    def pivot(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "hour" not in batch.columns:
+            return pa.table({"hour": pa.array([], pa.int64())})
+        w = batch.pivot_table(index="hour", columns="event_type",
+                              values="n", aggfunc="sum",
+                              fill_value=0).sort_index()
+        w = w[sorted(w.columns)]
+        out = {"hour": pa.array(w.index.to_numpy(dtype=np.int64))}
+        for c in w.columns:
+            out[f"n_{c}"] = pa.array(
+                w[c].to_numpy(dtype=np.int64))
+        return pa.table(out)
+
+    return strip_schema_metadata(
+        events.select_columns(["ts", "event_type"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(pivot, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -23,21 +23,25 @@ def events_asof_join(ds: ray.data.Dataset, *,
                      by_col: str = "user_id",
                      ts_col: str = "ts",
                      id_col: str = "event_id",
+                     direction: str = "backward",
                      n_partitions: int | None = None
                      ) -> ray.data.Dataset:
-    """Backward as-of join between two event streams sharing a table:
-    for every LEFT event (``left_type``), the most recent RIGHT event
-    (``right_type``) of the same ``by_col`` key with ``right.ts <=
-    left.ts`` — LEFT-join semantics (no prior right event → nulls).
+    """As-of join between two event streams sharing a table: for
+    every LEFT event (``left_type``), the nearest RIGHT event
+    (``right_type``) of the same ``by_col`` key — backward
+    (``right.ts <= left.ts``, the default) or forward (``right.ts >=
+    left.ts``) — LEFT-join semantics (no match → nulls).
 
-    Ties on right ``ts`` break to the larger ``id_col`` (rows sorted
-    by (ts, id) before ``merge_asof``, which keeps the last match), so
-    output is deterministic and matches the SQL oracle's
-    ``ORDER BY r.ts DESC, r.event_id DESC`` pick exactly.
+    Ties on right ``ts``: backward breaks to the LARGER ``id_col``
+    (rows sorted by (ts, id), merge_asof keeps the last match ≤),
+    forward to the SMALLER (first match ≥) — each matching its SQL
+    oracle's ``ORDER BY r.ts DESC, r.event_id DESC`` /
+    ``ORDER BY r.ts ASC, r.event_id ASC`` pick exactly.
 
-    Output: (event_id, user_id, prior_event_id, gap_sec) — gap_sec is
-    integer-microsecond difference / 1e6 in float64, bit-identical to
-    DuckDB's ``(epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0``.
+    Output: (event_id, user_id, prior_event_id | next_event_id,
+    gap_sec) — gap_sec is the nonnegative integer-microsecond
+    difference / 1e6 in float64, bit-identical to DuckDB's
+    ``(epoch_us(...) - epoch_us(...)) / 1000000.0``.
 
     Scale shape: one projection+filter map (only the two event types'
     (id, key, ts) rows survive — the payload never moves), ONE keyed
@@ -50,6 +54,11 @@ def events_asof_join(ds: ray.data.Dataset, *,
     from .util import arrow_out
     ensure_hash_shuffle(ds)
     k = n_partitions or default_partitions()
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
+    out_col = ("prior_event_id" if direction == "backward"
+               else "next_event_id")
 
     def project(batch: pa.Table) -> pa.Table:
         mask = pa.compute.is_in(
@@ -70,7 +79,7 @@ def events_asof_join(ds: ray.data.Dataset, *,
             return pa.table({
                 "event_id": pa.array([], pa.int64()),
                 "user_id": pa.array([], pa.int64()),
-                "prior_event_id": pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64()),
                 "gap_sec": pa.array([], pa.float64()),
             })
         if len(batch) == 0 or id_col not in batch.columns:
@@ -88,8 +97,7 @@ def events_asof_join(ds: ray.data.Dataset, *,
             return pa.table({
                 "event_id": pa.array(ids),
                 "user_id": pa.array(keys),
-                "prior_event_id": pa.array(np.zeros(n, np.int64),
-                                           mask=no),
+                out_col: pa.array(np.zeros(n, np.int64), mask=no),
                 "gap_sec": pa.array(np.zeros(n, np.float64), mask=no),
             })
         right = right.sort_values([ts_col, id_col], kind="mergesort")
@@ -97,7 +105,7 @@ def events_asof_join(ds: ray.data.Dataset, *,
         right = right.assign(r_ts=right[ts_col])
         merged = pd.merge_asof(
             left, right, on=ts_col, by=by_col,
-            direction="backward", suffixes=("", "_r"))
+            direction=direction, suffixes=("", "_r"))
         has_prior = merged[f"{id_col}_r"].notna().to_numpy()
         l_us = merged[ts_col].values.astype(
             "datetime64[us]").astype(np.int64)
@@ -106,8 +114,9 @@ def events_asof_join(ds: ray.data.Dataset, *,
         # integer-microsecond difference / 1e6: bit-identical to
         # DuckDB's (epoch_us(l) - epoch_us(r)) / 1000000.0; NaT rows
         # are masked to nulls (NOT NaN — NaN would hash-mismatch SQL)
-        gap = np.where(has_prior,
-                       (l_us - r_us).astype(np.float64), 0.0) / 1e6
+        diff = (l_us - r_us) if direction == "backward" \
+            else (r_us - l_us)
+        gap = np.where(has_prior, diff.astype(np.float64), 0.0) / 1e6
         prior = np.where(
             has_prior,
             merged[f"{id_col}_r"].to_numpy(dtype=np.float64,
@@ -116,7 +125,7 @@ def events_asof_join(ds: ray.data.Dataset, *,
         return pa.table({
             "event_id": pa.array(merged[id_col].to_numpy(np.int64)),
             "user_id": pa.array(merged[by_col].to_numpy(np.int64)),
-            "prior_event_id": pa.array(prior, mask=~has_prior),
+            out_col: pa.array(prior, mask=~has_prior),
             "gap_sec": pa.array(gap, mask=~has_prior),
         })
 

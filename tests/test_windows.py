@@ -329,3 +329,61 @@ def test_token_pmi_pairs(ray_session):
     out2 = token_pmi_pairs(ds.repartition(4), top_v=10, k=10,
                            min_pair=2).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_hourly_pivot(ray_session):
+    """Long-to-wide: absent cells zero, columns sorted, invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_hourly_pivot
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:40:00",
+                   "2024-01-01T01:10:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+    }))
+    out = events_hourly_pivot(ds).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    assert list(out.columns) == ["hour", "n_a", "n_b"]
+    assert out["n_a"].tolist() == [1, 1]
+    assert out["n_b"].tolist() == [1, 0]  # zero, not null
+    out2 = events_hourly_pivot(ds.repartition(3)).to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_asof_forward(ray_session):
+    """Forward as-of: next view at ts >= click ts, ties to smaller
+    id; no later view -> nulls."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_asof_join
+
+    ts = np.array(["2024-01-01T00:00:00",   # click (u1)
+                   "2024-01-01T00:00:10",   # view  (u1)
+                   "2024-01-01T00:00:10",   # view  (u1) same ts
+                   "2024-01-01T00:05:00",   # click (u2), no view after
+                   "2024-01-01T00:04:00"],  # view  (u2) BEFORE click
+                  dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(["click", "view", "view", "click",
+                                "view"], pa.string()),
+    }))
+    out = events_asof_join(ds, direction="forward",
+                           n_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["next_event_id"].tolist()[0] == 2  # tie -> smaller id
+    assert out["gap_sec"].tolist()[0] == 10.0
+    assert pd.isna(out.loc[1, "next_event_id"])
+    out2 = events_asof_join(ds.repartition(3), direction="forward",
+                            n_partitions=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
