@@ -1559,6 +1559,18 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_doc_length_mad(sf_dir: str):
+    """Robust dispersion (functions/textstats.doc_length_mad): median
+    + MAD from ONE histogram pass — the deviation histogram is the
+    value histogram FOLDED around the median; nearest-rank semantics
+    both levels."""
+    import ray.data
+
+    from readability_ray.functions import doc_length_mad
+    return doc_length_mad(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_events_pivot(sf_dir: str):
     """PIVOT / long-to-wide (functions/textstats.events_hourly_pivot):
     bounded (hour, type, n) partials, single-block pandas pivot —
@@ -2489,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ntile": _q_doc_ntile,
         "events_hourly_pivot": _q_events_pivot,
         "events_asof_join_forward": _q_events_asof_forward,
+        "doc_length_mad": _q_doc_length_mad,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4612,6 +4625,18 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY 1
+        """,
+        "doc_length_mad": """
+            WITH m AS (
+                SELECT quantile_disc(length(text), 0.5)::BIGINT AS med
+                FROM documents
+            )
+            SELECT count(*)::BIGINT AS n_docs,
+                   (SELECT med FROM m) AS median_len,
+                   quantile_disc(abs(length(text)
+                                     - (SELECT med FROM m)),
+                                 0.5)::BIGINT AS mad_len
+            FROM documents
         """,
         "events_asof_join_forward": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -758,6 +758,67 @@ def events_hourly_pivot(events: ray.data.Dataset
         .map_batches(pivot, batch_format="pandas", batch_size=None)
 
 
+def doc_length_mad(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Median absolute deviation of document length — the robust-
+    dispersion statistic (outlier gates that a variance would let
+    giant pages distort).
+
+    ONE histogram pass: the per-batch (length, count) partials are the
+    doc_length_percentiles shape; the single-block merge finds the
+    median from cumulative counts, then derives the |x − m| histogram
+    by FOLDING the value histogram around m (counts at m−d and m+d
+    add) — MAD costs zero additional passes over the data.  Both
+    medians use nearest-rank (quantile_disc) semantics.
+
+    Output: one row (n_docs, median_len, mad_len).
+    """
+    import pandas as pd
+
+    from .util import arrow_out
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        vc = pa.table({"n_chars": lengths}).group_by("n_chars") \
+            .aggregate([("n_chars", "count")])
+        return pa.table({
+            "n_chars": vc.column("n_chars"),
+            "cnt": vc.column("n_chars_count").cast(pa.int64()),
+        })
+
+    def mad_pass(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n_chars" not in batch.columns:
+            return pa.table({
+                "n_docs": pa.array([0], pa.int64()),
+                "median_len": pa.array([None], pa.int64()),
+                "mad_len": pa.array([None], pa.int64())})
+        hist = batch.groupby("n_chars", sort=True)["cnt"].sum()
+        values = hist.index.to_numpy(dtype=np.int64)
+        counts = hist.to_numpy(dtype=np.int64)
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        # nearest-rank: smallest value with cum >= ceil(0.5 * n)
+        rank = max(1, int(np.ceil(0.5 * n)))
+        m = int(values[np.searchsorted(cum, rank)])
+        # fold the histogram around m: dev d collects counts of m-d
+        # and m+d (d=0 once)
+        dev = np.abs(values - m)
+        fold = pd.Series(counts).groupby(dev).sum()
+        dvals = fold.index.to_numpy(dtype=np.int64)
+        dcum = fold.to_numpy(dtype=np.int64).cumsum()
+        mad = int(dvals[np.searchsorted(dcum, rank)])
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "median_len": pa.array([m], pa.int64()),
+            "mad_len": pa.array([mad], pa.int64())})
+
+    from .util import strip_schema_metadata
+    return strip_schema_metadata(ds.select_columns(["text"])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(mad_pass, batch_format="pandas",
+                     batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -387,3 +387,25 @@ def test_events_asof_forward(ray_session):
                             n_partitions=3).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_doc_length_mad(ray_session):
+    """Median + MAD by histogram folding equals direct numpy
+    nearest-rank; invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import doc_length_mad
+
+    lens = [1, 3, 3, 7, 20]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a" * n for n in lens], pa.string())}))
+    out = doc_length_mad(ds).to_pandas()
+    # nearest-rank median of [1,3,3,7,20] -> rank ceil(2.5)=3 -> 3
+    assert int(out.loc[0, "median_len"]) == 3
+    # deviations [2,0,0,4,17] sorted [0,0,2,4,17] -> rank 3 -> 2
+    assert int(out.loc[0, "mad_len"]) == 2
+    assert int(out.loc[0, "n_docs"]) == 5
+    out2 = doc_length_mad(ds.repartition(3)).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
