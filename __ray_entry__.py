@@ -1559,6 +1559,18 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_report(sf_dir: str):
+    """Composed multi-metric report (functions/textstats.
+    events_report): lazy union of four verified event aggregates in
+    long form — one job, four dashboards; SQL oracle is the UNION ALL
+    of the members' oracles."""
+    import ray.data
+
+    from readability_ray.functions import events_report
+    return events_report(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_doc_length_mad(sf_dir: str):
     """Robust dispersion (functions/textstats.doc_length_mad): median
     + MAD from ONE histogram pass — the deviation histogram is the
@@ -2502,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_pivot": _q_events_pivot,
         "events_asof_join_forward": _q_events_asof_forward,
         "doc_length_mad": _q_doc_length_mad,
+        "events_report": _q_events_report,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4625,6 +4638,47 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY 1
+        """,
+        "events_report": """
+            SELECT 'hourly' AS metric,
+                   (epoch_us(ts) // 3600000000)::VARCHAR AS k,
+                   count(*)::BIGINT AS value
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'funnel', s.steps_completed::VARCHAR,
+                   s.n_users FROM (
+                WITH p AS (
+                    SELECT user_id,
+                           string_agg(event_type, '>'
+                                      ORDER BY ts, event_id) AS path
+                    FROM events GROUP BY user_id
+                ), c AS (
+                    SELECT CASE
+                        WHEN regexp_matches(path,
+                             '(^|>)view(>[^>]+)*>click(>[^>]+)*>purchase(>|$)')
+                            THEN 3
+                        WHEN regexp_matches(path,
+                             '(^|>)view(>[^>]+)*>click(>|$)') THEN 2
+                        WHEN regexp_matches(path, '(^|>)view(>|$)')
+                            THEN 1
+                        ELSE 0 END AS sc
+                    FROM p
+                ), g AS (
+                    SELECT sc, count(*)::BIGINT AS n FROM c GROUP BY 1
+                )
+                SELECT lvl AS steps_completed,
+                       coalesce(n, 0)::BIGINT AS n_users
+                FROM (SELECT unnest([0, 1, 2, 3])::BIGINT AS lvl)
+                LEFT JOIN g ON g.sc = lvl) s
+            UNION ALL
+            SELECT 'unique_users',
+                   (epoch_us(ts) // 3600000000)::VARCHAR,
+                   count(DISTINCT user_id)::BIGINT
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'value_hist', floor(value / 10.0)::BIGINT::VARCHAR,
+                   count(*)::BIGINT
+            FROM events WHERE value IS NOT NULL GROUP BY 2
         """,
         "doc_length_mad": """
             WITH m AS (

@@ -14,7 +14,7 @@ from .textstats import (
     token_postings, token_stats,
     top_users_per_type, doc_length_mad, doc_length_percentiles_by_group,
     event_prop_stats, event_value_histogram, events_hourly_cube,
-    events_hourly_pivot,
+    events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
 )
@@ -120,6 +120,7 @@ __all__ = [
     "doc_length_percentiles_by_group", "user_modal_event_type",
     "events_hourly_unique_users", "event_prop_stats",
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
+    "events_report",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -819,6 +819,64 @@ def doc_length_mad(ds: ray.data.Dataset) -> ray.data.Dataset:
                      batch_size=None)
 
 
+def events_report(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Composed product-analytics report: four verified event
+    aggregates (hourly counts, funnel levels, hourly unique users,
+    value-histogram bins) emitted as ONE long-form dataset — the
+    multi-metric report pipeline (a dashboard refresh is one job, not
+    four).
+
+    Each member keeps its own proven plan (bounded-key merges; the
+    funnel and unique-users members each pay their one keyed
+    exchange); the composition is a lazy union of long rows
+    (metric, k, value) — nothing is re-derived, nothing extra moves.
+
+    Output: (metric, k, value), metric ∈ {hourly, funnel,
+    unique_users, value_hist}.
+    """
+    import pandas as pd
+
+    from .util import arrow_out
+    from .windows import funnel_counts
+
+    def long3(metric, kcol, vcol, keep=None):
+        def f(batch: pd.DataFrame) -> pa.Table:
+            if len(batch) == 0 or kcol not in batch.columns:
+                return pa.table({
+                    "metric": pa.array([], pa.string()),
+                    "k": pa.array([], pa.string()),
+                    "value": pa.array([], pa.int64())})
+            b = keep(batch) if keep is not None else batch
+            # .to_numpy(): a filtered frame keeps its original index
+            # and pd.DataFrame would align-join it against the fresh
+            # metric column, nulling every filtered row
+            return arrow_out(pd.DataFrame({
+                "metric": pd.Series([metric] * len(b),
+                                    dtype="object"),
+                "k": pd.Series(
+                    b[kcol].to_numpy(dtype=np.int64)).astype(str),
+                "value": pd.Series(
+                    b[vcol].to_numpy(dtype=np.int64))}))
+        return f
+
+    # per-hour totals = the cube's hour margins (type NULL, hour set)
+    hourly = events_hourly_cube(events).map_batches(
+        long3("hourly", "hour", "n_events",
+              keep=lambda b: b[b["event_type"].isna()
+                               & b["hour"].notna()]),
+        batch_format="pandas")
+    funnel = funnel_counts(events).map_batches(
+        long3("funnel", "steps_completed", "n_users"),
+        batch_format="pandas")
+    uniq = events_hourly_unique_users(events).map_batches(
+        long3("unique_users", "hour", "unique_users"),
+        batch_format="pandas")
+    hist = event_value_histogram(events).map_batches(
+        long3("value_hist", "bin", "n_events"),
+        batch_format="pandas")
+    return hourly.union(funnel).union(uniq).union(hist)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -409,3 +409,30 @@ def test_doc_length_mad(ray_session):
     assert int(out.loc[0, "n_docs"]) == 5
     out2 = doc_length_mad(ds.repartition(3)).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_report(ray_session):
+    """Composed long-form report: all four members present with the
+    right totals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_report
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:40:00",
+                   "2024-01-01T01:10:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(["view", "click", "view"], pa.string()),
+        "value": pa.array([5.0, 15.0, 25.0], pa.float64()),
+    }))
+    df = events_report(ds).to_pandas()
+    by = df.groupby("metric")["value"].sum()
+    assert by["hourly"] == 3
+    assert by["unique_users"] == 2  # h0: u1 only; h1: u2
+    assert by["value_hist"] == 3
+    funnel = df[df.metric == "funnel"].set_index("k")["value"]
+    assert funnel["2"] == 1  # u1: view->click
+    assert funnel["1"] == 1  # u2: view only
