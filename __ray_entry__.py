@@ -1559,6 +1559,33 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_wealthy_inactive(sf_dir: str):
+    """TPC-H Q22 shape (functions/relational.
+    wealthy_inactive_customers): global-scalar predicate evaluated by
+    EXACT integer cross-multiply (no float average on either side) +
+    the anti-join union idiom.  Constructible-family input (the
+    round-4 technique): orders are restricted to custkey % 3 != 0 on
+    BOTH sides so inactivity provably exists — on the raw tables the
+    result is legitimately EMPTY and a 0-row typed block loses its
+    schema in to_pandas (Ray behavior), which the driver compare
+    cannot hash."""
+    import ray.data
+
+    from readability_ray.functions import wealthy_inactive_customers
+    import pyarrow.compute as _pc
+
+    def _mod3(batch):
+        k = batch.column("o_custkey")
+        keep = _pc.not_equal(
+            _pc.subtract(k, _pc.multiply(_pc.divide(k, 3), 3)), 0)
+        return batch.filter(keep)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet") \
+        .map_batches(_mod3, batch_format="pyarrow")
+    return wealthy_inactive_customers(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"), orders)
+
+
 def _q_events_report(sf_dir: str):
     """Composed multi-metric report (functions/textstats.
     events_report): lazy union of four verified event aggregates in
@@ -2515,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_forward": _q_events_asof_forward,
         "doc_length_mad": _q_doc_length_mad,
         "events_report": _q_events_report,
+        "wealthy_inactive_customers": _q_wealthy_inactive,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4638,6 +4666,24 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY 1
+        """,
+        "wealthy_inactive_customers": """
+            WITH pos AS (
+                SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT
+                           AS s,
+                       count(*)::BIGINT AS n
+                FROM customer WHERE round(c_acctbal * 100) > 0
+            )
+            SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+                   sum(round(c_acctbal * 100)::BIGINT)::BIGINT
+                       AS totacctbal_cents
+            FROM customer, pos
+            WHERE round(c_acctbal * 100)::BIGINT * pos.n > pos.s
+              AND round(c_acctbal * 100)::BIGINT > 0
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c_custkey
+                                AND o.o_custkey % 3 != 0)
+            GROUP BY c_mktsegment
         """,
         "events_report": """
             SELECT 'hourly' AS metric,

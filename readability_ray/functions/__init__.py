@@ -70,7 +70,8 @@ from .relational import (
     order_priority_counts, pricing_summary, priority_line_counts,
     promo_revenue_share, quantity_moments, region_nation_revenue,
     quantity_price_correlation, segment_top_orders,
-    top_returned_customers, weighted_order_sample,
+    top_returned_customers, wealthy_inactive_customers,
+    weighted_order_sample,
 )
 from .headlinks import (extract_feed_links, extract_head_links,
                         feed_autodiscovery, head_links)
@@ -120,7 +121,7 @@ __all__ = [
     "doc_length_percentiles_by_group", "user_modal_event_type",
     "events_hourly_unique_users", "event_prop_stats",
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
-    "events_report",
+    "events_report", "wealthy_inactive_customers",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -1381,3 +1381,124 @@ def brand_quantity_revenue(lineitem: ray.data.Dataset,
                      fn_kwargs={"ref": lut_ref}) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def wealthy_inactive_customers(customer: ray.data.Dataset,
+                               orders: ray.data.Dataset, *,
+                               n_partitions: int | None = None
+                               ) -> ray.data.Dataset:
+    """TPC-H Q22 shape — the GLOBAL-SCALAR predicate + anti-join:
+    per-segment count and total balance of customers whose balance
+    exceeds the positive-balance average AND who placed no orders.
+
+    The scalar subquery is two integers pulled from a single-block
+    partial merge (sum of positive cents, count); the predicate is
+    evaluated EXACTLY by integer cross-multiplication
+    (``acctbal_c * n_pos > sum_pos_c``) — no float average exists on
+    either side, so distributed evaluation is hash-identical to SQL.
+    The NOT EXISTS rides the inactive_customers union idiom: orders
+    shed to per-batch distinct custkeys, one keyed exchange co-locates
+    each key (absence is provable only under total co-location),
+    bounded per-segment partials merge in one block.
+
+    Output: (c_mktsegment, numcust, totacctbal_cents).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(customer)
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+
+    def avg_partials(batch: pd.DataFrame) -> pa.Table:
+        c = _cents(batch["c_acctbal"])
+        pos = c[c > 0]
+        return arrow_out(pd.DataFrame({
+            "s": pd.Series([int(pos.sum())], dtype="int64"),
+            "n": pd.Series([len(pos)], dtype="int64")}))
+
+    def avg_merge(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "s": pd.Series([int(batch["s"].sum())], dtype="int64"),
+            "n": pd.Series([int(batch["n"].sum())], dtype="int64")}))
+
+    scalars = strip_schema_metadata(
+        customer.select_columns(["c_acctbal"])) \
+        .map_batches(avg_partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(avg_merge, batch_format="pandas",
+                     batch_size=None).take_all()
+    sum_pos, n_pos = int(scalars[0]["s"]), int(scalars[0]["n"])
+
+    def cust_rows(batch: pd.DataFrame) -> pa.Table:
+        c = _cents(batch["c_acctbal"])
+        # exact integer cross-multiply: acctbal > avg(positive)
+        m = (c * n_pos > sum_pos) & (c > 0)
+        b = batch[m]
+        return arrow_out(pd.DataFrame({
+            "key": b["c_custkey"].to_numpy(dtype=np.int64),
+            "segment": b["c_mktsegment"].to_numpy(),
+            "bal_c": c[m],
+            "_side": np.full(int(m.sum()), "c", dtype=object)}))
+
+    def order_keys(batch: pd.DataFrame) -> pa.Table:
+        keys = batch["o_custkey"].unique()
+        return arrow_out(pd.DataFrame({
+            "key": pd.Series(keys, dtype="int64"),
+            "segment": pd.Series([""] * len(keys), dtype="object"),
+            "bal_c": pd.Series([0] * len(keys), dtype="int64"),
+            "_side": pd.Series(["o"] * len(keys), dtype="object")}))
+
+    c_side = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_mktsegment",
+                                 "c_acctbal"])) \
+        .map_batches(cust_rows, batch_format="pandas")
+    o_side = strip_schema_metadata(
+        orders.select_columns(["o_custkey"])) \
+        .map_batches(order_keys, batch_format="pandas")
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        # Sentinel zero row, never an empty frame: an all-empty plan
+        # (every wealthy customer active) would otherwise skip the
+        # merge UDF and emit a schema-less result (empty-block gotcha)
+        sentinel = pd.DataFrame({
+            "c_mktsegment": pd.Series([""], dtype="object"),
+            "numcust": pd.Series([0], dtype="int64"),
+            "totacctbal_cents": pd.Series([0], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(sentinel)
+        active = set(batch.loc[batch["_side"] == "o", "key"])
+        c = batch[batch["_side"] == "c"]
+        m = c[~c["key"].isin(active)]
+        if len(m) == 0:
+            return arrow_out(sentinel)
+        g = m.groupby("segment", sort=False) \
+            .agg(numcust=("key", "size"),
+                 totacctbal_cents=("bal_c", "sum")).reset_index()
+        out = pd.DataFrame({
+            "c_mktsegment": g["segment"],
+            "numcust": g["numcust"].astype("int64"),
+            "totacctbal_cents":
+                g["totacctbal_cents"].astype("int64")})
+        return arrow_out(pd.concat([out, sentinel],
+                                   ignore_index=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "c_mktsegment" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal_cents": pd.Series([], dtype="int64")}))
+        b = batch[batch["c_mktsegment"] != ""]
+        if len(b) == 0:
+            return pa.table({
+                "c_mktsegment": pa.array([], pa.string()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal_cents": pa.array([], pa.int64())})
+        g = b.groupby("c_mktsegment", as_index=False, sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return c_side.union(o_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -508,3 +508,35 @@ def test_brand_quantity_revenue(ray_session):
                                   branches=branches).to_pandas() \
         .set_index("branch")
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_wealthy_inactive_customers(ray_session):
+    """Q22: above-positive-average balance (exact cross-multiply),
+    no orders; actives and below-average drop."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import wealthy_inactive_customers
+
+    customer = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_mktsegment": pa.array(["A", "A", "B", "B", "B"],
+                                 pa.string()),
+        # positive balances: 10, 20, 30, 40 -> avg 25
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0, -5.0],
+                              pa.float64()),
+    }))
+    # cust 4 (40 > 25) has an order -> active, drops; cust 3 (30 > 25)
+    # inactive -> kept; 1, 2 below avg; 5 negative
+    orders = ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array([4, 4], pa.int64()),
+    }))
+    out = wealthy_inactive_customers(customer, orders,
+                                     n_partitions=2).to_pandas()
+    assert out["c_mktsegment"].tolist() == ["B"]
+    assert out["numcust"].tolist() == [1]
+    assert out["totacctbal_cents"].tolist() == [3000]
+    out2 = wealthy_inactive_customers(
+        customer.repartition(3), orders.repartition(2),
+        n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
