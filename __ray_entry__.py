@@ -1559,6 +1559,29 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_throttle(sf_dir: str):
+    """Rate-limit dedup (functions/windows.events_throttle): first
+    event per (user, 5-min tumbling window); one keyed exchange,
+    vectorized first-per-group, row_number()=1 oracle."""
+    import ray.data
+
+    from readability_ray.functions import events_throttle
+    return events_throttle(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_event_value_zscores(sf_dir: str):
+    """Group-stats enrichment (functions/textstats.
+    event_value_zscores): per-row z against exact hourly integer
+    moments broadcast back — no join; float steps mirrored op-for-op
+    in HUGEINT SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import event_value_zscores
+    return event_value_zscores(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_wealthy_inactive(sf_dir: str):
     """TPC-H Q22 shape (functions/relational.
     wealthy_inactive_customers): global-scalar predicate evaluated by
@@ -2543,6 +2566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_mad": _q_doc_length_mad,
         "events_report": _q_events_report,
         "wealthy_inactive_customers": _q_wealthy_inactive,
+        "events_throttle": _q_events_throttle,
+        "event_value_zscores": _q_event_value_zscores,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
         "minhash_dedup_pairs_estimate": _q_minhash_pairs_estimate,
@@ -4666,6 +4691,44 @@ def oracle_sql() -> dict[str, str]:
                          json_extract(props, '$.k')::BIGINT AS k
                   FROM events)
             GROUP BY 1
+        """,
+        "events_throttle": """
+            SELECT event_id, user_id,
+                   (epoch_us(ts) // 300000000 * 5)::BIGINT
+                       AS window_start_min
+            FROM (
+                SELECT event_id, user_id, ts, row_number() OVER (
+                    PARTITION BY user_id, epoch_us(ts) // 300000000
+                    ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "event_value_zscores": """
+            WITH st AS (
+                SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                       count(*)::BIGINT AS n,
+                       sum(round(value * 100)::HUGEINT)::HUGEINT AS s,
+                       sum(round(value * 100)::HUGEINT
+                           * round(value * 100)::HUGEINT)::HUGEINT
+                           AS ssq
+                FROM events GROUP BY 1
+            ), ms AS (
+                SELECT hour, s::DOUBLE / n::DOUBLE AS mean,
+                       sqrt((n * ssq - s * s)::DOUBLE
+                            / (n::HUGEINT * n::HUGEINT)::DOUBLE)
+                           AS std
+                FROM st WHERE n >= 2
+                  AND (n * ssq - s * s) > 0
+            )
+            SELECT e.event_id,
+                   (epoch_us(e.ts) // 3600000000)::BIGINT AS hour,
+                   CASE WHEN m.std IS NULL THEN NULL
+                        ELSE floor((round(e.value * 100)::BIGINT
+                                    ::DOUBLE - m.mean) / m.std
+                                   * 1000000) / 1000000 END AS z
+            FROM events e
+            LEFT JOIN ms m
+              ON m.hour = (epoch_us(e.ts) // 3600000000)::BIGINT
         """,
         "wealthy_inactive_customers": """
             WITH pos AS (

@@ -13,7 +13,8 @@ from .textstats import (
     tfidf_top_terms, token_frequency_topk, token_pmi_pairs,
     token_postings, token_stats,
     top_users_per_type, doc_length_mad, doc_length_percentiles_by_group,
-    event_prop_stats, event_value_histogram, events_hourly_cube,
+    event_prop_stats, event_value_histogram, event_value_zscores,
+    events_hourly_cube,
     events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
@@ -31,7 +32,8 @@ from .similarity import (
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
     event_interarrival_stats, events_asof_join, events_range_join,
-    events_rolling_counts, funnel_counts, user_event_paths,
+    events_rolling_counts, events_throttle, funnel_counts,
+    user_event_paths,
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
@@ -122,6 +124,7 @@ __all__ = [
     "events_hourly_unique_users", "event_prop_stats",
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
     "events_report", "wealthy_inactive_customers",
+    "events_throttle", "event_value_zscores",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

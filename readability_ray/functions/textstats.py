@@ -877,6 +877,90 @@ def events_report(events: ray.data.Dataset) -> ray.data.Dataset:
     return hourly.union(funnel).union(uniq).union(hist)
 
 
+def event_value_zscores(events: ray.data.Dataset
+                        ) -> ray.data.Dataset:
+    """Group-statistics enrichment: every event's value z-scored
+    against its HOUR's mean/std — the aggregate-broadcast-back shape
+    behind per-row anomaly features (no join: group stats are bounded,
+    so they ride one ray.put).
+
+    Pass 1 ships exact int64 (hour, n, Σc, Σc²) partials (values are
+    2-decimal → exact cents); the driver folds them into Python big
+    ints per hour and broadcasts one dict.  Pass 2 is a pure map:
+    z = (cents − mean) / std with mean = s/n and std =
+    sqrt((n·Σc² − s²)/n²) — every float step mirrored op-for-op in
+    the HUGEINT SQL, floor-6; single-event / zero-variance hours emit
+    NULL.
+
+    Output: (event_id, hour, z) per event.
+    """
+    import math
+
+    import pandas as pd
+    import ray as _ray
+
+    from .lmscore import _get_broadcast
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        c = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"hour": hours, "n": 1, "s": c,
+                          "ssq": c * c}) \
+            .groupby("hour", as_index=False, sort=False).sum()
+        return arrow_out(pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "s": g["s"].astype("int64"),
+            "ssq": g["ssq"].astype("int64")}))
+
+    rows = strip_schema_metadata(
+        events.select_columns(["ts", "value"])) \
+        .map_batches(partials, batch_format="pandas").take_all()
+    stats: dict = {}
+    for r in rows:
+        h = int(r["hour"])
+        n0, s0, q0 = stats.get(h, (0, 0, 0))
+        stats[h] = (n0 + int(r["n"]), s0 + int(r["s"]),
+                    q0 + int(r["ssq"]))
+    ms: dict = {}
+    for h, (n, s, ssq) in stats.items():
+        if n < 2:
+            ms[h] = None
+            continue
+        var = float(n * ssq - s * s) / float(n * n)
+        std = math.sqrt(var)
+        ms[h] = None if std == 0.0 else (float(s) / float(n), std)
+    ref = _ray.put(ms)
+
+    def zmap(batch: pd.DataFrame, *, ref) -> pa.Table:
+        m = _get_broadcast(ref)
+        hours = (batch["ts"].to_numpy(dtype="datetime64[us]")
+                 .astype("int64") // 3_600_000_000)
+        c = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        z = np.zeros(len(batch), dtype=np.float64)
+        ok = np.zeros(len(batch), dtype=bool)
+        for h in np.unique(hours):
+            st = m.get(int(h))
+            if st is None:
+                continue
+            mean, std = st
+            sel = hours == h
+            z[sel] = np.floor((c[sel] - mean) / std * 1e6) / 1e6
+            ok[sel] = True
+        return pa.table({
+            "event_id": pa.array(
+                batch["event_id"].to_numpy(dtype=np.int64)),
+            "hour": pa.array(hours),
+            "z": pa.array(z, mask=~ok)})
+
+    return strip_schema_metadata(
+        events.select_columns(["event_id", "ts", "value"])) \
+        .map_batches(zmap, batch_format="pandas",
+                     fn_kwargs={"ref": ref})
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

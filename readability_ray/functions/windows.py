@@ -505,3 +505,58 @@ def funnel_counts(ds: ray.data.Dataset, *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def events_throttle(ds: ray.data.Dataset, *,
+                    window_min: int = 5,
+                    key_col: str = "user_id",
+                    ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    n_partitions: int | None = None
+                    ) -> ray.data.Dataset:
+    """Rate-limit dedup: keep the FIRST event of each (key, tumbling
+    window) — the revisit-suppression / notification-throttle policy
+    (at most one action per user per period).
+
+    First-per-group is order-dependent → ONE keyed exchange on the
+    key, then a vectorized per-partition sort + drop_duplicates on
+    (key, window); the deterministic (ts, id) order makes the kept
+    row the SQL oracle's ``row_number() = 1`` pick exactly.  Only
+    (key, ts, id) move.
+
+    Output: (event_id, user_id, window_start_min) of kept events.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    w_us = window_min * 60_000_000
+
+    def keep_first(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "window_start_min": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or key_col not in batch.columns:
+            return arrow_out(empty)
+        b = batch.sort_values([key_col, ts_col, id_col],
+                              kind="stable")
+        t = b[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        win = t // w_us
+        f = pd.DataFrame({
+            "event_id": b[id_col].to_numpy(dtype=np.int64),
+            "user_id": b[key_col].to_numpy(dtype=np.int64),
+            "win": win})
+        kept = f.drop_duplicates(["user_id", "win"], keep="first")
+        return arrow_out(pd.DataFrame({
+            "event_id": kept["event_id"].to_numpy(),
+            "user_id": kept["user_id"].to_numpy(),
+            "window_start_min":
+                (kept["win"].to_numpy() * window_min)}))
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(keep_first, batch_format="pandas",
+                     batch_size=None)

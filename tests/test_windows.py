@@ -436,3 +436,64 @@ def test_events_report(ray_session):
     funnel = df[df.metric == "funnel"].set_index("k")["value"]
     assert funnel["2"] == 1  # u1: view->click
     assert funnel["1"] == 1  # u2: view only
+
+
+def test_events_throttle(ray_session):
+    """First event per (user, 5-min window); ties by id; invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_throttle
+
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:00:00",
+                   "2024-01-01T00:03:00", "2024-01-01T00:06:00",
+                   "2024-01-01T00:01:00"], dtype="datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([2, 1, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts),
+    }))
+    out = events_throttle(ds, window_min=5,
+                          n_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # u1 window 0: ids 1,2 tie at t0 -> keep 1; id 3 same window drops
+    # u1 window 1: id 4; u2 window 0: id 5
+    assert out["event_id"].tolist() == [1, 4, 5]
+    out2 = events_throttle(ds.repartition(4), window_min=5,
+                           n_partitions=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_value_zscores(ray_session):
+    """z vs hand-computed exact-int moments; single-event hour null."""
+    import math
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_value_zscores
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:20:00",
+                   "2024-01-01T00:30:00", "2024-01-01T01:10:00"],
+                  dtype="datetime64[us]")
+    vals = [1.00, 2.00, 3.00, 9.99]
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = event_value_zscores(ds).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    c = [100, 200, 300]
+    n, s = 3, sum(c)
+    ssq = sum(x * x for x in c)
+    mean = float(s) / n
+    std = math.sqrt(float(n * ssq - s * s) / float(n * n))
+    exp0 = np.floor((100 - mean) / std * 1e6) / 1e6
+    assert out.loc[0, "z"] == exp0
+    assert pd.isna(out.loc[3, "z"])  # lone event in its hour
+    out2 = event_value_zscores(ds.repartition(3)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
