@@ -1705,6 +1705,20 @@ def _q_hll_by_lang(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_hll_by_source(sf_dir: str):
+    """Grouped HLL, UNBOUNDED-group scale path (functions/sketch.
+    hll_distinct_by_group strategy=colocate): one group-keyed exchange
+    co-locates each group's register rows + count partials; no single
+    block ever sees more than its own groups — the per-host vocab
+    census shape."""
+    import ray.data
+
+    from readability_ray.functions import hll_distinct_by_group
+    return hll_distinct_by_group(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        group_col="source", strategy="colocate")
+
+
 def _q_customer_order_distribution(sf_dir: str):
     """TPC-H Q13 shape (functions/relational.
     customer_order_distribution): outer-join count distribution —
@@ -2550,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "top_returned_customers": _q_top_returned_customers,
         "hll_distinct_by_lang": _q_hll_by_lang,
+        "hll_distinct_by_source": _q_hll_by_source,
         "global_rank": _q_global_rank,
         "events_hourly_cube": _q_events_cube,
         "quantity_price_correlation": _q_qty_price_corr,
@@ -2859,6 +2874,64 @@ def _ivf_recall_sql(n_clusters: int = 8, n_iter: int = 2,
                  WHERE ex.query_id = q.query_id) AS nc
             FROM qs q) q
     """
+
+
+
+
+def _hll_group_sql(col: str) -> str:
+    """Grouped-HLL whole-sketch re-derivation, parameterized on the
+    group column (lang for the bounded single-block query, source for
+    the colocate scale-path query) — one body, zero drift."""
+    return f"""
+            -- the grouped sketch, every register re-derived per {col}:
+            -- same arithmetic as hll_distinct_tokens with {col} carried
+            -- through tok/th/tw/bl and registers seeded per ({col}, idx)
+            WITH tok AS (
+                SELECT DISTINCT {col}, unnest(regexp_extract_all(text,
+                    '[^ \\t\\n\\r\\f\\v]+')) AS token
+                FROM documents
+            ), th AS (
+                SELECT {col}, token, {MD5_64_LE_SQL} AS h
+                FROM (SELECT {col}, token, md5(token) AS h FROM tok)
+            ), tw AS (
+                SELECT {col}, (h % 64)::BIGINT AS idx,
+                       (h // 64)::UBIGINT AS w
+                FROM th
+            ), bl AS (
+                SELECT {col}, idx,
+                       coalesce(max(CASE WHEN (w >> i) > 0
+                                    THEN i + 1 END), 0) AS bitlen
+                FROM tw CROSS JOIN
+                     (SELECT unnest(generate_series(0, 57)) AS i)
+                GROUP BY {col}, idx, w
+            ), reg AS (
+                SELECT r.{col}, r.idx,
+                       coalesce(max(58 - b.bitlen + 1), 0) AS v
+                FROM ((SELECT DISTINCT {col} FROM tok) CROSS JOIN
+                      (SELECT unnest(generate_series(0, 63)) AS idx)) r
+                LEFT JOIN bl b ON b.idx = r.idx AND b.{col} = r.{col}
+                GROUP BY r.{col}, r.idx
+            ), raw AS (
+                SELECT {col},
+                       (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 /
+                           sum(pow(2.0, -v)) AS est,
+                       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS zeros
+                FROM reg GROUP BY {col}
+            ), fixed AS (
+                SELECT {col},
+                       CASE WHEN est <= 2.5 * 64 AND zeros > 0
+                            THEN 64 * ln(64.0 / zeros)
+                            ELSE est END AS est
+                FROM raw
+            ), ex AS (
+                SELECT {col}, count(*)::BIGINT AS exact_distinct
+                FROM tok GROUP BY {col}
+            )
+            SELECT f.{col} AS "group", ex.exact_distinct,
+                   (floor(f.est * 1e6) / 1e6)::DOUBLE AS hll_estimate
+            FROM fixed f JOIN ex ON ex.{col} = f.{col}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5137,56 +5210,8 @@ def oracle_sql() -> dict[str, str]:
                    64::BIGINT AS n_registers
             FROM fixed
         """,
-        "hll_distinct_by_lang": f"""
-            -- the grouped sketch, every register re-derived per lang:
-            -- same arithmetic as hll_distinct_tokens with lang carried
-            -- through tok/th/tw/bl and registers seeded per (lang, idx)
-            WITH tok AS (
-                SELECT DISTINCT lang, unnest(regexp_extract_all(text,
-                    '[^ \\t\\n\\r\\f\\v]+')) AS token
-                FROM documents
-            ), th AS (
-                SELECT lang, token, {MD5_64_LE_SQL} AS h
-                FROM (SELECT lang, token, md5(token) AS h FROM tok)
-            ), tw AS (
-                SELECT lang, (h % 64)::BIGINT AS idx,
-                       (h // 64)::UBIGINT AS w
-                FROM th
-            ), bl AS (
-                SELECT lang, idx,
-                       coalesce(max(CASE WHEN (w >> i) > 0
-                                    THEN i + 1 END), 0) AS bitlen
-                FROM tw CROSS JOIN
-                     (SELECT unnest(generate_series(0, 57)) AS i)
-                GROUP BY lang, idx, w
-            ), reg AS (
-                SELECT r.lang, r.idx,
-                       coalesce(max(58 - b.bitlen + 1), 0) AS v
-                FROM ((SELECT DISTINCT lang FROM tok) CROSS JOIN
-                      (SELECT unnest(generate_series(0, 63)) AS idx)) r
-                LEFT JOIN bl b ON b.idx = r.idx AND b.lang = r.lang
-                GROUP BY r.lang, r.idx
-            ), raw AS (
-                SELECT lang,
-                       (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64 /
-                           sum(pow(2.0, -v)) AS est,
-                       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
-                           AS zeros
-                FROM reg GROUP BY lang
-            ), fixed AS (
-                SELECT lang,
-                       CASE WHEN est <= 2.5 * 64 AND zeros > 0
-                            THEN 64 * ln(64.0 / zeros)
-                            ELSE est END AS est
-                FROM raw
-            ), ex AS (
-                SELECT lang, count(*)::BIGINT AS exact_distinct
-                FROM tok GROUP BY lang
-            )
-            SELECT f.lang AS "group", ex.exact_distinct,
-                   (floor(f.est * 1e6) / 1e6)::DOUBLE AS hll_estimate
-            FROM fixed f JOIN ex ON ex.lang = f.lang
-        """,
+        "hll_distinct_by_lang": _hll_group_sql("lang"),
+        "hll_distinct_by_source": _hll_group_sql("source"),
         "cms_heavy_hitters": f"""
             -- the whole sketch re-derived: position of token t in row
             -- i = md5_le64('i:'||t) % 1024; a cell sums EVERY token

@@ -205,7 +205,10 @@ def hll_distinct_tokens(ds: ray.data.Dataset, *,
 
 def hll_distinct_by_group(ds: ray.data.Dataset, *,
                           group_col: str = "lang",
-                          text_col: str = "text") -> ray.data.Dataset:
+                          text_col: str = "text",
+                          strategy: str = "single_block",
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
     """GROUPED HyperLogLog: per-group distinct-token estimates beside
     the exact counts — the per-language vocab census shape (one
     register vector per group, constant-size × |groups|).
@@ -219,6 +222,14 @@ def hll_distinct_by_group(ds: ray.data.Dataset, *,
     carried along) and re-enters the same merge via the union idiom —
     no Acero join, the final block sees |groups| register rows +
     |partitions|×|groups| count partials.
+
+    ``strategy="single_block"`` (default) merges every group's rows
+    in one block — right when groups are bounded (languages).
+    ``strategy="colocate"`` is the UNBOUNDED-group scale path
+    (per-host vocab at crawl scale): one group-keyed exchange
+    co-locates each group's register rows + count partials and the
+    same merge runs per partition — no single block ever sees more
+    than its groups.
 
     Output: (group, exact_distinct, hll_estimate) per group, the
     estimate floor-6 with the linear-counting small-range branch.
@@ -293,6 +304,11 @@ def hll_distinct_by_group(ds: ray.data.Dataset, *,
     ensure_hash_shuffle(exact_side)
 
     def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "group" not in batch.columns:
+            return pa.table({
+                "group": pa.array([], pa.string()),
+                "exact_distinct": pa.array([], pa.int64()),
+                "hll_estimate": pa.array([], pa.float64())})
         out = []
         for g in sorted(batch["group"].unique()):
             b = batch[batch["group"] == g]
@@ -313,6 +329,15 @@ def hll_distinct_by_group(ds: ray.data.Dataset, *,
             "hll_estimate": pa.array([o[2] for o in out],
                                      pa.float64())})
 
+    if strategy == "single_block":
+        return reg_side.union(exact_side) \
+            .repartition(1) \
+            .map_batches(merge, batch_format="pandas",
+                         batch_size=None)
+    if strategy != "colocate":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    ensure_hash_shuffle(reg_side)
+    kk = n_partitions or default_partitions()
     return reg_side.union(exact_side) \
-        .repartition(1) \
+        .repartition(num_blocks=kk, keys=["group"]) \
         .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -93,3 +93,28 @@ def test_hll_by_group_matches_ungrouped(ray_session):
     out2 = hll_distinct_by_group(ds.repartition(4)).to_pandas() \
         .sort_values("group").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hll_by_group_colocate_equals_single_block(ray_session):
+    """The unbounded-group scale path returns exactly the bounded
+    path's rows at any partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import hll_distinct_by_group
+
+    docs = pa.table({
+        "source": pa.array(["s1", "s2", "s1", "s3", "s2"],
+                           pa.string()),
+        "text": pa.array(["a b", "c", "b d", "e f g", "c h"],
+                         pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+    a = hll_distinct_by_group(ds, group_col="source").to_pandas() \
+        .sort_values("group").reset_index(drop=True)
+    b = hll_distinct_by_group(ds.repartition(3), group_col="source",
+                              strategy="colocate",
+                              n_partitions=2).to_pandas() \
+        .sort_values("group").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["exact_distinct"].tolist() == [3, 2, 3]
