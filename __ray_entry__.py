@@ -1559,6 +1559,19 @@ def _q_event_prop_stats(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_sessionize_incremental(sf_dir: str):
+    """Carried-state streaming sessionization (pipelines/streaming.
+    sessionize_incremental): events folded in 4 time-ordered
+    micro-batches through a user-keyed state dataset (one exchange +
+    materialize per round); equals the batch operator at any chunking
+    — same SQL oracle as events_sessionize."""
+    import ray.data
+
+    from readability_ray.pipelines import sessionize_incremental
+    return sessionize_incremental(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_events_throttle(sf_dir: str):
     """Rate-limit dedup (functions/windows.events_throttle): first
     event per (user, 5-min tumbling window); one keyed exchange,
@@ -2582,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_report": _q_events_report,
         "wealthy_inactive_customers": _q_wealthy_inactive,
         "events_throttle": _q_events_throttle,
+        "sessionize_incremental": _q_sessionize_incremental,
         "event_value_zscores": _q_event_value_zscores,
         "corpus_clean": _q_corpus_clean,
         "substring_dedup": _q_substring_dedup,
@@ -4244,6 +4258,32 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "events_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev_us
+                FROM events
+            ), flagged AS (
+                SELECT user_id, us,
+                       CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), with_sid AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), per_session AS (
+                SELECT user_id, sid, count(*) AS cnt
+                FROM with_sid GROUP BY user_id, sid
+            )
+            SELECT user_id, sum(cnt)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_sessions,
+                   max(cnt)::BIGINT AS longest_session_events
+            FROM per_session GROUP BY user_id
+        """,
+        "sessionize_incremental": """
             WITH ordered AS (
                 SELECT user_id, epoch_us(ts) AS us,
                        lag(epoch_us(ts)) OVER (
