@@ -1634,6 +1634,17 @@ def _q_events_report(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_doc_length_cdf(sf_dir: str):
+    """Empirical CDF export (functions/textstats.doc_length_cdf):
+    one histogram pass, single-block sort+cumsum, floor-6 fractions
+    — drift dashboards diff two of these."""
+    import ray.data
+
+    from readability_ray.functions import doc_length_cdf
+    return doc_length_cdf(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_doc_length_mad(sf_dir: str):
     """Robust dispersion (functions/textstats.doc_length_mad): median
     + MAD from ONE histogram pass — the deviation histogram is the
@@ -2592,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_pivot": _q_events_pivot,
         "events_asof_join_forward": _q_events_asof_forward,
         "doc_length_mad": _q_doc_length_mad,
+        "doc_length_cdf": _q_doc_length_cdf,
         "events_report": _q_events_report,
         "wealthy_inactive_customers": _q_wealthy_inactive,
         "events_throttle": _q_events_throttle,
@@ -4901,6 +4913,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value_hist', floor(value / 10.0)::BIGINT::VARCHAR,
                    count(*)::BIGINT
             FROM events WHERE value IS NOT NULL GROUP BY 2
+        """,
+        "doc_length_cdf": """
+            WITH h AS (
+                SELECT length(text)::BIGINT AS n_chars,
+                       count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY 1
+            ), c AS (
+                SELECT n_chars, n_docs,
+                       sum(n_docs) OVER (ORDER BY n_chars
+                           ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS cum_docs
+                FROM h
+            )
+            SELECT n_chars, n_docs, cum_docs,
+                   floor(cum_docs::DOUBLE /
+                         (SELECT count(*) FROM documents)::DOUBLE
+                         * 1000000) / 1000000 AS cum_frac
+            FROM c
         """,
         "doc_length_mad": """
             WITH m AS (

@@ -142,6 +142,14 @@ def _run_benchmarks() -> None:
                      "event_value_histogram",
                      "doc_length_percentiles_by_lang",
                      "user_modal_event_type",
+                     "events_hourly_unique_users", "event_prop_stats",
+                     "token_pmi_pairs", "doc_ntile",
+                     "events_hourly_pivot", "events_asof_join_forward",
+                     "doc_length_mad", "events_report",
+                     "wealthy_inactive_customers", "events_throttle",
+                     "event_value_zscores", "sessionize_incremental",
+                     "hll_distinct_by_source",
+                     "brand_quantity_revenue",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

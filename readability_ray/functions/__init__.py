@@ -12,7 +12,8 @@ from .textstats import (
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_pmi_pairs,
     token_postings, token_stats,
-    top_users_per_type, doc_length_mad, doc_length_percentiles_by_group,
+    top_users_per_type, doc_length_cdf, doc_length_mad,
+    doc_length_percentiles_by_group,
     event_prop_stats, event_value_histogram, event_value_zscores,
     events_hourly_cube,
     events_hourly_pivot, events_report,
@@ -124,7 +125,7 @@ __all__ = [
     "events_hourly_unique_users", "event_prop_stats",
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
     "events_report", "wealthy_inactive_customers",
-    "events_throttle", "event_value_zscores",
+    "events_throttle", "event_value_zscores", "doc_length_cdf",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

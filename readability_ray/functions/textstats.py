@@ -961,6 +961,52 @@ def event_value_zscores(events: ray.data.Dataset
                      fn_kwargs={"ref": ref})
 
 
+def doc_length_cdf(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Empirical CDF of document length: one row per DISTINCT length
+    with its cumulative count and floor-6 cumulative fraction — the
+    distribution-export shape (drift dashboards diff two of these).
+
+    Same one-histogram-pass topology as doc_length_percentiles: the
+    exchange moves (length, count) partials bounded by distinct
+    lengths × batches, never rows; the single-block merge sorts and
+    cumsum's.  Output: (n_chars, n_docs, cum_docs, cum_frac).
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        vc = pa.table({"n_chars": lengths}).group_by("n_chars") \
+            .aggregate([("n_chars", "count")])
+        return pa.table({
+            "n_chars": vc.column("n_chars"),
+            "cnt": vc.column("n_chars_count").cast(pa.int64()),
+        })
+
+    def cdf(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n_chars" not in batch.columns:
+            return pa.table({
+                "n_chars": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "cum_docs": pa.array([], pa.int64()),
+                "cum_frac": pa.array([], pa.float64())})
+        hist = batch.groupby("n_chars", sort=True)["cnt"].sum()
+        values = hist.index.to_numpy(dtype=np.int64)
+        counts = hist.to_numpy(dtype=np.int64)
+        cum = counts.cumsum()
+        n = float(cum[-1])
+        frac = np.floor(cum.astype(np.float64) / n * 1e6) / 1e6
+        return arrow_out(pd.DataFrame({
+            "n_chars": values, "n_docs": counts,
+            "cum_docs": cum.astype(np.int64), "cum_frac": frac}))
+
+    return strip_schema_metadata(ds.select_columns(["text"])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(cdf, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

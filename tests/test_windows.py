@@ -497,3 +497,21 @@ def test_event_value_zscores(ray_session):
     out2 = event_value_zscores(ds.repartition(3)).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_doc_length_cdf(ray_session):
+    """CDF: one row per distinct length, cumulative counts and
+    floor-6 fractions; invariance."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import doc_length_cdf
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a", "aa", "aa", "aaaa"], pa.string())}))
+    out = doc_length_cdf(ds).to_pandas()
+    assert out["n_chars"].tolist() == [1, 2, 4]
+    assert out["cum_docs"].tolist() == [1, 3, 4]
+    assert out["cum_frac"].tolist() == [0.25, 0.75, 1.0]
+    out2 = doc_length_cdf(ds.repartition(3)).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
