@@ -1634,6 +1634,18 @@ def _q_events_report(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_value_time_corr(sf_dir: str):
+    """Grouped exact correlation / drift detector (functions/
+    textstats.value_time_correlation_by_type): per-type five-sum
+    int64 partials over min-offset seconds × value cents, big-int
+    merge, floats mirrored in HUGEINT SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import value_time_correlation_by_type
+    return value_time_correlation_by_type(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_doc_length_cdf(sf_dir: str):
     """Empirical CDF export (functions/textstats.doc_length_cdf):
     one histogram pass, single-block sort+cumsum, floor-6 fractions
@@ -2604,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_forward": _q_events_asof_forward,
         "doc_length_mad": _q_doc_length_mad,
         "doc_length_cdf": _q_doc_length_cdf,
+        "value_time_correlation_by_type": _q_value_time_corr,
         "events_report": _q_events_report,
         "wealthy_inactive_customers": _q_wealthy_inactive,
         "events_throttle": _q_events_throttle,
@@ -4913,6 +4926,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value_hist', floor(value / 10.0)::BIGINT::VARCHAR,
                    count(*)::BIGINT
             FROM events WHERE value IS NOT NULL GROUP BY 2
+        """,
+        "value_time_correlation_by_type": """
+            WITH b AS (
+                SELECT min(epoch_us(ts) // 1000000)::BIGINT AS base
+                FROM events
+            ), p AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                       sum(x * y)::HUGEINT AS sxy,
+                       sum(x * x)::HUGEINT AS sxx,
+                       sum(y * y)::HUGEINT AS syy
+                FROM (SELECT event_type,
+                             (epoch_us(ts) // 1000000
+                              - (SELECT base FROM b))::HUGEINT AS x,
+                             round(value * 100)::HUGEINT AS y
+                      FROM events)
+                GROUP BY 1
+            )
+            SELECT event_type, n,
+                   CASE WHEN (n * sxx - sx * sx) = 0
+                          OR (n * syy - sy * sy) = 0 THEN NULL
+                        ELSE floor((n * sxy - sx * sy)::DOUBLE
+                             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                * sqrt((n * syy - sy * sy)::DOUBLE))
+                             * 1000000) / 1000000 END
+                       AS corr_value_time
+            FROM p
         """,
         "doc_length_cdf": """
             WITH h AS (

@@ -19,6 +19,7 @@ from .textstats import (
     events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
+    value_time_correlation_by_type,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -126,6 +127,7 @@ __all__ = [
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
     "events_report", "wealthy_inactive_customers",
     "events_throttle", "event_value_zscores", "doc_length_cdf",
+    "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",
     "page_outlinks", "extract_tables", "page_tables",

@@ -1007,6 +1007,90 @@ def doc_length_cdf(ds: ray.data.Dataset) -> ray.data.Dataset:
         .map_batches(cdf, batch_format="pandas", batch_size=None)
 
 
+def value_time_correlation_by_type(events: ray.data.Dataset
+                                   ) -> ray.data.Dataset:
+    """GROUPED exact Pearson correlation: per event type, r between
+    event value and event time — the drift detector (is this metric
+    trending?).
+
+    Times are offset to the corpus minimum second (one bounded pull,
+    mirrored in SQL as a scalar subquery) so every product stays
+    int64-exact per batch (offsets ≤ corpus span in seconds); the
+    per-type (n, Σx, Σy, Σxy, Σx², Σy²) partials are int64 per batch
+    and merge as Python big ints carried in STRING columns (the
+    quantity_price_correlation technique, grouped).  Groups are
+    bounded → single-block merge; the only float steps mirror the
+    HUGEINT SQL op-for-op at floor-6.
+
+    Output: (event_type, n, corr_value_time).
+    """
+    import math
+
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+    FLOOR6 = 1_000_000
+
+    def min_sec(batch: pd.DataFrame) -> pa.Table:
+        t = batch["ts"].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64) // 1_000_000
+        return arrow_out(pd.DataFrame({
+            "lo": pd.Series([int(t.min())], dtype="int64")}))
+
+    rows = strip_schema_metadata(events.select_columns(["ts"])) \
+        .map_batches(min_sec, batch_format="pandas").take_all()
+    base = min(int(r["lo"]) for r in rows)
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        x = (batch["ts"].to_numpy(dtype="datetime64[us]")
+             .astype(np.int64) // 1_000_000) - base
+        y = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        f = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "n": 1, "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y}) \
+            .groupby("event_type", as_index=False, sort=False).sum()
+        out = pd.DataFrame({"event_type": f["event_type"],
+                            "n": f["n"].astype("int64")})
+        for c in ("sx", "sy", "sxy", "sxx", "syy"):
+            out[c] = f[c].astype("int64").astype(str)
+        return arrow_out(out)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "corr_value_time": pa.array([], pa.float64())})
+        types, ns, rs = [], [], []
+        for t in sorted(batch["event_type"].unique()):
+            b = batch[batch["event_type"] == t]
+            n = int(b["n"].sum())
+            sx = sum(int(v) for v in b["sx"])
+            sy = sum(int(v) for v in b["sy"])
+            sxy = sum(int(v) for v in b["sxy"])
+            sxx = sum(int(v) for v in b["sxx"])
+            syy = sum(int(v) for v in b["syy"])
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx)) * \
+                math.sqrt(float(n * syy - sy * sy))
+            r = None if den == 0.0 else \
+                np.floor(num / den * FLOOR6) / FLOOR6
+            types.append(t)
+            ns.append(n)
+            rs.append(r)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "corr_value_time": pa.array(rs, pa.float64())})
+
+    return strip_schema_metadata(
+        events.select_columns(["event_type", "ts", "value"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 def events_sessionize(ds: ray.data.Dataset, gap_minutes: int = 30,
                       n_partitions: int | None = None
                       ) -> ray.data.Dataset:

@@ -515,3 +515,36 @@ def test_doc_length_cdf(ray_session):
     assert out["cum_frac"].tolist() == [0.25, 0.75, 1.0]
     out2 = doc_length_cdf(ds.repartition(3)).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_value_time_correlation_by_type(ray_session):
+    """Per-type r vs numpy corrcoef on (offset-sec, cents);
+    zero-variance group null; invariance."""
+    import math
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import value_time_correlation_by_type
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    secs = np.array([0, 60, 120, 180, 0, 60], dtype=np.int64)
+    ts = base + (secs * 1_000_000).astype("timedelta64[us]")
+    vals = [1.0, 2.0, 3.5, 4.0, 7.0, 7.0]
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+        "ts": pa.array(ts),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = value_time_correlation_by_type(ds).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    x = secs[:4].astype(float)
+    y = np.rint(np.array(vals[:4]) * 100)
+    exp = np.corrcoef(x, y)[0, 1]
+    assert abs(out.loc[0, "corr_value_time"] - exp) < 2e-6
+    # 'b' values constant -> zero variance -> null
+    assert pd.isna(out.loc[1, "corr_value_time"])
+    out2 = value_time_correlation_by_type(
+        ds.repartition(4)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
