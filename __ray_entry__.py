@@ -2522,6 +2522,63 @@ def entry() -> Any:
     return _q_extract_articles("/root/testdata/sf0.001")
 
 
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (functions/relational.top_supplier_revenue):
+    global argmax over a supplier-keyed revenue aggregate, ties
+    included — map-side combiners, one keyed exchange, partition-local
+    max candidates, single-block global max; names from a ray.put
+    supplier broadcast.  Exact fixed-point revenue makes the argmax
+    partitioning-independent."""
+    import ray.data
+
+    from readability_ray.functions import top_supplier_revenue
+    return top_supplier_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (functions/relational.small_quantity_revenue):
+    correlated scalar aggregate — revenue of lines under 20% of their
+    part's average quantity, the predicate evaluated in EXACT integer
+    cross-multiply form (5·qty·cnt < Σqty); brand part ids ship into
+    the same keyed union exchange as the lines (no broadcast)."""
+    import ray.data
+
+    from readability_ray.functions import small_quantity_revenue
+    return small_quantity_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_sole_return_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (functions/relational.sole_return_suppliers):
+    EXISTS + NOT-EXISTS self-join on the fact table — suppliers who
+    were the only returned supplier of a multi-supplier order; both
+    quantifiers become partition-local after ONE orderkey exchange of
+    max-mergeable (order, supp, any_r) combiner rows."""
+    import ray.data
+
+    from readability_ray.functions import sole_return_suppliers
+    return sole_return_suppliers(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_events_time_range_sums(sf_dir: str):
+    """Time-RANGE-frame sliding window (functions/windows.
+    events_time_range_sums): per event, count + cent-sum of the same
+    user's events in [ts−10min, ts] — VALUE-distance frame semantics
+    (all timestamp peers included, deterministic under ties), one
+    user-keyed exchange, then a single vectorized searchsorted over a
+    per-user-offset shared axis; no per-user loop."""
+    import ray.data
+
+    from readability_ray.functions import events_time_range_sums
+    return events_time_range_sums(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -2659,6 +2716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scan": _q_pii_scan,
         "token_postings": _q_token_postings,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "sole_return_suppliers": _q_sole_return_suppliers,
+        "events_time_range_sums": _q_events_time_range_sums,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5200,6 +5261,69 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(round(l_extendedprice * 100)::HUGEINT
+                           * (100 - round(l_discount * 100)::HUGEINT)
+                           )::BIGINT AS total_revenue_c4
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_c4
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue_c4 =
+                  (SELECT max(total_revenue_c4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "small_quantity_revenue": """
+            WITH li AS (
+                SELECT round(l_extendedprice * 100)::BIGINT
+                           AS price_c2,
+                       round(l_quantity)::BIGINT AS qty,
+                       count(*) OVER (PARTITION BY l_partkey) AS cnt,
+                       sum(round(l_quantity)::BIGINT)
+                           OVER (PARTITION BY l_partkey) AS sq
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#4'
+            )
+            SELECT coalesce(sum(price_c2), 0)::BIGINT
+                       AS total_price_c2,
+                   count(*)::BIGINT AS qualifying_lines
+            FROM li WHERE 5 * qty * cnt < sq
+        """,
+        "sole_return_suppliers": """
+            WITH pairs AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS any_r
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+                SELECT l_orderkey, count(*) AS nsupp,
+                       sum(any_r) AS r_cnt
+                FROM pairs GROUP BY l_orderkey
+            )
+            SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+            FROM pairs p
+            JOIN per_order o USING (l_orderkey)
+            JOIN supplier ON s_suppkey = p.l_suppkey
+            WHERE p.any_r = 1 AND o.nsupp > 1 AND o.r_cnt = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 100
+        """,
+        "events_time_range_sums": """
+            SELECT event_id, user_id,
+                   (count(*) OVER w)::BIGINT AS win_n,
+                   (sum(round(value * 100)::BIGINT) OVER w)::BIGINT
+                       AS win_value_c2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                         AND CURRENT ROW)
         """,
         "ivf_recall": _ivf_recall_sql(),
         "minhash_recall": _minhash_cte(docs_from=(

@@ -150,6 +150,8 @@ def _run_benchmarks() -> None:
                      "event_value_zscores", "sessionize_incremental",
                      "hll_distinct_by_source",
                      "brand_quantity_revenue",
+                     "top_supplier_revenue", "small_quantity_revenue",
+                     "sole_return_suppliers", "events_time_range_sums",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -34,8 +34,8 @@ from .similarity import (
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .windows import (
     event_interarrival_stats, events_asof_join, events_range_join,
-    events_rolling_counts, events_throttle, funnel_counts,
-    user_event_paths,
+    events_rolling_counts, events_throttle, events_time_range_sums,
+    funnel_counts, user_event_paths,
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
@@ -74,8 +74,9 @@ from .relational import (
     order_priority_counts, pricing_summary, priority_line_counts,
     promo_revenue_share, quantity_moments, region_nation_revenue,
     quantity_price_correlation, segment_top_orders,
-    top_returned_customers, wealthy_inactive_customers,
-    weighted_order_sample,
+    small_quantity_revenue, sole_return_suppliers,
+    top_returned_customers, top_supplier_revenue,
+    wealthy_inactive_customers, weighted_order_sample,
 )
 from .headlinks import (extract_feed_links, extract_head_links,
                         feed_autodiscovery, head_links)
@@ -126,7 +127,10 @@ __all__ = [
     "events_hourly_unique_users", "event_prop_stats",
     "token_pmi_pairs", "events_hourly_pivot", "doc_length_mad",
     "events_report", "wealthy_inactive_customers",
-    "events_throttle", "event_value_zscores", "doc_length_cdf",
+    "events_throttle", "events_time_range_sums",
+    "event_value_zscores", "doc_length_cdf",
+    "top_supplier_revenue", "small_quantity_revenue",
+    "sole_return_suppliers",
     "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",

@@ -1502,3 +1502,294 @@ def wealthy_inactive_customers(customer: ray.data.Dataset,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def top_supplier_revenue(lineitem: ray.data.Dataset,
+                         supplier: ray.data.Dataset, *,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01",
+                         n_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """TPC-H Q15 shape — GLOBAL ARGMAX over a keyed aggregate (the
+    "top supplier by quarterly revenue" view), ties included.
+
+    Distributed shape: per-batch combiners shed lineitem to
+    (suppkey, revenue_c4) partials, ONE keyed exchange co-locates each
+    supplier's partials, the per-partition pass finishes the sums and
+    emits only its LOCAL max rows (every supplier tied at the
+    partition max — a key's total is complete after the exchange, so
+    partition-local maxima are valid global candidates), and the
+    single-block merge takes the global max.  Supplier names attach in
+    the merge from a ray.put id→name broadcast (the supplier dim is
+    the small side; never shuffled, never re-shipped per batch).
+
+    Money is exact cent×(100−bp) fixed point (``total_revenue_c4``),
+    so the argmax — unlike a float sum — is partitioning-independent.
+
+    Output: (s_suppkey, s_name, total_revenue_c4), all rows tied at
+    the max, ordered by suppkey.
+    """
+    import ray as _ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(lineitem)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    names_ref = _ray.put({int(r["s_suppkey"]): r["s_name"]
+                          for r in supplier.take_all()})
+    _memo: dict = {}
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        if len(b) == 0:
+            return arrow_out(pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64")}))
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        frame = pd.DataFrame({
+            "key": b["l_suppkey"].to_numpy(dtype=np.int64),
+            "revenue_c4": price_c * (100 - disc_bp)})
+        return arrow_out(frame.groupby("key", as_index=False,
+                                       sort=False).sum())
+
+    def local_max(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "key": pd.Series([], dtype="int64"),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "key" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("key", as_index=False, sort=False).sum()
+        top = g[g["revenue_c4"] == g["revenue_c4"].max()]
+        return arrow_out(top.reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "total_revenue_c4": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "key" not in batch.columns:
+            return arrow_out(empty)
+        names = _memo.get("n")
+        if names is None:
+            names = _memo["n"] = _ray.get(names_ref)
+        top = batch[batch["revenue_c4"] == batch["revenue_c4"].max()] \
+            .sort_values("key", kind="stable")
+        return arrow_out(pd.DataFrame({
+            "s_suppkey": top["key"].to_numpy(dtype=np.int64),
+            "s_name": [names[int(s)] for s in top["key"]],
+            "total_revenue_c4":
+                top["revenue_c4"].to_numpy(dtype=np.int64)}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(local_max, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def small_quantity_revenue(lineitem: ray.data.Dataset,
+                           part: ray.data.Dataset, *,
+                           brand: str = "Brand#4",
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """TPC-H Q17 shape — CORRELATED SCALAR AGGREGATE: total revenue of
+    lineitems whose quantity is below 20% of the average quantity for
+    their (brand-filtered) part.
+
+    The correlated subquery (``l_quantity < 0.2 * avg(l_quantity)
+    where same part``) needs every part's lines in one place: the part
+    side sheds to brand-matching partkey ids map-side, the line side
+    ships (partkey, qty, price) rows, ONE keyed union exchange
+    co-locates them, and the per-partition pass computes each part's
+    (count, Σqty) scalar and applies the predicate in EXACT INTEGER
+    form — quantities in this corpus are integral, so
+    ``5·qty·cnt < Σqty  ⇔  qty < 0.2·avg`` with no float division
+    (the Q22 exact-predicate discipline).  Partials are one
+    (Σprice_c2, n) row per partition, merged in a single block.
+
+    Output: one row (total_price_c2, qualifying_lines).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(lineitem)
+    ensure_hash_shuffle(part)
+    k = n_partitions or default_partitions()
+
+    def part_keys(batch: pd.DataFrame) -> pa.Table:
+        keys = batch.loc[batch["p_brand"] == brand,
+                         "p_partkey"].to_numpy(dtype=np.int64)
+        n = len(keys)
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "qty": np.zeros(n, dtype=np.int64),
+            "price_c2": np.zeros(n, dtype=np.int64),
+            "_side": np.full(n, "p", dtype=object)}))
+
+    def line_rows(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        return arrow_out(pd.DataFrame({
+            "key": batch["l_partkey"].to_numpy(dtype=np.int64),
+            "qty": np.rint(batch["l_quantity"].to_numpy())
+                .astype(np.int64),
+            "price_c2": _cents(batch["l_extendedprice"]),
+            "_side": np.full(n, "l", dtype=object)}))
+
+    p_side = strip_schema_metadata(
+        part.select_columns(["p_partkey", "p_brand"])) \
+        .map_batches(part_keys, batch_format="pandas")
+    l_side = strip_schema_metadata(
+        lineitem.select_columns(["l_partkey", "l_quantity",
+                                 "l_extendedprice"])) \
+        .map_batches(line_rows, batch_format="pandas")
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "total_price_c2": pd.Series([], dtype="int64"),
+            "qualifying_lines": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        # a non-empty partition always emits ONE (possibly zero) row:
+        # if every partition came back 0-row, the repartition(1) merge
+        # block would be empty and map_batches skipped — dropping the
+        # aggregate's mandatory single row (SQL returns one regardless)
+        zero = pd.DataFrame({
+            "total_price_c2": pd.Series([0], dtype="int64"),
+            "qualifying_lines": pd.Series([0], dtype="int64")})
+        tagged = set(batch.loc[batch["_side"] == "p", "key"])
+        li = batch[(batch["_side"] == "l")
+                   & batch["key"].isin(tagged)]
+        if len(li) == 0:
+            return arrow_out(zero)
+        stats = li.groupby("key")["qty"].agg(["count", "sum"])
+        cnt = stats["count"].loc[li["key"]].to_numpy(dtype=np.int64)
+        sq = stats["sum"].loc[li["key"]].to_numpy(dtype=np.int64)
+        m = 5 * li["qty"].to_numpy() * cnt < sq
+        return arrow_out(pd.DataFrame({
+            "total_price_c2":
+                [int(li["price_c2"].to_numpy()[m].sum())],
+            "qualifying_lines": [int(m.sum())]}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "total_price_c2" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "total_price_c2": pd.Series([0], dtype="int64"),
+                "qualifying_lines": pd.Series([0], dtype="int64")}))
+        return arrow_out(pd.DataFrame({
+            "total_price_c2":
+                [int(batch["total_price_c2"].sum())],
+            "qualifying_lines":
+                [int(batch["qualifying_lines"].sum())]}))
+
+    return p_side.union(l_side) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def sole_return_suppliers(lineitem: ray.data.Dataset,
+                          supplier: ray.data.Dataset, *,
+                          returnflag: str = "R",
+                          k: int = 100,
+                          n_partitions: int | None = None
+                          ) -> ray.data.Dataset:
+    """TPC-H Q21 shape — EXISTS + NOT-EXISTS SELF-JOIN on the fact
+    table: suppliers who were the SOLE returned supplier in
+    multi-supplier orders (the "waiting suppliers" pattern, adapted to
+    this schema's returnflag in place of commit/receipt dates).
+
+    A supplier scores an order iff (a) one of its lines carries
+    ``returnflag``, (b) EXISTS another supplier in the same order, and
+    (c) NOT EXISTS another supplier whose line also carries the flag.
+    Both quantifiers range over lines of the SAME order, so orderkey
+    co-location makes them partition-local: per-batch combiners shed
+    lines to (orderkey, suppkey, any_r=max) partials — mergeable by
+    max, so batch boundaries never split a pair's evidence — ONE keyed
+    exchange on orderkey, and the per-partition pass re-merges pairs,
+    counts distinct and flagged suppliers per order, and emits
+    (suppkey, numwait) partials.  The single-block merge sums, attaches
+    names from the ray.put supplier broadcast, and takes the global
+    top-``k`` (numwait desc, suppkey asc).
+
+    Output: (s_suppkey, s_name, numwait).
+    """
+    import ray as _ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(lineitem)
+    kparts = n_partitions or default_partitions()
+
+    names_ref = _ray.put({int(r["s_suppkey"]): r["s_name"]
+                          for r in supplier.take_all()})
+    _memo: dict = {}
+
+    def pair_partials(batch: pd.DataFrame) -> pa.Table:
+        frame = pd.DataFrame({
+            "key": batch["l_orderkey"].to_numpy(dtype=np.int64),
+            "supp": batch["l_suppkey"].to_numpy(dtype=np.int64),
+            "any_r": (batch["l_returnflag"] == returnflag)
+                .to_numpy().astype(np.int64)})
+        g = frame.groupby(["key", "supp"], as_index=False,
+                          sort=False).max()
+        return arrow_out(g)
+
+    def order_scan(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "supp": pd.Series([], dtype="int64"),
+            "numwait": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "key" not in batch.columns:
+            return arrow_out(empty)
+        pairs = batch.groupby(["key", "supp"], as_index=False,
+                              sort=False).max()
+        per_order = pairs.groupby("key")["any_r"] \
+            .agg(nsupp="size", r_cnt="sum")
+        ok = per_order.loc[pairs["key"]]
+        m = (pairs["any_r"].to_numpy() == 1) \
+            & (ok["nsupp"].to_numpy() > 1) \
+            & (ok["r_cnt"].to_numpy() == 1)
+        win = pairs[m]
+        if len(win) == 0:
+            return arrow_out(empty)
+        g = win.groupby("supp", sort=False).size() \
+            .reset_index(name="numwait")
+        return arrow_out(pd.DataFrame({
+            "supp": g["supp"].astype("int64"),
+            "numwait": g["numwait"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "numwait": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "supp" not in batch.columns:
+            return arrow_out(empty)
+        names = _memo.get("n")
+        if names is None:
+            names = _memo["n"] = _ray.get(names_ref)
+        g = batch.groupby("supp", as_index=False, sort=False).sum() \
+            .sort_values(["numwait", "supp"],
+                         ascending=[False, True],
+                         kind="stable").head(k)
+        return arrow_out(pd.DataFrame({
+            "s_suppkey": g["supp"].to_numpy(dtype=np.int64),
+            "s_name": [names[int(s)] for s in g["supp"]],
+            "numwait": g["numwait"].to_numpy(dtype=np.int64)}))
+
+    return strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_suppkey",
+                                 "l_returnflag"])) \
+        .map_batches(pair_partials, batch_format="pandas") \
+        .repartition(num_blocks=kparts, keys=["key"]) \
+        .map_batches(order_scan, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

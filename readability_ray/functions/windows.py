@@ -560,3 +560,83 @@ def events_throttle(ds: ray.data.Dataset, *,
         .repartition(num_blocks=k, keys=[key_col]) \
         .map_batches(keep_first, batch_format="pandas",
                      batch_size=None)
+
+
+def events_time_range_sums(ds: ray.data.Dataset, *,
+                           minutes: int = 10,
+                           key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           val_col: str = "value",
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """Time-RANGE-frame sliding aggregate: per event, the count and
+    cent-sum of the SAME USER's events whose timestamp lies in
+    ``[ts − minutes, ts]`` — SQL ``RANGE BETWEEN INTERVAL m MINUTES
+    PRECEDING AND CURRENT ROW`` semantics, which (unlike the
+    ROWS frame of events_rolling_counts) are defined by VALUE
+    distance, so the frame includes ALL timestamp peers of the current
+    row regardless of their physical order — the result is
+    deterministic even with duplicate timestamps.
+
+    Scale shape: ONE keyed exchange on the user co-locates each user's
+    rows ((key, ts, id, cents) only), then a single vectorized pass
+    per partition: lexsort by (user, ts, id), collapse each user's
+    timeline onto a shared strictly-separated int64 axis (per-user
+    offset of span+window+1 — windows can then never bleed across
+    users), and ONE np.searchsorted + prefix-sum difference answers
+    every row at once.  No per-user loop, no pandas groupby.apply.
+    Values are exact integer cents, so the windowed sums re-associate
+    freely and hash-match the SQL oracle bit-for-bit.
+
+    Output: (event_id, user_id, win_n, win_value_c2).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    delta = np.int64(minutes) * 60_000_000  # µs
+
+    empty = pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "win_n": pd.Series([], dtype="int64"),
+        "win_value_c2": pd.Series([], dtype="int64")})
+
+    def windows(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or key_col not in batch.columns:
+            return arrow_out(empty.copy())
+        user = batch[key_col].to_numpy(dtype=np.int64)
+        ts = batch[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        eid = batch[id_col].to_numpy(dtype=np.int64)
+        cents = np.rint(batch[val_col].to_numpy() * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid, cents = (user[order], ts[order],
+                                eid[order], cents[order])
+        # per-user offsets: pack each user's [0, span] timeline onto a
+        # shared axis with gaps > window so no frame crosses users
+        ts0 = ts - ts.min()
+        span = np.int64(ts0.max()) + delta + 1
+        uidx = np.cumsum(
+            np.concatenate(([0], (user[1:] != user[:-1])
+                            .astype(np.int64))))
+        if span and uidx[-1] > np.iinfo(np.int64).max // span:
+            raise OverflowError(
+                "time_range_sums: users×span exceeds int64 — "
+                "raise n_partitions")
+        axis = ts0 + uidx * span
+        left = np.searchsorted(axis, axis - delta, side="left")
+        right = np.searchsorted(axis, axis, side="right")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return arrow_out(pd.DataFrame({
+            "event_id": eid,
+            "user_id": user,
+            "win_n": (right - left).astype(np.int64),
+            "win_value_c2": csum[right] - csum[left]}))
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, key_col, ts_col, val_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(windows, batch_format="pandas", batch_size=None)

@@ -540,3 +540,89 @@ def test_wealthy_inactive_customers(ray_session):
         customer.repartition(3), orders.repartition(2),
         n_partitions=3).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_top_supplier_revenue_argmax_ties(ray_session):
+    """Q15 shape: window filter, exact fixed-point argmax, ties kept,
+    names from the supplier broadcast; partition invariance."""
+    import ray
+    from readability_ray.functions import top_supplier_revenue
+    li = pd.DataFrame({
+        "l_suppkey": [1, 2, 2, 3, 1],
+        "l_extendedprice": [100.00, 60.00, 40.00, 99.99, 50.00],
+        "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(
+            ["1996-01-05", "1996-02-01", "1996-03-01", "1996-01-01",
+             "1999-01-01"]),  # last row outside the window
+    })
+    supp = pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["S1", "S2", "S3"]})
+    out = top_supplier_revenue(_ds(ray, li), _ds(ray, supp)) \
+        .to_pandas()
+    # supplier 1: 100.00, supplier 2: 60+40 = 100.00 (tie), 3: 99.99
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["s_name"]) == ["S1", "S2"]
+    assert list(out["total_revenue_c4"]) == [1000000, 1000000]
+    out2 = top_supplier_revenue(
+        _ds(ray, li).repartition(4), _ds(ray, supp),
+        n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_small_quantity_revenue_exact_predicate(ray_session):
+    """Q17 shape: the 5·qty·cnt < Σqty integer predicate matches
+    qty < 0.2·avg exactly; non-brand parts ignored; zero-qualifier
+    corpus still yields the mandatory single row."""
+    import ray
+    from readability_ray.functions import small_quantity_revenue
+    part = pd.DataFrame({
+        "p_partkey": [1, 2],
+        "p_brand": ["B#1", "B#2"]})
+    # part 1 (brand B#1): quantities 1, 30, 30 -> avg 20.333,
+    # threshold 4.066 -> only qty 1 qualifies (5*1*3=15 < 61)
+    li = pd.DataFrame({
+        "l_partkey": [1, 1, 1, 2],
+        "l_quantity": [1.0, 30.0, 30.0, 1.0],
+        "l_extendedprice": [10.00, 99.00, 99.00, 55.00]})
+    out = small_quantity_revenue(
+        _ds(ray, li), _ds(ray, part), brand="B#1").to_pandas()
+    assert len(out) == 1
+    assert int(out.loc[0, "total_price_c2"]) == 1000
+    assert int(out.loc[0, "qualifying_lines"]) == 1
+    # no qualifying lines at all -> still one (0, 0) row
+    out0 = small_quantity_revenue(
+        _ds(ray, li), _ds(ray, part), brand="B#3").to_pandas()
+    assert len(out0) == 1
+    assert int(out0.loc[0, "qualifying_lines"]) == 0
+    out2 = small_quantity_revenue(
+        _ds(ray, li).repartition(3), _ds(ray, part),
+        brand="B#1", n_partitions=2).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_sole_return_suppliers_quantifiers(ray_session):
+    """Q21 shape: EXISTS another supplier + NOT EXISTS another
+    returned supplier, combiners mergeable across batch splits."""
+    import ray
+    from readability_ray.functions import sole_return_suppliers
+    # order 10: supp 1 returned, supp 2 clean  -> supp 1 scores
+    # order 20: supp 1 and supp 2 both returned -> nobody
+    # order 30: supp 3 returned, sole supplier  -> nobody (nsupp=1)
+    # order 40: supp 2 returned (two lines, split across batches),
+    #           supp 3 clean -> supp 2 scores
+    li = pd.DataFrame({
+        "l_orderkey": [10, 10, 20, 20, 30, 40, 40, 40],
+        "l_suppkey":  [1,  2,  1,  2,  3,  2,  2,  3],
+        "l_returnflag": ["R", "N", "R", "R", "R", "R", "N", "A"]})
+    supp = pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["S1", "S2", "S3"]})
+    out = sole_return_suppliers(_ds(ray, li), _ds(ray, supp)) \
+        .to_pandas()
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["numwait"]) == [1, 1]
+    out2 = sole_return_suppliers(
+        _ds(ray, li).repartition(5), _ds(ray, supp),
+        n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)

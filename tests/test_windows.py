@@ -548,3 +548,46 @@ def test_value_time_correlation_by_type(ray_session):
         ds.repartition(4)).to_pandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_events_time_range_sums_range_semantics(ray_session):
+    """RANGE frame: value-distance window, ALL timestamp peers
+    included (even 'later' rows at the same ts), boundary ts−m
+    inclusive, users never bleed; partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import events_time_range_sums
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = [0, 5, 5, 15, 0]          # user 1: 0,5,5,15; user 2: 0
+    user = [1, 1, 1, 1, 2]
+    vals = [1.00, 2.00, 4.00, 8.00, 16.00]
+    ts = base + (np.array(mins, dtype=np.int64)
+                 * 60_000_000).astype("timedelta64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = events_time_range_sums(ds, minutes=10).to_pandas() \
+        .set_index("event_id")
+    # event 1 (t=0): only itself
+    assert out.loc[1, "win_n"] == 1 and out.loc[1, "win_value_c2"] == 100
+    # events 2 and 3 are ts-peers at t=5: BOTH include each other
+    # plus event 1 (t=0 >= 5-10)
+    for e in (2, 3):
+        assert out.loc[e, "win_n"] == 3
+        assert out.loc[e, "win_value_c2"] == 100 + 200 + 400
+    # event 4 (t=15): peers at t=5 are exactly at the 10-min boundary
+    # (inclusive), t=0 excluded
+    assert out.loc[4, "win_n"] == 3
+    assert out.loc[4, "win_value_c2"] == 200 + 400 + 800
+    # user 2 isolated
+    assert out.loc[5, "win_n"] == 1 and out.loc[5, "win_value_c2"] == 1600
+    out2 = events_time_range_sums(
+        ds.repartition(4), minutes=10, n_partitions=3).to_pandas() \
+        .set_index("event_id")
+    pd.testing.assert_frame_equal(out, out2)
