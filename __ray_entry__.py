@@ -2579,6 +2579,33 @@ def _q_events_time_range_sums(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components (functions/graph.graph_components) over
+    the deterministic md5-derived document graph
+    (graph.synthetic_doc_edges — the restricted-family technique):
+    monotone min-label propagation, one keyed exchange per round,
+    label-sum convergence; oracle is a recursive-CTE closure."""
+    import ray.data
+
+    from readability_ray.functions import (graph_components,
+                                           synthetic_doc_edges)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return graph_components(synthetic_doc_edges(docs))
+
+
+def _q_triangle_count(sf_dir: str):
+    """Distributed triangle count (functions/graph.triangle_count):
+    degree-ordered node-iterator — orientation bounds out-degree by
+    O(√m) so wedges are O(m^1.5); ids-only exchanges; oracle is the
+    canonical 3-way self-join on the same md5-derived edge family."""
+    import ray.data
+
+    from readability_ray.functions import (synthetic_doc_edges,
+                                           triangle_count)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return triangle_count(synthetic_doc_edges(docs))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -2720,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": _q_small_quantity_revenue,
         "sole_return_suppliers": _q_sole_return_suppliers,
         "events_time_range_sums": _q_events_time_range_sums,
+        "graph_components": _q_graph_components,
+        "triangle_count": _q_triangle_count,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -2753,6 +2782,34 @@ MD5_64_LE_SQL = (
     "('0x' || substr(h,15,2)||substr(h,13,2)||substr(h,11,2)"
     "||substr(h,9,2)||substr(h,7,2)||substr(h,5,2)||substr(h,3,2)"
     "||substr(h,1,2))::UBIGINT")
+
+
+def _graph_edges_cte() -> str:
+    """Shared CTE re-deriving functions/graph.synthetic_doc_edges in
+    DuckDB SQL (the restricted-family technique): endpoints are
+    md5-LE-uint64('ga:'/'gb:' + doc_id) mod N, N = max(16, ndocs//4),
+    self-loops dropped, canonical distinct (a < b) — so
+    graph_components and triangle_count get VALUE-level oracles on a
+    controllable-density deterministic graph."""
+    return f"""
+            WITH RECURSIVE nn AS (
+                SELECT greatest(count(*) // 4, 16)::UBIGINT AS n
+                FROM documents
+            ), ends AS (
+                SELECT (ga.u % (SELECT n FROM nn))::BIGINT AS x,
+                       (gb.u % (SELECT n FROM nn))::BIGINT AS y
+                FROM (SELECT doc_id, {MD5_64_LE_SQL} AS u
+                      FROM (SELECT doc_id,
+                                   md5('ga:' || doc_id::VARCHAR) AS h
+                            FROM documents)) ga
+                JOIN (SELECT doc_id, {MD5_64_LE_SQL} AS u
+                      FROM (SELECT doc_id,
+                                   md5('gb:' || doc_id::VARCHAR) AS h
+                            FROM documents)) gb USING (doc_id)
+            ), ce AS (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM ends WHERE x <> y
+            )"""
 _MERSENNE61 = (1 << 61) - 1
 _W64 = 1 << 64
 
@@ -5324,6 +5381,25 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                          AND CURRENT ROW)
+        """,
+        "graph_components": _graph_edges_cte() + """
+            , und AS (
+                SELECT a, b FROM ce UNION SELECT b, a FROM ce
+            ), reach AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+            )
+            SELECT a::BIGINT AS node,
+                   least(a, min(b))::BIGINT AS component
+            FROM reach GROUP BY a
+        """,
+        "triangle_count": _graph_edges_cte() + """
+            SELECT (SELECT count(*) FROM ce)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM ce e1
+                    JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b
+                    )::BIGINT AS n_triangles
         """,
         "ivf_recall": _ivf_recall_sql(),
         "minhash_recall": _minhash_cte(docs_from=(

@@ -152,6 +152,7 @@ def _run_benchmarks() -> None:
                      "brand_quantity_revenue",
                      "top_supplier_revenue", "small_quantity_revenue",
                      "sole_return_suppliers", "events_time_range_sums",
+                     "graph_components", "triangle_count",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -32,6 +32,8 @@ from .similarity import (
     lsh_ann_topk, semdedup_keepers,
 )
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
+from .graph import (graph_components, synthetic_doc_edges,
+                    triangle_count)
 from .windows import (
     event_interarrival_stats, events_asof_join, events_range_join,
     events_rolling_counts, events_throttle, events_time_range_sums,
@@ -131,6 +133,7 @@ __all__ = [
     "event_value_zscores", "doc_length_cdf",
     "top_supplier_revenue", "small_quantity_revenue",
     "sole_return_suppliers",
+    "graph_components", "synthetic_doc_edges", "triangle_count",
     "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",

@@ -83,3 +83,61 @@ def test_hub_ranks_highest(ray_session):
 def test_empty_graph(ray_session):
     out = pagerank(_edges([]), n_iter=3, n_partitions=2).take_all()
     assert out == []
+
+
+def _ab(pairs):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64())}))
+
+
+def test_triangle_count_known_graph(ray_session):
+    """Hand-checkable graph: K4 (4 triangles) plus a pendant path —
+    degree ties exercised; partition invariance."""
+    from readability_ray.functions.graph import triangle_count
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    extra = [(3, 4), (4, 5)]          # no new triangles
+    out = triangle_count(_ab(k4 + extra),
+                         n_partitions=2).to_pandas()
+    assert int(out.loc[0, "n_edges"]) == 8
+    assert int(out.loc[0, "n_triangles"]) == 4
+    out2 = triangle_count(_ab(k4 + extra).repartition(3),
+                          n_partitions=3).to_pandas()
+    assert out.equals(out2)
+
+
+def test_triangle_count_no_triangles(ray_session):
+    from readability_ray.functions.graph import triangle_count
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    out = triangle_count(_ab(star), n_partitions=2).to_pandas()
+    assert int(out.loc[0, "n_triangles"]) == 0
+    assert int(out.loc[0, "n_edges"]) == 4
+
+
+def test_graph_components_chain_and_island(ray_session):
+    """Min-label components: a 4-chain and a 2-island resolve to
+    their smallest member."""
+    from readability_ray.functions.graph import graph_components
+    edges = [(7, 3), (3, 5), (5, 9), (20, 21)]
+    out = graph_components(_ab(edges), n_partitions=2).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_synthetic_doc_edges_deterministic(ray_session):
+    """Edge family: canonical a<b, distinct, md5-deterministic across
+    partitionings."""
+    import ray.data
+    from readability_ray.functions.graph import synthetic_doc_edges
+    docs = ray.data.range(200).map_batches(
+        lambda b: pa.table({"doc_id": b.column("id")}),
+        batch_format="pyarrow")
+    e1 = synthetic_doc_edges(docs, n_partitions=2).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    e2 = synthetic_doc_edges(docs.repartition(5), n_partitions=3) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert e1.equals(e2)
+    assert (e1["a"] < e1["b"]).all()
+    assert not e1.duplicated(["a", "b"]).any()
+    assert e1["a"].max() < 50 and len(e1) > 100
