@@ -2579,6 +2579,40 @@ def _q_events_time_range_sums(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_nation_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (functions/relational.nation_volume_shipping):
+    nation-pair volume by ship year and direction — supplier/nation
+    dims broadcast, customers pre-filtered to the pair, two integer-
+    key fact joins, bounded (pair, year) rollup."""
+    import ray.data
+
+    from readability_ray.functions import nation_volume_shipping
+    return nation_volume_shipping(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"))
+
+
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape (functions/relational.nation_market_share):
+    one nation's share of a region's typed order volume per year —
+    part-type flag as a dense bool LUT (Q14 rule), supplier is-nation
+    LUT, numerator and denominator exact c4 integers, share floor-6."""
+    import ray.data
+
+    from readability_ray.functions import nation_market_share
+    return nation_market_share(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/region.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet"))
+
+
 def _q_graph_components(sf_dir: str):
     """Connected components (functions/graph.graph_components) over
     the deterministic md5-derived document graph
@@ -2749,6 +2783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_range_sums": _q_events_time_range_sums,
         "graph_components": _q_graph_components,
         "triangle_count": _q_triangle_count,
+        "nation_volume_shipping": _q_nation_volume_shipping,
+        "nation_market_share": _q_nation_market_share,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5381,6 +5417,53 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                          AND CURRENT ROW)
+        """,
+        "nation_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   sum(round(l_extendedprice * 100)::HUGEINT
+                       * (100 - round(l_discount * 100)::HUGEINT)
+                       )::BIGINT AS revenue_c4
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND ((n1.n_name = 'NATION_19'
+                    AND n2.n_name = 'NATION_24')
+                OR (n1.n_name = 'NATION_24'
+                    AND n2.n_name = 'NATION_19'))
+            GROUP BY 1, 2, 3
+        """,
+        "nation_market_share": """
+            WITH base AS (
+                SELECT year(o_orderdate)::BIGINT AS o_year,
+                       round(l_extendedprice * 100)::HUGEINT
+                           * (100 - round(l_discount * 100)::HUGEINT)
+                           AS rev,
+                       CASE WHEN n1.n_name = 'NATION_19'
+                            THEN 1 ELSE 0 END AS is_x
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                         AND p_type = 'PROMO'
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n2.n_regionkey
+                           AND r_name = 'MIDDLE EAST'
+            )
+            SELECT o_year,
+                   sum(rev * is_x)::BIGINT AS nation_revenue_c4,
+                   sum(rev)::BIGINT AS total_revenue_c4,
+                   floor((sum(rev * is_x)::BIGINT::DOUBLE
+                          / sum(rev)::BIGINT::DOUBLE) * 1000000)
+                       / 1000000 AS mkt_share
+            FROM base GROUP BY o_year
         """,
         "graph_components": _graph_edges_cte() + """
             , und AS (

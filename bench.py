@@ -153,6 +153,7 @@ def _run_benchmarks() -> None:
                      "top_supplier_revenue", "small_quantity_revenue",
                      "sole_return_suppliers", "events_time_range_sums",
                      "graph_components", "triangle_count",
+                     "nation_volume_shipping", "nation_market_share",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

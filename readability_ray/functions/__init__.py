@@ -76,6 +76,7 @@ from .relational import (
     order_priority_counts, pricing_summary, priority_line_counts,
     promo_revenue_share, quantity_moments, region_nation_revenue,
     quantity_price_correlation, segment_top_orders,
+    nation_market_share, nation_volume_shipping,
     small_quantity_revenue, sole_return_suppliers,
     top_returned_customers, top_supplier_revenue,
     wealthy_inactive_customers, weighted_order_sample,
@@ -134,6 +135,7 @@ __all__ = [
     "top_supplier_revenue", "small_quantity_revenue",
     "sole_return_suppliers",
     "graph_components", "synthetic_doc_edges", "triangle_count",
+    "nation_volume_shipping", "nation_market_share",
     "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",

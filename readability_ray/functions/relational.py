@@ -1793,3 +1793,313 @@ def sole_return_suppliers(lineitem: ray.data.Dataset,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def nation_volume_shipping(customer: ray.data.Dataset,
+                           orders: ray.data.Dataset,
+                           lineitem: ray.data.Dataset,
+                           supplier: ray.data.Dataset,
+                           nation: ray.data.Dataset, *,
+                           nation_a: str = "NATION_19",
+                           nation_b: str = "NATION_24",
+                           date_lo: str = "1995-01-01",
+                           date_hi: str = "1998-01-01",
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """TPC-H Q7 shape — volume shipping between a NATION PAIR: revenue
+    of lines a supplier in one nation shipped against orders of a
+    customer in the other, by ship year and direction.
+
+    Same star discipline as Q5 (region_nation_revenue): nation and
+    supplier→nation are driver-collected dims shipped once via
+    ray.put; customers are FILTERED to the two nations before the
+    fact-side joins (orders ⋈ customer on custkey, lineitem partials ⋈
+    that on orderkey — ids+cents only); lineitem sheds map-side to
+    per-(orderkey, supp-nation, year) revenue combiners.  The final
+    rollup is ≤ 2·|years| rows merged in one block.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_c4) ordered.
+    """
+    import ray as _ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(customer)
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(lineitem)
+    k = n_partitions or default_partitions()
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nk = {row["n_name"]: int(row["n_nationkey"])
+          for row in nation.take_all()
+          if row["n_name"] in (nation_a, nation_b)}
+    names = {v: k2 for k2, v in nk.items()}
+    pair_keys = set(nk.values())
+    supp_nation = {int(r["s_suppkey"]): int(r["s_nationkey"])
+                   for r in supplier.take_all()
+                   if int(r["s_nationkey"]) in pair_keys}
+    dims_ref = _ray.put((names, supp_nation))
+    _memo: dict = {}
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        lut = _memo.get("lut")
+        if lut is None:
+            _, s_map = _ray.get(dims_ref)
+            size = (max(s_map) + 1) if s_map else 1
+            lut = np.full(size, -1, dtype=np.int64)
+            for s, n in s_map.items():
+                lut[s] = n
+            _memo["lut"] = lut
+        d = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        b = batch[(d >= lo) & (d < hi)]
+        empty = pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "s_nationkey": pd.Series([], dtype="int64"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if len(b) == 0:
+            return arrow_out(empty)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)
+        in_range = (sk >= 0) & (sk < len(lut))
+        s_nk = np.where(in_range, lut[np.clip(sk, 0, len(lut) - 1)],
+                        -1)
+        m = s_nk >= 0
+        b = b[m]
+        if len(b) == 0:
+            return arrow_out(empty)
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        years = b["l_shipdate"].to_numpy(dtype="datetime64[Y]") \
+            .astype(np.int64) + 1970
+        frame = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "s_nationkey": s_nk[m],
+            "l_year": years,
+            "revenue_c4": price_c * (100 - disc_bp)})
+        return arrow_out(frame.groupby(
+            ["l_orderkey", "s_nationkey", "l_year"],
+            as_index=False, sort=False).sum())
+
+    def cust_pair(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["c_nationkey"].astype(np.int64)
+                  .isin(pair_keys)]
+        return arrow_out(pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "c_nationkey": b["c_nationkey"].to_numpy(
+                dtype=np.int64)}))
+
+    cust = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_nationkey"])) \
+        .map_batches(cust_pair, batch_format="pandas")
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey"]))
+    line = strip_schema_metadata(lineitem).map_batches(
+        line_partials, batch_format="pandas")
+
+    ord_cust = ords.join(cust, "inner", num_partitions=k,
+                         on=("o_custkey",), right_on=("c_custkey",)) \
+        .repartition(max(2, k // 8))  # scrub schema-less empties
+    joined = line.join(ord_cust, "inner", num_partitions=k,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty = pd.DataFrame({
+        "supp_nation": pd.Series([], dtype="object"),
+        "cust_nation": pd.Series([], dtype="object"),
+        "l_year": pd.Series([], dtype="int64"),
+        "revenue_c4": pd.Series([], dtype="int64")})
+
+    def pair_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "s_nationkey" not in batch.columns:
+            return arrow_out(empty)
+        dims = _memo.get("d")
+        if dims is None:
+            dims = _memo["d"] = _ray.get(dims_ref)
+        n_map, _ = dims
+        b = batch[batch["s_nationkey"].to_numpy()
+                  != batch["c_nationkey"].to_numpy()]
+        if len(b) == 0:
+            return arrow_out(empty)
+        frame = pd.DataFrame({
+            "supp_nation": [n_map[int(x)] for x in b["s_nationkey"]],
+            "cust_nation": [n_map[int(x)] for x in b["c_nationkey"]],
+            "l_year": b["l_year"].to_numpy(dtype=np.int64),
+            "revenue_c4": b["revenue_c4"].to_numpy(dtype=np.int64)})
+        return arrow_out(frame.groupby(
+            ["supp_nation", "cust_nation", "l_year"],
+            as_index=False, sort=False).sum())
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "supp_nation" not in batch.columns:
+            return arrow_out(empty)
+        return arrow_out(batch.groupby(
+            ["supp_nation", "cust_nation", "l_year"],
+            as_index=False, sort=True).sum())
+
+    return joined.map_batches(pair_partials, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def nation_market_share(customer: ray.data.Dataset,
+                        orders: ray.data.Dataset,
+                        lineitem: ray.data.Dataset,
+                        supplier: ray.data.Dataset,
+                        nation: ray.data.Dataset,
+                        region: ray.data.Dataset,
+                        part: ray.data.Dataset, *,
+                        region_name: str = "MIDDLE EAST",
+                        nation_name: str = "NATION_19",
+                        type_name: str = "PROMO",
+                        n_partitions: int | None = None
+                        ) -> ray.data.Dataset:
+    """TPC-H Q8 shape — MARKET SHARE: the fraction of a region's
+    order volume (for one part type) supplied by one nation, per
+    order year.
+
+    Dims broadcast (Q14/Q5 rules): the part-type flag is a dense bool
+    LUT built from (p_partkey, flag) projections; supplier→is-nation
+    a dense LUT; the region's customer nation keys a tiny set.  Facts
+    join on ids only (orders window ⋈ region customers on custkey,
+    then flagged lineitem revenue combiners on orderkey).  Numerator
+    and denominator are exact c4 integers summed in one bounded
+    merge; the share is a floor-6 double derived from them.
+
+    Output: (o_year, nation_revenue_c4, total_revenue_c4, mkt_share).
+    """
+    import ray as _ray
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(customer)
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(lineitem)
+    k = n_partitions or default_partitions()
+
+    region_keys = {int(r["r_regionkey"]) for r in region.take_all()
+                   if r["r_name"] == region_name}
+    nation_rows = nation.take_all()
+    region_nations = {int(r["n_nationkey"]) for r in nation_rows
+                      if int(r["n_regionkey"]) in region_keys}
+    x_keys = {int(r["n_nationkey"]) for r in nation_rows
+              if r["n_name"] == nation_name}
+    supp_is_x = {int(r["s_suppkey"]):
+                 int(int(r["s_nationkey"]) in x_keys)
+                 for r in supplier.take_all()}
+    # part flag: project to (p_partkey, flag) BEFORE the driver pull
+    # (round-4 verdict item 5 discipline)
+    flag_rows = part.select_columns(["p_partkey", "p_type"]) \
+        .map_batches(lambda b: pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "flag": pa.compute.equal(b.column("p_type"), type_name)}),
+            batch_format="pyarrow").take_all()
+    part_flag = {int(r["p_partkey"]): bool(r["flag"])
+                 for r in flag_rows if r["flag"]}
+    dims_ref = _ray.put((supp_is_x, part_flag))
+    _memo: dict = {}
+
+    def _luts():
+        luts = _memo.get("luts")
+        if luts is None:
+            s_map, p_map = _ray.get(dims_ref)
+            s_size = (max(s_map) + 1) if s_map else 1
+            s_lut = np.zeros(s_size, dtype=np.int64)
+            for s, v in s_map.items():
+                s_lut[s] = v
+            p_size = (max(p_map) + 1) if p_map else 1
+            p_lut = np.zeros(p_size, dtype=bool)
+            for p in p_map:
+                p_lut[p] = True
+            luts = _memo["luts"] = (s_lut, p_lut)
+        return luts
+
+    def line_partials(batch: pd.DataFrame) -> pa.Table:
+        s_lut, p_lut = _luts()
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        ok = (pk >= 0) & (pk < len(p_lut))
+        flag = np.zeros(len(batch), dtype=bool)
+        flag[ok] = p_lut[pk[ok]]
+        b = batch[flag]
+        empty = pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "is_x": pd.Series([], dtype="int64"),
+            "revenue_c4": pd.Series([], dtype="int64")})
+        if len(b) == 0:
+            return arrow_out(empty)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)
+        in_s = (sk >= 0) & (sk < len(s_lut))
+        is_x = np.where(in_s, s_lut[np.clip(sk, 0, len(s_lut) - 1)],
+                        0)
+        price_c = _cents(b["l_extendedprice"])
+        disc_bp = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        frame = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "is_x": is_x,
+            "revenue_c4": price_c * (100 - disc_bp)})
+        return arrow_out(frame.groupby(
+            ["l_orderkey", "is_x"], as_index=False,
+            sort=False).sum())
+
+    def cust_region(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["c_nationkey"].astype(np.int64)
+                  .isin(region_nations)]
+        return arrow_out(pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64)}))
+
+    def order_year(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(
+                dtype=np.int64),
+            "o_custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+            "o_year": batch["o_orderdate"]
+                .to_numpy(dtype="datetime64[Y]")
+                .astype(np.int64) + 1970}))
+
+    cust = strip_schema_metadata(
+        customer.select_columns(["c_custkey", "c_nationkey"])) \
+        .map_batches(cust_region, batch_format="pandas")
+    ords = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_custkey",
+                               "o_orderdate"])) \
+        .map_batches(order_year, batch_format="pandas")
+    line = strip_schema_metadata(lineitem).map_batches(
+        line_partials, batch_format="pandas")
+
+    ord_cust = ords.join(cust, "inner", num_partitions=k,
+                         on=("o_custkey",), right_on=("c_custkey",)) \
+        .repartition(max(2, k // 8))
+    joined = line.join(ord_cust, "inner", num_partitions=k,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    empty_p = pd.DataFrame({
+        "o_year": pd.Series([], dtype="int64"),
+        "nation_revenue_c4": pd.Series([], dtype="int64"),
+        "total_revenue_c4": pd.Series([], dtype="int64")})
+
+    def year_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_year" not in batch.columns:
+            return arrow_out(empty_p)
+        rev = batch["revenue_c4"].to_numpy(dtype=np.int64)
+        frame = pd.DataFrame({
+            "o_year": batch["o_year"].to_numpy(dtype=np.int64),
+            "nation_revenue_c4":
+                rev * batch["is_x"].to_numpy(dtype=np.int64),
+            "total_revenue_c4": rev})
+        return arrow_out(frame.groupby("o_year", as_index=False,
+                                       sort=False).sum())
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_year" not in batch.columns:
+            return arrow_out(empty_p.assign(
+                mkt_share=pd.Series([], dtype="float64")))
+        g = batch.groupby("o_year", as_index=False, sort=True).sum()
+        g["mkt_share"] = np.floor(
+            g["nation_revenue_c4"].to_numpy()
+            / g["total_revenue_c4"].to_numpy() * 1e6) / 1e6
+        return arrow_out(g)
+
+    return joined.map_batches(year_partials, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

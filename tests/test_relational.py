@@ -626,3 +626,90 @@ def test_sole_return_suppliers_quantifiers(ray_session):
         _ds(ray, li).repartition(5), _ds(ray, supp),
         n_partitions=3).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_nation_volume_shipping_pair_directions(ray_session):
+    """Q7 shape: only cross-nation pair rows count, both directions
+    reported, year split from shipdate; partition invariance."""
+    import ray
+    from readability_ray.functions import nation_volume_shipping
+    nation = pd.DataFrame({
+        "n_nationkey": [1, 2, 3],
+        "n_name": ["NA", "NB", "NC"]})
+    supplier = pd.DataFrame({
+        "s_suppkey": [10, 11, 12],
+        "s_nationkey": [1, 2, 3]})
+    customer = pd.DataFrame({
+        "c_custkey": [100, 101, 102],
+        "c_nationkey": [2, 1, 3]})
+    orders = pd.DataFrame({
+        "o_orderkey": [1000, 1001, 1002],
+        "o_custkey": [100, 101, 102]})
+    li = pd.DataFrame({
+        # NA supp -> NB cust (1996); NB supp -> NA cust (1997);
+        # NA supp -> NA cust (same nation, dropped);
+        # NC supp -> NC cust (not in pair, dropped)
+        "l_orderkey": [1000, 1001, 1001, 1002],
+        "l_suppkey": [10, 11, 10, 12],
+        "l_extendedprice": [100.0, 200.0, 50.0, 75.0],
+        "l_discount": [0.0, 0.1, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(
+            ["1996-05-01", "1997-02-01", "1997-03-01",
+             "1996-01-01"])})
+    out = nation_volume_shipping(
+        _ds(ray, customer), _ds(ray, orders), _ds(ray, li),
+        _ds(ray, supplier), _ds(ray, nation),
+        nation_a="NA", nation_b="NB").to_pandas()
+    got = {(r.supp_nation, r.cust_nation, r.l_year): r.revenue_c4
+           for r in out.itertuples()}
+    # NA->NA row must NOT be present (same nation dropped)
+    assert ("NA", "NA", 1997) not in got
+    assert got[("NA", "NB", 1996)] == 1000000
+    assert got[("NB", "NA", 1997)] == 1800000
+    assert len(got) == 2
+    out2 = nation_volume_shipping(
+        _ds(ray, customer).repartition(2), _ds(ray, orders),
+        _ds(ray, li).repartition(3), _ds(ray, supplier),
+        _ds(ray, nation), nation_a="NA", nation_b="NB",
+        n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_nation_market_share_fraction(ray_session):
+    """Q8 shape: typed lines only, region-restricted customers,
+    exact integer numerator/denominator, floor-6 share."""
+    import ray
+    from readability_ray.functions import nation_market_share
+    region = pd.DataFrame({
+        "r_regionkey": [0, 1], "r_name": ["RX", "RY"]})
+    nation = pd.DataFrame({
+        "n_nationkey": [1, 2], "n_name": ["NA", "NB"],
+        "n_regionkey": [0, 0]})
+    supplier = pd.DataFrame({
+        "s_suppkey": [10, 11], "s_nationkey": [1, 2]})
+    customer = pd.DataFrame({
+        "c_custkey": [100], "c_nationkey": [2]})
+    orders = pd.DataFrame({
+        "o_orderkey": [1000], "o_custkey": [100],
+        "o_orderdate": pd.to_datetime(["1996-07-01"])})
+    part = pd.DataFrame({
+        "p_partkey": [1, 2], "p_type": ["T", "U"]})
+    li = pd.DataFrame({
+        # typed line by NA supp (counts in numerator), typed line by
+        # NB supp (denominator only), untyped line (dropped)
+        "l_orderkey": [1000, 1000, 1000],
+        "l_suppkey": [10, 11, 10],
+        "l_partkey": [1, 1, 2],
+        "l_extendedprice": [100.0, 300.0, 999.0],
+        "l_discount": [0.0, 0.0, 0.0]})
+    out = nation_market_share(
+        _ds(ray, customer), _ds(ray, orders), _ds(ray, li),
+        _ds(ray, supplier), _ds(ray, nation), _ds(ray, region),
+        _ds(ray, part), region_name="RX", nation_name="NA",
+        type_name="T").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["o_year"]) == 1996
+    assert int(r["nation_revenue_c4"]) == 1000000
+    assert int(r["total_revenue_c4"]) == 4000000
+    assert abs(r["mkt_share"] - 0.25) < 1e-9
