@@ -2579,6 +2579,31 @@ def _q_events_time_range_sums(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (functions/bm25.bm25_topk): top-10 docs
+    for a fixed query — token stream never crosses an exchange; one
+    compact-row shed pass, constant-size stats partials, stateless
+    score pass, two-level top-k.  Scores floor-6 from exact integer
+    (tf, dl, df, N, Σdl)."""
+    import ray.data
+
+    from readability_ray.functions import bm25_topk
+    return bm25_topk(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_lang_source_chisq(sf_dir: str):
+    """Chi-square independence over the (lang, source) contingency
+    table (functions/textstats.lang_source_chisq): bounded cells,
+    combiner partials, single-block statistic; E and (O−E)²/E
+    mirrored op-for-op in SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions import lang_source_chisq
+    return lang_source_chisq(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_nation_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape (functions/relational.nation_volume_shipping):
     nation-pair volume by ship year and direction — supplier/nation
@@ -2785,6 +2810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "nation_volume_shipping": _q_nation_volume_shipping,
         "nation_market_share": _q_nation_market_share,
+        "bm25_topk": _q_bm25_topk,
+        "lang_source_chisq": _q_lang_source_chisq,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5417,6 +5444,72 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                          AND CURRENT ROW)
+        """,
+        "bm25_topk": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ), dls AS (
+                SELECT doc_id, count(*)::BIGINT AS dl
+                FROM toks GROUP BY doc_id
+            ), st AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT count(*) FROM toks)::BIGINT AS sum_dl
+            ), tf AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+                WHERE tok IN ('data', 'hash', 'join', 'window')
+                GROUP BY doc_id, tok
+            ), dfs AS (
+                SELECT tok, count(*)::BIGINT AS df
+                FROM tf GROUP BY tok
+            ), scored AS (
+                SELECT t.doc_id,
+                       sum(ln((s.n::DOUBLE - d.df::DOUBLE + 0.5)
+                              / (d.df::DOUBLE + 0.5) + 1.0)
+                           * (t.tf::DOUBLE * 2.2)
+                           / (t.tf::DOUBLE
+                              + 1.2 * (1.0 - 0.75
+                                       + 0.75 * l.dl::DOUBLE
+                                         / (s.sum_dl::DOUBLE
+                                            / s.n::DOUBLE)))
+                           ) AS score
+                FROM tf t
+                JOIN dls l USING (doc_id)
+                JOIN dfs d ON d.tok = t.tok
+                CROSS JOIN st s
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   floor(score * 1000000) / 1000000 AS score
+            FROM scored
+            WHERE floor(score * 1000000) / 1000000 > 0
+            ORDER BY 2 DESC, 1
+            LIMIT 10
+        """,
+        "lang_source_chisq": """
+            WITH cells AS (
+                SELECT lang, source, count(*)::BIGINT AS observed
+                FROM documents GROUP BY lang, source
+            ), marg AS (
+                SELECT lang, source, observed,
+                       sum(observed) OVER (PARTITION BY lang)
+                           ::DOUBLE AS rt,
+                       sum(observed) OVER (PARTITION BY source)
+                           ::DOUBLE AS ct,
+                       sum(observed) OVER ()::DOUBLE AS n
+                FROM cells
+            )
+            SELECT lang, source, observed,
+                   floor((rt * ct / n) * 1000000) / 1000000
+                       AS expected,
+                   floor(((observed::DOUBLE - rt * ct / n)
+                          * (observed::DOUBLE - rt * ct / n)
+                          / (rt * ct / n)) * 1000000) / 1000000
+                       AS contrib
+            FROM marg
+            ORDER BY lang, source
         """,
         "nation_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -154,6 +154,7 @@ def _run_benchmarks() -> None:
                      "sole_return_suppliers", "events_time_range_sums",
                      "graph_components", "triangle_count",
                      "nation_volume_shipping", "nation_market_share",
+                     "bm25_topk", "lang_source_chisq",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

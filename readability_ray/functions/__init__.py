@@ -12,6 +12,7 @@ from .textstats import (
     events_sessionize, lang_id, quality_filter, quality_scores,
     tfidf_top_terms, token_frequency_topk, token_pmi_pairs,
     token_postings, token_stats,
+    lang_source_chisq,
     top_users_per_type, doc_length_cdf, doc_length_mad,
     doc_length_percentiles_by_group,
     event_prop_stats, event_value_histogram, event_value_zscores,
@@ -31,6 +32,7 @@ from .similarity import (
     ivf_ann_topk, ivf_recall_stats, kmeans_assign, knn_topk,
     lsh_ann_topk, semdedup_keepers,
 )
+from .bm25 import bm25_topk
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .graph import (graph_components, synthetic_doc_edges,
                     triangle_count)
@@ -136,6 +138,7 @@ __all__ = [
     "sole_return_suppliers",
     "graph_components", "synthetic_doc_edges", "triangle_count",
     "nation_volume_shipping", "nation_market_share",
+    "bm25_topk", "lang_source_chisq",
     "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",

@@ -1645,3 +1645,68 @@ def events_hopping_counts(events: ray.data.Dataset, *,
         .map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def lang_source_chisq(ds: ray.data.Dataset, *,
+                      row_col: str = "lang",
+                      col_col: str = "source") -> ray.data.Dataset:
+    """Chi-square independence test over a contingency table — the
+    corpus-drift / sampling-bias check (is language distribution
+    independent of source?).
+
+    Scale shape: the contingency cells are BOUNDED (|langs|×|sources|),
+    so per-batch combiners shed the corpus to cell-count partials and
+    ONE single-block merge computes marginals and the statistic — the
+    pricing_summary bounded-key rule, no shuffle.  Counts are exact
+    int64; expected counts and per-cell contributions are floor-6
+    doubles derived from them (E = row_tot·col_tot/N, contrib =
+    (O−E)²/E — both mirrored op-for-op in the SQL oracle).
+
+    Output: one row per observed cell (lang, source, observed,
+    expected, contrib), ordered by (lang, source).  Σcontrib is the
+    chi-square statistic with (R−1)(C−1) degrees of freedom.
+    """
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby([row_col, col_col], sort=False) \
+            .size().reset_index(name="observed")
+        return arrow_out(pd.DataFrame({
+            "lang": g[row_col],
+            "source": g[col_col],
+            "observed": g["observed"].astype("int64")}))
+
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype="object"),
+        "source": pd.Series([], dtype="object"),
+        "observed": pd.Series([], dtype="int64"),
+        "expected": pd.Series([], dtype="float64"),
+        "contrib": pd.Series([], dtype="float64")})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "lang" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.groupby(["lang", "source"], as_index=False,
+                          sort=True)["observed"].sum()
+        n = float(g["observed"].sum())
+        row_tot = g.groupby("lang")["observed"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        col_tot = g.groupby("source")["observed"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        o = g["observed"].to_numpy(dtype=np.float64)
+        e = row_tot * col_tot / n
+        d = o - e
+        contrib = d * d / e  # explicit multiply — mirrors the SQL
+        # (x**2 may route through pow and differ in the last ulp)
+        g["expected"] = np.floor(e * 1e6) / 1e6
+        g["contrib"] = np.floor(contrib * 1e6) / 1e6
+        g["observed"] = g["observed"].astype("int64")
+        return arrow_out(g.reset_index(drop=True))
+
+    return strip_schema_metadata(
+        ds.select_columns([row_col, col_col])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -42,3 +42,32 @@ def test_events_hourly_rollup_margins(ray_session):
     # grand total
     total = out[out["event_type"].isna()]
     assert len(total) == 1 and total["n_events"].iloc[0] == 4
+
+
+def test_lang_source_chisq_hand_computed(ray_session):
+    """2x2 contingency: exact marginals, E = rt*ct/n, contrib floor-6;
+    partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import lang_source_chisq
+
+    rows = (["en", "web"] * 30 + ["en", "books"] * 10
+            + ["de", "web"] * 10 + ["de", "books"] * 10)
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(rows[0::2], pa.string()),
+        "source": pa.array(rows[1::2], pa.string())}))
+    out = lang_source_chisq(ds).to_pandas()
+    assert len(out) == 4
+    cell = out.set_index(["lang", "source"])
+    # n=60, row en=40, col web=40 -> E(en,web) = 40*40/60 = 26.666...
+    assert cell.loc[("en", "web"), "observed"] == 30
+    e = 40.0 * 40.0 / 60.0
+    assert abs(cell.loc[("en", "web"), "expected"]
+               - np.floor(e * 1e6) / 1e6) < 1e-12
+    d = 30.0 - e
+    assert abs(cell.loc[("en", "web"), "contrib"]
+               - np.floor(d * d / e * 1e6) / 1e6) < 1e-12
+    out2 = lang_source_chisq(ds.repartition(4)).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
