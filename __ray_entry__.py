@@ -2579,6 +2579,42 @@ def _q_events_time_range_sums(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_event_type_transitions(sf_dir: str):
+    """Markov transition counts (functions/windows.
+    event_type_transitions): order-dependent adjacency — one user
+    exchange, vectorized shift-compare, bounded types² partials;
+    oracle via LAG."""
+    import ray.data
+
+    from readability_ray.functions import event_type_transitions
+    return event_type_transitions(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix (functions/windows.retention_cohorts):
+    per-user min-day cohort × active-day offsets — distinct
+    (user, day) pairs deduped map-side, one user exchange, bounded
+    days² cells."""
+    import ray.data
+
+    from readability_ray.functions import retention_cohorts
+    return retention_cohorts(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Degree distribution (functions/graph.degree_histogram) of the
+    md5-derived document graph: endpoint combiners → node exchange →
+    bounded degree-value counts."""
+    import ray.data
+
+    from readability_ray.functions import (degree_histogram,
+                                           synthetic_doc_edges)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return degree_histogram(synthetic_doc_edges(docs))
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 ranked retrieval (functions/bm25.bm25_topk): top-10 docs
     for a fixed query — token stream never crosses an exchange; one
@@ -2812,6 +2848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": _q_nation_market_share,
         "bm25_topk": _q_bm25_topk,
         "lang_source_chisq": _q_lang_source_chisq,
+        "event_type_transitions": _q_event_type_transitions,
+        "retention_cohorts": _q_retention_cohorts,
+        "degree_histogram": _q_degree_histogram,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5444,6 +5483,45 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                          AND CURRENT ROW)
+        """,
+        "event_type_transitions": """
+            WITH ordered AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS n
+            FROM ordered WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "retention_cohorts": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day
+                FROM events
+            ), firsts AS (
+                SELECT user_id, min(day) AS cohort_day
+                FROM ud GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   (u.day - f.cohort_day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM ud u JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "degree_histogram": _graph_edges_cte() + """
+            , und AS (
+                SELECT a AS node FROM ce
+                UNION ALL SELECT b FROM ce
+            ), degs AS (
+                SELECT node, count(*)::BIGINT AS degree
+                FROM und GROUP BY node
+            )
+            SELECT degree, count(*)::BIGINT AS n_nodes
+            FROM degs GROUP BY degree
         """,
         "bm25_topk": r"""
             WITH toks AS (

@@ -155,6 +155,8 @@ def _run_benchmarks() -> None:
                      "graph_components", "triangle_count",
                      "nation_volume_shipping", "nation_market_share",
                      "bm25_topk", "lang_source_chisq",
+                     "event_type_transitions", "retention_cohorts",
+                     "degree_histogram",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -34,12 +34,13 @@ from .similarity import (
 )
 from .bm25 import bm25_topk
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
-from .graph import (graph_components, synthetic_doc_edges,
-                    triangle_count)
+from .graph import (degree_histogram, graph_components,
+                    synthetic_doc_edges, triangle_count)
 from .windows import (
     event_interarrival_stats, events_asof_join, events_range_join,
+    event_type_transitions,
     events_rolling_counts, events_throttle, events_time_range_sums,
-    funnel_counts, user_event_paths,
+    funnel_counts, retention_cohorts, user_event_paths,
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
@@ -139,6 +140,8 @@ __all__ = [
     "graph_components", "synthetic_doc_edges", "triangle_count",
     "nation_volume_shipping", "nation_market_share",
     "bm25_topk", "lang_source_chisq",
+    "event_type_transitions", "retention_cohorts",
+    "degree_histogram",
     "value_time_correlation_by_type",
     "anchor_text_stats", "host_stats", "ccnet_buckets",
     "compression_ratios",

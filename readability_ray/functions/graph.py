@@ -512,3 +512,61 @@ def triangle_count(edges: ray.data.Dataset, *,
         .map_batches(match, batch_format="pandas", batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def degree_histogram(edges: ray.data.Dataset, *,
+                     n_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """Degree distribution of an undirected canonical edge list — the
+    first sanity plot of any crawled web graph (power-law check).
+
+    Two bounded exchanges: per-batch endpoint combiners → one
+    node-keyed exchange finishes exact degrees, per-partition degree
+    value counts → one single-block merge (distinct degrees ≤ max
+    degree, tiny at any corpus size).
+
+    Output: (degree, n_nodes), ordered by degree.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(edges)
+    k = n_partitions or default_partitions()
+
+    def endpoint_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        nodes = pa.chunked_array(
+            [*batch.column("a").chunks, *batch.column("b").chunks])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([("node", "count")])
+        return pa.table({"node": g.column("node"),
+                         "deg": g.column("node_count")
+                         .cast(pa.int64())})
+
+    empty = pd.DataFrame({
+        "degree": pd.Series([], dtype="int64"),
+        "n_nodes": pd.Series([], dtype="int64")})
+
+    def degree_counts(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "node" not in batch.columns:
+            return arrow_out(empty.copy())
+        deg = batch.groupby("node", sort=False)["deg"].sum()
+        g = deg.value_counts().rename_axis("degree") \
+            .reset_index(name="n_nodes")
+        return arrow_out(pd.DataFrame({
+            "degree": g["degree"].astype("int64"),
+            "n_nodes": g["n_nodes"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "degree" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.groupby("degree", as_index=False, sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return strip_schema_metadata(edges.select_columns(["a", "b"])) \
+        .map_batches(endpoint_partials, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["node"]) \
+        .map_batches(degree_counts, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

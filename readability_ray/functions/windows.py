@@ -640,3 +640,137 @@ def events_time_range_sums(ds: ray.data.Dataset, *,
         ds.select_columns([id_col, key_col, ts_col, val_col])) \
         .repartition(num_blocks=k, keys=[key_col]) \
         .map_batches(windows, batch_format="pandas", batch_size=None)
+
+
+def event_type_transitions(ds: ray.data.Dataset, *,
+                           key_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """First-order Markov transition counts: how often each event type
+    is immediately followed by each other type within a user's
+    (ts, id)-ordered stream — the behavioral-model / funnel-design
+    matrix.
+
+    Adjacency is ORDER-DEPENDENT, so each user's rows must be together
+    and sorted (the user_event_paths rule): ONE keyed exchange of
+    (key, type, ts, id) rows, then a single vectorized pass — sort,
+    shift-compare, drop cross-user seams — emitting bounded
+    (prev_type, next_type, n) partials merged in one block (types² is
+    tiny whatever the corpus size).
+
+    Output: (prev_type, next_type, n), ordered.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    empty = pd.DataFrame({
+        "prev_type": pd.Series([], dtype="object"),
+        "next_type": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64")})
+
+    def transitions(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or key_col not in batch.columns:
+            return arrow_out(empty.copy())
+        b = batch.sort_values([key_col, ts_col, id_col],
+                              kind="stable")
+        user = b[key_col].to_numpy()
+        typ = b[type_col].to_numpy()
+        same = user[1:] == user[:-1]
+        if not same.any():
+            return arrow_out(empty.copy())
+        frame = pd.DataFrame({"prev_type": typ[:-1][same],
+                              "next_type": typ[1:][same]})
+        g = frame.groupby(["prev_type", "next_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "prev_type" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.groupby(["prev_type", "next_type"],
+                          as_index=False, sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, type_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(transitions, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def retention_cohorts(ds: ray.data.Dataset, *,
+                      key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Retention cohort matrix: users grouped by their FIRST active
+    day, counted on each later active day — the product-analytics
+    staple (how many day-0 users came back on day d?).
+
+    The cohort label is a per-user MIN — mergeable, but each user's
+    (day) set must meet its own min, so ONE keyed exchange co-locates
+    each user's distinct (user, day) pairs (deduped map-side: days per
+    user, never events per user, cross the wire).  The per-partition
+    pass computes each user's min day and emits bounded
+    (cohort_day, day_offset, n_users) partials; days² cells merge in
+    one block.
+
+    Output: (cohort_day, day_offset, n_users) — cohort_day as days
+    since epoch, offset in days (0 = the cohort's first day).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        days = pa.compute.divide(
+            batch.column(ts_col).cast(pa.timestamp("us"))
+            .cast(pa.int64()), 86_400_000_000)
+        tmp = pa.table({"user": batch.column(key_col)
+                        .cast(pa.int64()), "day": days})
+        g = tmp.group_by(["user", "day"]).aggregate([])
+        return g
+
+    empty = pd.DataFrame({
+        "cohort_day": pd.Series([], dtype="int64"),
+        "day_offset": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64")})
+
+    def cohort_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "user" not in batch.columns:
+            return arrow_out(empty.copy())
+        b = batch.drop_duplicates(["user", "day"])
+        first = b.groupby("user")["day"].transform("min")
+        frame = pd.DataFrame({
+            "cohort_day": first.to_numpy(dtype=np.int64),
+            "day_offset": b["day"].to_numpy(dtype=np.int64)
+            - first.to_numpy(dtype=np.int64)})
+        g = frame.groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().reset_index(name="n_users")
+        g["n_users"] = g["n_users"].astype("int64")
+        return arrow_out(g)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "cohort_day" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.groupby(["cohort_day", "day_offset"],
+                          as_index=False, sort=True).sum()
+        return arrow_out(g.reset_index(drop=True))
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, ts_col])) \
+        .map_batches(day_pairs, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["user"]) \
+        .map_batches(cohort_partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

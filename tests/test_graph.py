@@ -141,3 +141,15 @@ def test_synthetic_doc_edges_deterministic(ray_session):
     assert (e1["a"] < e1["b"]).all()
     assert not e1.duplicated(["a", "b"]).any()
     assert e1["a"].max() < 50 and len(e1) > 100
+
+
+def test_degree_histogram_star(ray_session):
+    """Star graph: hub degree n, leaves degree 1; invariance."""
+    from readability_ray.functions.graph import degree_histogram
+    star = [(0, i) for i in range(1, 6)]
+    out = degree_histogram(_ab(star), n_partitions=2).to_pandas()
+    got = dict(zip(out["degree"], out["n_nodes"]))
+    assert got == {1: 5, 5: 1}
+    out2 = degree_histogram(_ab(star).repartition(3),
+                            n_partitions=3).to_pandas()
+    assert out.equals(out2)

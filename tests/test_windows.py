@@ -591,3 +591,60 @@ def test_events_time_range_sums_range_semantics(ray_session):
         ds.repartition(4), minutes=10, n_partitions=3).to_pandas() \
         .set_index("event_id")
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_type_transitions_order_and_seams(ray_session):
+    """Adjacency in (ts, id) order; cross-user seams dropped;
+    partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_type_transitions
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = [0, 1, 2, 0, 1]
+    ts = base + (np.array(mins, dtype=np.int64)
+                 * 60_000_000).astype("timedelta64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "b"],
+                               pa.string()),
+        "ts": pa.array(ts)}))
+    out = event_type_transitions(ds).to_pandas()
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    # user1: a->b, b->a; user2: b->b.  NO a->b seam from u1's last
+    # 'a' to u2's first 'b'.
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    out2 = event_type_transitions(ds.repartition(4),
+                                  n_partitions=3).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_retention_cohorts_min_day(ray_session):
+    """Cohort = per-user first day; same-day repeats dedupe;
+    partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import retention_cohorts
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.int64(86_400_000_000)
+    offs = [0, 0, 2, 0, 1]  # u1: d0 (twice), d2; u2: d0, d1
+    ts = base + (np.array(offs, dtype=np.int64)
+                 * day).astype("timedelta64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(ts)}))
+    out = retention_cohorts(ds).to_pandas()
+    d0 = int(np.datetime64("2024-01-01").astype(
+        "datetime64[D]").astype(np.int64))
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d0, 2): 1}
+    out2 = retention_cohorts(ds.repartition(3),
+                             n_partitions=2).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
