@@ -280,18 +280,22 @@ def _run_scaling() -> None:
         pooled_hi = statistics.median(
             r["pages_per_sec_32"] for r in accepted)
         eff = (pooled_hi / pooled_lo) / 4
-    else:  # every window was noisy — report the least-bad pair
+    elif rejected:  # every window was noisy — report the least-bad pair
         best = min(rejected, key=lambda r: r["control_drift"])
         pooled_lo = best["pages_per_sec_8"]
         pooled_hi = best["pages_per_sec_32"]
         eff = best["pair_efficiency"]
+    else:  # calm gate timed out before ANY pair ran
+        pooled_lo = pooled_hi = 0.0
+        eff = None
     print(json.dumps({
         "metric": "scaling efficiency N->4N (num_cpus 8 vs 32; "
                   "back-to-back pairs, CPU-control rejection >10% "
                   "drift, pooled medians over accepted pairs)",
         "pages_per_sec_8": pooled_lo,
         "pages_per_sec_32": pooled_hi,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff, 3) if eff is not None
+                              else None,
         "pairs_accepted": accepted,
         "pairs_rejected": rejected,
     }))

@@ -51,8 +51,13 @@ Round-4 third-session additions (run alone with --s8): CMS heavy
 hitters + HLL distinct (constant-size sketch reduces), HTML table
 explode (700k cells), weighted join sampling over 6M lines.
 
+Round-5 fourth-session additions (run alone with --s11): TPC-H
+Q15/Q17/Q21 at 6M lines, RANGE-frame window / transitions / cohorts
+at 2M events, BM25 + chi-square at 50k docs, triangle count /
+components / degree histogram on a 12.5k-node md5 graph.
+
 Usage: python tools/scale_probe.py [num_cpus]
-       [--new-only|--s4|--s5|--s6|--s7|--s8]
+       [--new-only|--s4|--s5|--s6|--s7|--s8|--s9|--s10|--s11]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -659,6 +664,71 @@ def main() -> None:
         timed("quantity_price_correlation_6m",
               lambda: quantity_price_correlation(
                   ray.data.read_parquet(li10b)))
+
+        results["n_lineitem"] = n_li
+        results["n_docs"] = n_docs
+        results["n_events"] = n_events
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s11" in sys.argv:
+        # round-5 fourth-session ops at 10-20x: the TPC-H completions
+        # (Q15/Q17/Q21 at 6M lines), the RANGE-frame window /
+        # transitions / cohorts at 2M events, BM25 + chi-square at
+        # 50k docs, and the graph tier on a 12.5k-node/50k-edge
+        # md5 family (4x the sf0.1 density).
+        from readability_ray.functions import (
+            bm25_topk, degree_histogram, event_type_transitions,
+            events_time_range_sums, graph_components,
+            lang_source_chisq, retention_cohorts,
+            small_quantity_revenue, sole_return_suppliers,
+            synthetic_doc_edges, top_supplier_revenue,
+            triangle_count)
+
+        timed("time_range_sums_2m", lambda: events_time_range_sums(
+            ray.data.read_parquet(events20)))
+        timed("event_transitions_2m",
+              lambda: event_type_transitions(
+                  ray.data.read_parquet(events20)))
+        timed("retention_cohorts_2m", lambda: retention_cohorts(
+            ray.data.read_parquet(events20)))
+        timed("bm25_topk_50k", lambda: bm25_topk(
+            ray.data.read_parquet(docs10)))
+        timed("lang_source_chisq_50k", lambda: lang_source_chisq(
+            ray.data.read_parquet(docs10)))
+
+        def edges50k():
+            return synthetic_doc_edges(
+                ray.data.read_parquet(docs10)).materialize()
+
+        e = edges50k()
+        timed("triangle_count_50k_edges", lambda: triangle_count(e))
+        timed("graph_components_50k_edges",
+              lambda: graph_components(e))
+        timed("degree_histogram_50k_edges",
+              lambda: degree_histogram(e))
+
+        li10b = os.path.join(tmp, "lineitem10b.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li10b, 10,
+            {"l_orderkey": 10_000_000})
+        sup = os.path.join(sf, "supplier.parquet")
+        timed("top_supplier_revenue_6m",
+              lambda: top_supplier_revenue(
+                  ray.data.read_parquet(li10b),
+                  ray.data.read_parquet(sup)))
+        timed("small_quantity_revenue_6m",
+              lambda: small_quantity_revenue(
+                  ray.data.read_parquet(li10b),
+                  ray.data.read_parquet(
+                      os.path.join(sf, "part.parquet"))))
+        timed("sole_return_suppliers_6m",
+              lambda: sole_return_suppliers(
+                  ray.data.read_parquet(li10b),
+                  ray.data.read_parquet(sup)))
 
         results["n_lineitem"] = n_li
         results["n_docs"] = n_docs
