@@ -2701,6 +2701,35 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(synthetic_doc_edges(docs))
 
 
+def _q_table_profile(sf_dir: str):
+    """Distributed per-column dataset profiler
+    (functions/report.table_profile): exact fixed-point sums carried
+    as string partials, bounded-cardinality exact distincts, one
+    stateless pass + single-block merge — the data-quality check a
+    training pipeline runs before ingesting a corpus drop."""
+    import ray.data
+
+    from readability_ray.functions import table_profile
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return table_profile(
+        li,
+        numeric_cols={"l_quantity": 0, "l_extendedprice": 2,
+                      "l_discount": 2, "l_tax": 2},
+        categorical_cols=["l_returnflag", "l_linestatus"])
+
+
+def _q_key_skew_stats(sf_dir: str):
+    """Pre-shuffle skew advisor (functions/report.key_skew_stats):
+    per key column the exact distinct count, hottest key and its
+    share — per-batch (key, cnt) combiners, one tagged-key exchange,
+    bounded per-partition candidates, single-block argmax merge."""
+    import ray.data
+
+    from readability_ray.functions import key_skew_stats
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return key_skew_stats(ev, ["event_type", "user_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -2851,6 +2880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": _q_event_type_transitions,
         "retention_cohorts": _q_retention_cohorts,
         "degree_histogram": _q_degree_histogram,
+        "table_profile": _q_table_profile,
+        "key_skew_stats": _q_key_skew_stats,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -3191,6 +3222,37 @@ def _hll_group_sql(col: str) -> str:
                    (floor(f.est * 1e6) / 1e6)::DOUBLE AS hll_estimate
             FROM fixed f JOIN ex ON ex.{col} = f.{col}
         """
+
+
+def _profile_sql() -> str:
+    """table_profile oracle: UNION ALL of per-column stats over
+    lineitem mirroring functions/report.table_profile op-for-op —
+    fixed-point sums via floor(x*10^s + 0.5) (the embedding_quantize
+    rounding form), mean = (sum_fp / 10^s) / rows then floor-6."""
+    parts = ["SELECT '*' AS col_name, 'rows' AS stat, "
+             "count(*)::DOUBLE AS value FROM lineitem"]
+    for c, sc in [("l_quantity", 0), ("l_extendedprice", 2),
+                  ("l_discount", 2), ("l_tax", 2)]:
+        m = float(10 ** sc)
+        parts += [
+            f"SELECT '{c}', 'rows', count({c})::DOUBLE FROM lineitem",
+            f"SELECT '{c}', 'nulls', (count(*)-count({c}))::DOUBLE "
+            "FROM lineitem",
+            f"SELECT '{c}', 'min', min({c}) FROM lineitem",
+            f"SELECT '{c}', 'max', max({c}) FROM lineitem",
+            f"SELECT '{c}', 'mean', floor(((sum(CAST(floor({c}*{m}"
+            f"+0.5) AS BIGINT))::DOUBLE / {m}) / count({c})::DOUBLE)"
+            " * 1000000)/1000000 FROM lineitem",
+        ]
+    for c in ["l_returnflag", "l_linestatus"]:
+        parts += [
+            f"SELECT '{c}', 'rows', count({c})::DOUBLE FROM lineitem",
+            f"SELECT '{c}', 'nulls', (count(*)-count({c}))::DOUBLE "
+            "FROM lineitem",
+            f"SELECT '{c}', 'n_distinct', count(DISTINCT {c})::DOUBLE"
+            " FROM lineitem",
+        ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name, stat"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5522,6 +5584,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT degree, count(*)::BIGINT AS n_nodes
             FROM degs GROUP BY degree
+        """,
+        "table_profile": _profile_sql(),
+        "key_skew_stats": """
+            WITH cu AS (
+                SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), ce AS (
+                SELECT event_type AS key, count(*)::BIGINT AS cnt
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            )
+            SELECT 'event_type' AS key_col,
+                   count(*)::BIGINT AS n_keys,
+                   sum(cnt)::BIGINT AS total,
+                   max(cnt)::BIGINT AS max_count,
+                   (SELECT key FROM ce
+                    WHERE cnt = (SELECT max(cnt) FROM ce)
+                    ORDER BY key LIMIT 1) AS top_key,
+                   floor((max(cnt)::DOUBLE / sum(cnt)::DOUBLE)
+                         * 1000000) / 1000000 AS top_share
+            FROM ce
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT, sum(cnt)::BIGINT,
+                   max(cnt)::BIGINT,
+                   (SELECT key FROM cu
+                    WHERE cnt = (SELECT max(cnt) FROM cu)
+                    ORDER BY key LIMIT 1),
+                   floor((max(cnt)::DOUBLE / sum(cnt)::DOUBLE)
+                         * 1000000) / 1000000
+            FROM cu
+            ORDER BY key_col
         """,
         "bm25_topk": r"""
             WITH toks AS (

@@ -156,7 +156,8 @@ def _run_benchmarks() -> None:
                      "nation_volume_shipping", "nation_market_share",
                      "bm25_topk", "lang_source_chisq",
                      "event_type_transitions", "retention_cohorts",
-                     "degree_histogram",
+                     "degree_histogram", "table_profile",
+                     "key_skew_stats",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -103,3 +103,248 @@ def corpus_report(ds: ray.data.Dataset, *, text_col: str = "text",
         "distinct_texts": pa.array([int(distinct)], pa.int64()),
         "dup_docs": pa.array([n_docs - int(distinct)], pa.int64()),
     }))
+
+
+def table_profile(ds: ray.data.Dataset, *,
+                  numeric_cols: dict[str, int],
+                  categorical_cols: list[str] | None = None,
+                  max_distinct: int = 10_000) -> ray.data.Dataset:
+    """Distributed per-column dataset profiler — the data-quality /
+    schema-drift check a training pipeline runs before ingesting a new
+    corpus drop (what Deequ / Great Expectations profile, re-expressed
+    as one Ray Data pass).
+
+    ``numeric_cols`` maps column -> decimal scale (digits after the
+    point); sums are carried as EXACT fixed-point integers at that
+    scale (``floor(x*10^s + 0.5)`` — the embedding_quantize rounding
+    form, bit-identical to the SQL ``floor(x*10^s + 0.5)``), serialized
+    as STRING partials so a 100-TB sum can exceed 2^53 without losing
+    exactness (the event_interarrival_stats precedent).
+    ``categorical_cols`` get an EXACT distinct count, valid only for
+    bounded-cardinality columns: partials ship the distinct VALUES
+    seen per batch and the merge unions them; if the union exceeds
+    ``max_distinct`` the profiler raises (use the HLL sketch for
+    unbounded columns).
+
+    Scale shape: ONE stateless map over the projected columns emitting
+    a bounded number of partial rows per batch (a handful per column),
+    then a single-block merge (repartition(1) + pandas) — the
+    pricing_summary bounded-key rule; no shuffle, nothing corpus-sized
+    reaches the driver.
+
+    Output (long form, ordered by (col_name, stat)): one row per
+    (col_name, stat, value float64) with stats ``rows`` (non-null
+    count), ``nulls``, ``min``, ``max``, ``mean`` (floor-6, derived
+    from the exact fixed-point sum: ``(sum_fp / 10^s) / rows``) for
+    numeric columns; ``rows``, ``nulls``, ``n_distinct`` for
+    categorical columns; plus ('*', 'rows', total row count).
+    """
+    import numpy as np
+
+    from .util import arrow_out, strip_schema_metadata
+
+    cat_cols = list(categorical_cols or [])
+    all_cols = list(numeric_cols) + cat_cols
+    proj = strip_schema_metadata(ds.select_columns(all_cols))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols, stats, vals, svals = [], [], [], []
+
+        def emit(c, s, v, sv=None):
+            cols.append(c)
+            stats.append(s)
+            vals.append(float(v) if v is not None else float("nan"))
+            svals.append(sv)
+
+        n_rows = batch.num_rows
+        emit("*", "rows", n_rows)
+        for c, scale in numeric_cols.items():
+            col = batch.column(c)
+            nn = n_rows - col.null_count
+            emit(c, "rows", nn)
+            emit(c, "nulls", col.null_count)
+            if nn:
+                mm = pc.min_max(col)
+                emit(c, "min", mm["min"].as_py())
+                emit(c, "max", mm["max"].as_py())
+                x = col.drop_null().to_numpy(zero_copy_only=False)
+                fp = np.floor(
+                    x.astype(np.float64) * float(10 ** scale) + 0.5
+                ).astype(np.int64)
+                # exact big-int sum carried as a string partial
+                emit(c, "sum_fp", None, str(int(fp.sum(dtype=object))))
+        for c in cat_cols:
+            col = batch.column(c)
+            nn = n_rows - col.null_count
+            emit(c, "rows", nn)
+            emit(c, "nulls", col.null_count)
+            for v in pc.unique(col.drop_null()).to_pylist():
+                if len(svals) > 4 * max_distinct:
+                    raise ValueError(
+                        f"table_profile: column {c!r} exceeds "
+                        f"max_distinct={max_distinct} within one "
+                        "batch; use the HLL sketch instead")
+                emit(c, "__val", None, v)
+        return arrow_out(pd.DataFrame({
+            "col_name": pd.Series(cols, dtype="object"),
+            "stat": pd.Series(stats, dtype="object"),
+            "value": pd.Series(vals, dtype="float64"),
+            "sval": pd.Series(svals, dtype="object")}))
+
+    empty = pd.DataFrame({
+        "col_name": pd.Series([], dtype="object"),
+        "stat": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64")})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "col_name" not in batch.columns:
+            return arrow_out(empty.copy())
+        out_c, out_s, out_v = [], [], []
+
+        def emit(c, s, v):
+            out_c.append(c)
+            out_s.append(s)
+            out_v.append(float(v))
+
+        total = batch[(batch["col_name"] == "*")
+                      & (batch["stat"] == "rows")]["value"].sum()
+        emit("*", "rows", total)
+        for c, scale in numeric_cols.items():
+            sub = batch[batch["col_name"] == c]
+            nn = sub[sub["stat"] == "rows"]["value"].sum()
+            emit(c, "rows", nn)
+            emit(c, "nulls", sub[sub["stat"] == "nulls"]["value"].sum())
+            if nn:
+                emit(c, "min", sub[sub["stat"] == "min"]["value"].min())
+                emit(c, "max", sub[sub["stat"] == "max"]["value"].max())
+                s_fp = sum(int(v) for v in
+                           sub[sub["stat"] == "sum_fp"]["sval"])
+                # op order mirrored in the SQL oracle:
+                # (sum_fp / 10^s) / rows, then floor-6
+                mean = (float(s_fp) / float(10 ** scale)) / float(nn)
+                emit(c, "mean", np.floor(mean * 1e6) / 1e6)
+        for c in cat_cols:
+            sub = batch[batch["col_name"] == c]
+            emit(c, "rows", sub[sub["stat"] == "rows"]["value"].sum())
+            emit(c, "nulls", sub[sub["stat"] == "nulls"]["value"].sum())
+            vals = set(sub[sub["stat"] == "__val"]["sval"])
+            if len(vals) > max_distinct:
+                raise ValueError(
+                    f"table_profile: column {c!r} has {len(vals)} "
+                    f"distinct values > max_distinct={max_distinct}; "
+                    "use the HLL sketch instead")
+            emit(c, "n_distinct", len(vals))
+        out = pd.DataFrame({
+            "col_name": pd.Series(out_c, dtype="object"),
+            "stat": pd.Series(out_s, dtype="object"),
+            "value": pd.Series(out_v, dtype="float64")})
+        return arrow_out(out.sort_values(["col_name", "stat"])
+                         .reset_index(drop=True))
+
+    return proj.map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas")
+
+
+def key_skew_stats(ds: ray.data.Dataset, key_cols: list[str], *,
+                   n_partitions: int | None = None) -> ray.data.Dataset:
+    """Pre-shuffle skew advisor: per key column, the exact distinct-key
+    count, total row count, hottest key and its share — the diagnostic
+    a planner consults before keying a 100-TB shuffle on a column (a
+    hot key means salt it; near-unique means don't map_groups it).
+
+    Scale shape: per-batch combiners shed the table to (key, cnt)
+    partials (one row per distinct key per batch), ONE hash-keyed
+    exchange co-locates each key (all columns ride the same exchange —
+    keys are tagged ``col:value`` strings), a vectorized per-partition
+    pass reduces each partition to ONE candidate row per column
+    (local distinct / total / max count / lexicographically-smallest
+    argmax key), and a single-block merge resolves the global argmax
+    (ties -> key asc).  Nothing key-stream-sized reaches the driver.
+
+    NULL keys are excluded on both sides.  Output, ordered by
+    key_col: (key_col, n_keys, total, max_count, top_key, top_share)
+    with top_share = floor-6(max_count / total).
+    """
+    import numpy as np
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+    proj = strip_schema_metadata(ds.select_columns(key_cols))
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        frames = []
+        for c in key_cols:
+            s = batch[c].dropna().astype(str)
+            g = s.groupby(s, sort=False).size()
+            frames.append(pd.DataFrame({
+                "k": (c + ":" + g.index.to_numpy(dtype=object)),
+                "key": g.index.to_numpy(dtype=object),
+                "col": c,
+                "cnt": g.to_numpy(dtype=np.int64)}))
+        out = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"k": [], "key": [], "col": [], "cnt": []})
+        return arrow_out(pd.DataFrame({
+            "k": pd.Series(out["k"], dtype="object"),
+            "key": pd.Series(out["key"], dtype="object"),
+            "col": pd.Series(out["col"], dtype="object"),
+            "cnt": pd.Series(out["cnt"], dtype="int64")}))
+
+    cand_empty = pd.DataFrame({
+        "col": pd.Series([], dtype="object"),
+        "n_keys": pd.Series([], dtype="int64"),
+        "total": pd.Series([], dtype="int64"),
+        "max_cnt": pd.Series([], dtype="int64"),
+        "max_key": pd.Series([], dtype="object")})
+
+    def per_partition(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "k" not in batch.columns:
+            return arrow_out(cand_empty.copy())
+        g = batch.groupby(["col", "key"], as_index=False,
+                          sort=True)["cnt"].sum()
+        rows = []
+        for c, sub in g.groupby("col", sort=True):
+            mx = int(sub["cnt"].max())
+            # sorted by key asc already -> idxmax returns first (min key)
+            top = sub.loc[sub["cnt"] == mx, "key"].iloc[0]
+            rows.append((c, len(sub), int(sub["cnt"].sum()), mx, top))
+        out = pd.DataFrame(rows, columns=["col", "n_keys", "total",
+                                          "max_cnt", "max_key"])
+        out["n_keys"] = out["n_keys"].astype("int64")
+        out["total"] = out["total"].astype("int64")
+        out["max_cnt"] = out["max_cnt"].astype("int64")
+        return arrow_out(out)
+
+    final_empty = pd.DataFrame({
+        "key_col": pd.Series([], dtype="object"),
+        "n_keys": pd.Series([], dtype="int64"),
+        "total": pd.Series([], dtype="int64"),
+        "max_count": pd.Series([], dtype="int64"),
+        "top_key": pd.Series([], dtype="object"),
+        "top_share": pd.Series([], dtype="float64")})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "col" not in batch.columns:
+            return arrow_out(final_empty.copy())
+        rows = []
+        for c, sub in batch.groupby("col", sort=True):
+            mx = int(sub["max_cnt"].max())
+            top = sub.loc[sub["max_cnt"] == mx, "max_key"].min()
+            total = int(sub["total"].sum())
+            share = np.floor((float(mx) / float(total)) * 1e6) / 1e6
+            rows.append((c, int(sub["n_keys"].sum()), total, mx,
+                         top, share))
+        out = pd.DataFrame(rows, columns=list(final_empty.columns))
+        for c in ("n_keys", "total", "max_count"):
+            out[c] = out[c].astype("int64")
+        return arrow_out(out)
+
+    return proj.map_batches(partials, batch_format="pandas") \
+        .repartition(num_blocks=n_parts, keys=["k"]) \
+        .map_batches(per_partition, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas")

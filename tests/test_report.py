@@ -38,3 +38,59 @@ def test_empty_corpus(ray_session):
     out = corpus_report(_ds([])).to_pandas().iloc[0]
     assert out["n_docs"] == 0 and out["distinct_texts"] == 0
     assert out["top_lang"] == "" and out["n_langs"] == 0
+
+
+def test_table_profile_hand_counted(ray_session):
+    import math
+
+    import ray.data
+    from readability_ray.functions import table_profile
+    t = pa.table({
+        "x": pa.array([1.25, 2.50, None, 4.25], pa.float64()),
+        "c": pa.array(["a", "b", "a", None], pa.string())})
+    out = table_profile(ray.data.from_arrow(t),
+                        numeric_cols={"x": 2},
+                        categorical_cols=["c"]).to_pandas()
+    d = {(r.col_name, r.stat): r.value for r in out.itertuples()}
+    assert d[("*", "rows")] == 4
+    assert d[("x", "rows")] == 3 and d[("x", "nulls")] == 1
+    assert d[("x", "min")] == 1.25 and d[("x", "max")] == 4.25
+    # mean = ((125+250+425)/100)/3 = 8.0/3, floor-6
+    assert d[("x", "mean")] == math.floor(8.0 / 3 * 1e6) / 1e6
+    assert d[("c", "rows")] == 3 and d[("c", "nulls")] == 1
+    assert d[("c", "n_distinct")] == 2
+    # ordered output, exactly the expected stat rows
+    assert list(out.columns) == ["col_name", "stat", "value"]
+    assert out["col_name"].tolist() == sorted(out["col_name"].tolist())
+
+
+def test_table_profile_distinct_cap(ray_session):
+    import pytest
+    import ray.data
+    from readability_ray.functions import table_profile
+    t = pa.table({"c": pa.array([str(i) for i in range(50)])})
+    # Ray wraps the worker's ValueError in RayTaskError
+    with pytest.raises(Exception, match="max_distinct"):
+        table_profile(ray.data.from_arrow(t), numeric_cols={},
+                      categorical_cols=["c"],
+                      max_distinct=10).to_pandas()
+
+
+def test_key_skew_stats_hand_counted(ray_session):
+    import ray.data
+    from readability_ray.functions import key_skew_stats
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "e": pa.array(["a", "b", "b", "a", "c", None], pa.string())})
+    out = key_skew_stats(ray.data.from_arrow(t),
+                         ["e", "u"], n_partitions=3).to_pandas()
+    assert out["key_col"].tolist() == ["e", "u"]
+    e = out.iloc[0]
+    # e: a=2, b=2, c=1 (null dropped) -> tie at 2, min key "a"
+    assert e["n_keys"] == 3 and e["total"] == 5
+    assert e["max_count"] == 2 and e["top_key"] == "a"
+    assert e["top_share"] == 0.4
+    u = out.iloc[1]
+    assert u["n_keys"] == 3 and u["total"] == 6
+    assert u["max_count"] == 3 and u["top_key"] == "1"
+    assert u["top_share"] == 0.5
