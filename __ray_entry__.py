@@ -2730,6 +2730,19 @@ def _q_key_skew_stats(sf_dir: str):
     return key_skew_stats(ev, ["event_type", "user_id"])
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """Edit-distance-verified near-dup pairs
+    (functions/editdist.edit_distance_pairs): prefix-key blocking +
+    fully vectorized Levenshtein DP (prefix-min unrolling of the
+    insertion chain); oracle is the DuckDB levenshtein() self-join on
+    the identical normalized-prefix family."""
+    import ray.data
+
+    from readability_ray.functions import edit_distance_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return edit_distance_pairs(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -2882,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "table_profile": _q_table_profile,
         "key_skew_stats": _q_key_skew_stats,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5586,6 +5600,29 @@ def oracle_sql() -> dict[str, str]:
             FROM degs GROUP BY degree
         """,
         "table_profile": _profile_sql(),
+        "edit_distance_pairs": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text),
+                            '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, substr(nt, 1, 16) AS bk,
+                       substr(nt, 1, 64) AS pfx
+                FROM norm
+            ), blocks AS (
+                SELECT *, count(*) OVER (PARTITION BY bk) AS bsz
+                FROM keyed
+            ), ok AS (
+                SELECT * FROM blocks WHERE bsz <= 64
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.pfx, b.pfx)::BIGINT AS dist
+            FROM ok a JOIN ok b
+                 ON a.bk = b.bk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pfx, b.pfx) <= 6
+            ORDER BY doc_a, doc_b
+        """,
         "key_skew_stats": """
             WITH cu AS (
                 SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt

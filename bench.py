@@ -157,7 +157,7 @@ def _run_benchmarks() -> None:
                      "bm25_topk", "lang_source_chisq",
                      "event_type_transitions", "retention_cohorts",
                      "degree_histogram", "table_profile",
-                     "key_skew_stats",
+                     "key_skew_stats", "edit_distance_pairs",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

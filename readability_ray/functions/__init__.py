@@ -57,6 +57,7 @@ from .bpe import bpe_encode_stats, learn_bpe, word_counts
 from .dsir import dsir_weights, dsir_weights_hashed
 from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
+from .editdist import edit_distance_pairs
 from .report import corpus_report, key_skew_stats, table_profile
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
@@ -122,7 +123,8 @@ __all__ = [
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
     "dsir_weights_hashed",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
-    "corpus_report", "table_profile", "key_skew_stats", "crawl_diff",
+    "corpus_report", "table_profile", "key_skew_stats",
+    "edit_distance_pairs", "crawl_diff",
     "parse_robots", "parse_robots_rows", "robots_allowed",
     "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
