@@ -2743,6 +2743,18 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(docs)
 
 
+def _q_corpus_divergence(sf_dir: str):
+    """Unigram KL drift between the two md5-bucket halves of the
+    corpus (functions/corpus.corpus_divergence): side-tagged token
+    combiners, one token-keyed exchange, smoothed per-token
+    contributions p_a*ln(p_a/q_b) floor-6, top-20 (ties token asc)."""
+    import ray.data
+
+    from readability_ray.functions import corpus_divergence
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return corpus_divergence(docs, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -2896,6 +2908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "key_skew_stats": _q_key_skew_stats,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "corpus_divergence": _q_corpus_divergence,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5600,6 +5613,40 @@ def oracle_sql() -> dict[str, str]:
             FROM degs GROUP BY degree
         """,
         "table_profile": _profile_sql(),
+        "corpus_divergence": r"""
+            WITH sided AS (
+                SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                  1, 8))::UBIGINT % 100 < 50
+                            THEN 0 ELSE 1 END AS side,
+                       text
+                FROM documents
+            ), toks AS (
+                SELECT side,
+                       unnest(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')) AS token
+                FROM sided
+            ), counts AS (
+                SELECT token,
+                       sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                           ::BIGINT AS cnt_a,
+                       sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                           ::BIGINT AS cnt_b
+                FROM toks GROUP BY token
+            ), scal AS (
+                SELECT sum(cnt_a)::BIGINT AS na,
+                       sum(cnt_b)::BIGINT AS nb,
+                       count(*)::BIGINT AS v
+                FROM counts
+            )
+            SELECT token, cnt_a, cnt_b,
+                   floor((((cnt_a + 1)::DOUBLE / (na + v)::DOUBLE)
+                          * ln(((cnt_a + 1)::DOUBLE / (na + v)::DOUBLE)
+                               / ((cnt_b + 1)::DOUBLE
+                                  / (nb + v)::DOUBLE)))
+                         * 1000000) / 1000000 AS contrib
+            FROM counts, scal
+            ORDER BY contrib DESC, token LIMIT 20
+        """,
         "edit_distance_pairs": r"""
             WITH norm AS (
                 SELECT doc_id,

@@ -44,7 +44,8 @@ from .windows import (
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
-    ccnet_buckets, compression_ratios, decontaminate, gopher_rules,
+    ccnet_buckets, compression_ratios, corpus_divergence, decontaminate,
+    gopher_rules,
     hash_split, host_split,
     normalize_text, pii_redact, pii_scan, repetition_scores, source_cap,
     source_mixture_weights, stratified_sample, weighted_sample_k,
@@ -123,7 +124,7 @@ __all__ = [
     "bpe_encode_stats", "learn_bpe", "word_counts", "dsir_weights",
     "dsir_weights_hashed",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
-    "corpus_report", "table_profile", "key_skew_stats",
+    "corpus_report", "corpus_divergence", "table_profile", "key_skew_stats",
     "edit_distance_pairs", "crawl_diff",
     "parse_robots", "parse_robots_rows", "robots_allowed",
     "robots_filter",

@@ -764,3 +764,111 @@ def host_split(ds: ray.data.Dataset, *, train_pct: int = 80,
     return strip_schema_metadata(
         ds.select_columns([id_col, url_col])) \
         .map_batches(run, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# corpus_divergence (distribution-drift check between two corpus slices)
+# --------------------------------------------------------------------------
+
+def corpus_divergence(ds: ray.data.Dataset, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      split_bucket: int = 50,
+                      k: int = 20,
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Unigram KL-divergence drift between two deterministic halves of
+    the corpus — the distribution-shift check a training pipeline runs
+    between corpus drops (did the token distribution move?).  Side A =
+    md5 id-hash bucket < ``split_bucket`` (the hash_split family, so
+    the assignment is stable across runs and partitionings), side B =
+    the rest; add-one smoothing over the UNION vocabulary; output the
+    ``k`` tokens most over-represented in A by per-token contribution
+    ``p_a * ln(p_a / q_b)`` with ``p_a = (cnt_a+1)/(N_a+V)`` (floor-6,
+    op-for-op the SQL oracle's form; ties -> token asc).  No float
+    total is emitted — each row's contribution is independent, so the
+    result is partitioning-invariant.
+
+    Scale shape: per-batch side-tagged token combiners (vocab-sized
+    partials, never the token stream), ONE token-keyed exchange, the
+    compact (token, cnt_a, cnt_b) vocab table materialized once and
+    reused for the three scalar aggregates (tree reduce) and the
+    contribution map; per-partition local top-k then a single-block
+    merge — the driver never sees more than partitions x k rows.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+
+    ensure_hash_shuffle(ds)
+    n_parts = n_partitions or default_partitions()
+    proj = strip_schema_metadata(ds.select_columns([id_col, text_col]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for i, text in zip(ids, texts):
+            bucket = int(hashlib.md5(
+                str(i).encode()).hexdigest()[:8], 16) % 100
+            (ca if bucket < split_bucket else cb).update(
+                _TOKEN_RE.findall(text))
+        vocab = sorted(set(ca) | set(cb))
+        return pa.table({
+            "token": pa.array(vocab, pa.string()),
+            "cnt_a": pa.array([ca.get(t, 0) for t in vocab],
+                              pa.int64()),
+            "cnt_b": pa.array([cb.get(t, 0) for t in vocab],
+                              pa.int64())})
+
+    vocab_empty = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "cnt_a": pd.Series([], dtype="int64"),
+        "cnt_b": pd.Series([], dtype="int64")})
+
+    def sum_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "token" not in batch.columns:
+            return arrow_out(vocab_empty.copy())
+        g = batch.groupby("token", as_index=False, sort=False)[
+            ["cnt_a", "cnt_b"]].sum()
+        g["cnt_a"] = g["cnt_a"].astype("int64")
+        g["cnt_b"] = g["cnt_b"].astype("int64")
+        return arrow_out(g)
+
+    vocab = proj.map_batches(partials, batch_format="pyarrow") \
+        .repartition(num_blocks=n_parts, keys=["token"]) \
+        .map_batches(sum_partials, batch_format="pandas",
+                     batch_size=None) \
+        .materialize()
+
+    na = int(vocab.sum("cnt_a") or 0)
+    nb = int(vocab.sum("cnt_b") or 0)
+    v = int(vocab.count())
+
+    out_empty = pd.DataFrame({
+        "token": pd.Series([], dtype="object"),
+        "cnt_a": pd.Series([], dtype="int64"),
+        "cnt_b": pd.Series([], dtype="int64"),
+        "contrib": pd.Series([], dtype="float64")})
+
+    def topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "token" not in batch.columns:
+            return arrow_out(out_empty.copy())
+        p = (batch["cnt_a"].to_numpy(np.int64) + 1).astype(
+            np.float64) / float(na + v)
+        q = (batch["cnt_b"].to_numpy(np.int64) + 1).astype(
+            np.float64) / float(nb + v)
+        batch = batch.copy()
+        # floor-6 BEFORE top-k selection so the k-set and tie order
+        # match the SQL's ORDER BY contrib DESC, token LIMIT k
+        batch["contrib"] = np.floor(p * np.log(p / q) * 1e6) / 1e6
+        batch["_neg"] = -batch["contrib"]
+        batch = batch.sort_values(["_neg", "token"]).head(k)
+        return arrow_out(batch[["token", "cnt_a", "cnt_b", "contrib"]]
+                         .reset_index(drop=True))
+
+    return vocab.map_batches(topk, batch_format="pandas",
+                             batch_size=None) \
+        .repartition(1) \
+        .map_batches(topk, batch_format="pandas")

@@ -72,3 +72,50 @@ def test_host_split_cohesion(ray_session):
     m = out.set_index("doc_id")["split"]
     m2 = out2.set_index("doc_id")["split"]
     assert (m.sort_index() == m2.sort_index()).all()
+
+
+def test_corpus_divergence_planted_drift(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.functions import corpus_divergence
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 100
+
+    # common filler everywhere; "driftword" only on side A
+    texts, n = [], 60
+    for i in range(n):
+        t = "common filler words here"
+        if bucket(i) < 50:
+            t += " driftword driftword"
+        texts.append(t)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = corpus_divergence(ds, k=3, n_partitions=3).to_pandas()
+    assert len(out) == 3
+    top = out.sort_values("contrib", ascending=False).iloc[0]
+    assert top["token"] == "driftword" and top["cnt_b"] == 0
+    n_a = sum(1 for i in range(n) if bucket(i) < 50)
+    assert top["cnt_a"] == 2 * n_a
+    assert top["contrib"] > 0
+
+
+def test_corpus_divergence_partition_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.functions import corpus_divergence
+    texts = [f"tok{i % 7} shared words tok{i % 3}" for i in range(50)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    a = corpus_divergence(ds, k=5, n_partitions=2).to_pandas() \
+        .reset_index(drop=True)
+    b = corpus_divergence(ds, k=5, n_partitions=6).to_pandas() \
+        .reset_index(drop=True)
+    assert a.equals(b) and len(a) == 5
