@@ -2743,6 +2743,20 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(docs)
 
 
+def _q_zorder_manifest(sf_dir: str):
+    """Z-order clustering layout + block-pruning manifest
+    (functions/zorder.py): Morton 16+16-bit interleave of
+    (user_id, quantized value), one keyed exchange on the z-bucket,
+    exact per-bucket integer ranges; oracle re-derives the interleave
+    as a generated 32-term shift/mask sum."""
+    import ray.data
+
+    from readability_ray.functions import zorder_manifest
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return zorder_manifest(ev, x_col="user_id", y_col="value",
+                           y_scale=2, bucket_bits=8)
+
+
 def _q_corpus_divergence(sf_dir: str):
     """Unigram KL drift between the two md5-bucket halves of the
     corpus (functions/corpus.corpus_divergence): side-tagged token
@@ -2909,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_stats": _q_key_skew_stats,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "corpus_divergence": _q_corpus_divergence,
+        "zorder_manifest": _q_zorder_manifest,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -3249,6 +3264,34 @@ def _hll_group_sql(col: str) -> str:
                    (floor(f.est * 1e6) / 1e6)::DOUBLE AS hll_estimate
             FROM fixed f JOIN ex ON ex.{col} = f.{col}
         """
+
+
+def _zorder_sql() -> str:
+    """zorder_manifest oracle: the 16+16-bit Morton interleave as a
+    32-term shift/mask sum (generated, mirroring
+    functions/zorder.morton_interleave bit-for-bit), then per-bucket
+    exact integer stats."""
+    terms = []
+    for j in range(16):
+        terms.append(f"((xq >> {j}) & 1) * {1 << (2 * j)}")
+        terms.append(f"((yq >> {j}) & 1) * {1 << (2 * j + 1)}")
+    z = " + ".join(terms)
+    return f"""
+        WITH q AS (
+            SELECT user_id % 65536 AS xq,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) % 65536
+                       AS yq
+            FROM events
+        ), z AS (
+            SELECT xq, yq, ({z})::BIGINT AS zval FROM q
+        )
+        SELECT (zval >> 24)::BIGINT AS zbucket,
+               count(*)::BIGINT AS n,
+               min(zval)::BIGINT AS z_min, max(zval)::BIGINT AS z_max,
+               min(xq)::BIGINT AS x_min, max(xq)::BIGINT AS x_max,
+               min(yq)::BIGINT AS y_min, max(yq)::BIGINT AS y_max
+        FROM z GROUP BY 1 ORDER BY 1
+    """
 
 
 def _profile_sql() -> str:
@@ -5613,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
             FROM degs GROUP BY degree
         """,
         "table_profile": _profile_sql(),
+        "zorder_manifest": _zorder_sql(),
         "corpus_divergence": r"""
             WITH sided AS (
                 SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),

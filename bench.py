@@ -158,7 +158,7 @@ def _run_benchmarks() -> None:
                      "event_type_transitions", "retention_cohorts",
                      "degree_histogram", "table_profile",
                      "key_skew_stats", "edit_distance_pairs",
-                     "corpus_divergence",
+                     "corpus_divergence", "zorder_manifest",
                      "page_structure", "full_analysis"]
     qs = entrymod.queries()
     for name in bench_queries:

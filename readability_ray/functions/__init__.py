@@ -59,6 +59,7 @@ from .dsir import dsir_weights, dsir_weights_hashed
 from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .editdist import edit_distance_pairs
+from .zorder import morton_interleave, zorder_layout, zorder_manifest
 from .report import corpus_report, key_skew_stats, table_profile
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
@@ -125,7 +126,8 @@ __all__ = [
     "dsir_weights_hashed",
     "naive_bayes_classify", "train_naive_bayes", "pagerank",
     "corpus_report", "corpus_divergence", "table_profile", "key_skew_stats",
-    "edit_distance_pairs", "crawl_diff",
+    "edit_distance_pairs", "zorder_layout", "zorder_manifest",
+    "morton_interleave", "crawl_diff",
     "parse_robots", "parse_robots_rows", "robots_allowed",
     "robots_filter",
     "parse_robots_sitemaps", "parse_crawl_delay", "fetch_schedule",
