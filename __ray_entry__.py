@@ -2757,6 +2757,91 @@ def _q_zorder_manifest(sf_dir: str):
                            y_scale=2, bucket_bits=8)
 
 
+def _q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit (functions/integrity.py): per-FK-
+    edge orphan counts; ids-only combiners, ONE composite
+    (edge, key) exchange for all seven edges (a per-edge exchange
+    would accrete 7 shuffle ops in one lazy plan — the documented
+    small-box deadlock), bounded partials, single-block merge."""
+    from readability_ray.functions import fk_integrity
+    return fk_integrity(sf_dir)
+
+
+def _fk_integrity_sql() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for c, fk, p, pk in edges:
+        name = f"{c}.{fk}->{p}.{pk}"
+        parts.append(f"""
+            SELECT '{name}' AS edge,
+                   (SELECT count(*)::BIGINT FROM {c}
+                    WHERE {fk} IS NULL) AS n_null_fk,
+                   coalesce(sum(ck.n), 0)::BIGINT AS n_child_rows,
+                   count(*)::BIGINT AS n_child_keys,
+                   coalesce(sum(CASE WHEN pk.k IS NULL
+                                THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_orphan_keys,
+                   coalesce(sum(CASE WHEN pk.k IS NULL
+                                THEN ck.n ELSE 0 END), 0)::BIGINT
+                       AS n_orphan_rows
+            FROM (SELECT {fk} AS k, count(*)::BIGINT AS n
+                  FROM {c} WHERE {fk} IS NOT NULL GROUP BY 1) ck
+            LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {p}) pk
+                 ON ck.k = pk.k""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+def _q_order_skyline(sf_dir: str):
+    """Distributed Pareto skyline (functions/pareto.order_skyline):
+    maximize o_totalprice / minimize o_orderdate.  Local per-batch
+    skylines merge in one single-block pass — skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B)); oracle re-derives the frontier
+    with a strictly-greater-price running-min window."""
+    import ray.data
+
+    from readability_ray.functions import order_skyline
+    return order_skyline(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_flesch(sf_dir: str):
+    """Flesch reading-ease (functions/textstats.flesch_reading_ease):
+    one vectorized RE2 count pass per pattern (words / sentence
+    enders / vowel groups), float formula mirrored op-for-op at
+    floor-6; RE2 on both sides makes the counts bit-equal."""
+    from readability_ray.functions import flesch_reading_ease
+    return flesch_reading_ease(_docs(sf_dir))
+
+
+def _q_embedding_gram(sf_dir: str):
+    """Exact integer Gram matrix X'X (functions/similarity.
+    embedding_gram): floor(x*1000+0.5) quantization, one int64
+    matmul partial per batch, single-block sum; output is the
+    1-based upper triangle — constant-size regardless of corpus."""
+    import ray.data
+
+    from readability_ray.functions import embedding_gram
+    return embedding_gram(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_gini_doc_lengths(sf_dir: str):
+    """Exact Gini concentration of document lengths (functions/
+    ranking.gini_coefficient): global_rank's TeraSort ranks + a
+    constant-size big-int reduce of (n, Σx, Σ rank·x); the two
+    divisions and subtract mirrored in HUGEINT SQL, floor-6."""
+    from readability_ray.functions import gini_coefficient
+    return gini_coefficient(_docs(sf_dir))
+
+
 def _q_corpus_divergence(sf_dir: str):
     """Unigram KL drift between the two md5-bucket halves of the
     corpus (functions/corpus.corpus_divergence): side-tagged token
@@ -2924,6 +3009,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "corpus_divergence": _q_corpus_divergence,
         "zorder_manifest": _q_zorder_manifest,
+        "order_skyline": _q_order_skyline,
+        "fk_integrity": _q_fk_integrity,
+        "flesch_reading_ease": _q_flesch,
+        "embedding_gram": _q_embedding_gram,
+        "gini_doc_lengths": _q_gini_doc_lengths,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -5657,6 +5747,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_profile": _profile_sql(),
         "zorder_manifest": _zorder_sql(),
+        "fk_integrity": _fk_integrity_sql(),
+        "order_skyline": """
+            WITH d AS (
+                SELECT o_totalprice AS price, min(o_orderdate) AS md
+                FROM orders GROUP BY 1
+            ), w AS (
+                SELECT price, md,
+                       min(md) OVER (ORDER BY price DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pm
+                FROM d
+            )
+            SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+            FROM orders o
+            JOIN w ON o.o_totalprice = w.price
+                  AND o.o_orderdate = w.md
+            WHERE w.pm IS NULL OR w.md < w.pm
+            ORDER BY o.o_totalprice DESC, o.o_orderdate ASC,
+                     o.o_orderkey ASC
+        """,
+        "flesch_reading_ease": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+'))::BIGINT AS n_words,
+                       len(regexp_extract_all(text,
+                           '[.!?]+'))::BIGINT AS n_sentences,
+                       len(regexp_extract_all(text,
+                           '[AEIOUYaeiouy]+'))::BIGINT AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words = 0 THEN NULL
+                        ELSE floor((206.835
+                                    - 1.015 * (n_words::DOUBLE
+                                       / greatest(n_sentences,
+                                                  1)::DOUBLE)
+                                    - 84.6 * (n_syllables::DOUBLE
+                                       / n_words::DOUBLE))
+                                   * 1000000) / 1000000 END AS flesch
+            FROM c
+        """,
+        "embedding_gram": """
+            WITH u AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1))::BIGINT
+                           AS i,
+                       floor(unnest(embedding)::DOUBLE * 1000
+                             + 0.5)::BIGINT AS q
+                FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   sum(a.q * b.q)::BIGINT AS dot
+            FROM u a JOIN u b
+                 ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "gini_doc_lengths": """
+            WITH r AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars ASC,
+                                          doc_id ASC) AS rk
+                FROM documents
+            ), s AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(n_chars::HUGEINT)::HUGEINT AS sx,
+                       sum(rk::HUGEINT * n_chars::HUGEINT)::HUGEINT
+                           AS srx
+                FROM r
+            )
+            SELECT n, sx::BIGINT AS sum_key,
+                   floor(((2 * srx)::DOUBLE / (n * sx)::DOUBLE
+                          - (n + 1)::DOUBLE / n::DOUBLE)
+                         * 1000000) / 1000000 AS gini
+            FROM s
+        """,
         "corpus_divergence": r"""
             WITH sided AS (
                 SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),

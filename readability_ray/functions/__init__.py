@@ -21,6 +21,7 @@ from .textstats import (
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
     value_time_correlation_by_type,
+    flesch_reading_ease,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -30,9 +31,11 @@ from .dedup import (
 from .similarity import (
     ann_recall_stats, embedding_dup_pairs, embedding_quantize,
     ivf_ann_topk, ivf_recall_stats, kmeans_assign, knn_topk,
-    lsh_ann_topk, semdedup_keepers,
+    lsh_ann_topk, semdedup_keepers, embedding_gram,
 )
 from .bm25 import bm25_topk
+from .integrity import fk_integrity, referential_integrity
+from .pareto import order_skyline, pareto_skyline
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
 from .graph import (degree_histogram, graph_components,
                     synthetic_doc_edges, triangle_count)
@@ -73,7 +76,7 @@ from .robots import (
     sitemap_discovery,
 )
 from .packing import pack_sequences, shard_shuffle
-from .ranking import doc_ntile, global_rank
+from .ranking import doc_ntile, gini_coefficient, global_rank
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     brand_quantity_revenue,
@@ -155,4 +158,7 @@ __all__ = [
     "hll_distinct_by_group", "global_rank", "doc_ntile",
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
+    "order_skyline", "pareto_skyline", "flesch_reading_ease",
+    "fk_integrity", "referential_integrity",
+    "embedding_gram", "gini_coefficient",
 ]

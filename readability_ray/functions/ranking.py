@@ -177,3 +177,77 @@ def doc_ntile(ds: ray.data.Dataset, *, n: int = 10,
         return arrow_out(out)
 
     return ranked.map_batches(bucket, batch_format="pandas")
+
+
+def gini_coefficient(ds: ray.data.Dataset, *,
+                     key_col: str = "n_chars",
+                     id_col: str = "doc_id",
+                     n_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """EXACT Gini concentration coefficient of ``key_col`` — the
+    corpus-inequality metric ("how much of the corpus mass sits in the
+    biggest documents / hottest sources") computed as
+    ``G = 2*sum(rank*x) / (n*sum(x)) - (n+1)/n`` over the ascending
+    (key, id) order.
+
+    Reuses :func:`global_rank`'s exact TeraSort ranks (one range
+    exchange), then a constant-size tree reduce of (n, sum x,
+    sum rank*x) — rank*x carried as Python big-int STRING partials
+    (the correlation idiom), so the result is partitioning-invariant.
+    Rank ties within equal keys don't affect sum(rank*x): permuting
+    ranks among equal x leaves x*sum(ranks) unchanged, and the id
+    tiebreak pins the order anyway.  The only float steps (two
+    divisions, one subtract) are mirrored op-for-op in the HUGEINT
+    SQL, floor-6.
+
+    Output: ONE row (n, sum_key, gini).
+    """
+    def _big_sum(arr: np.ndarray) -> int:
+        if len(arr) == 0:
+            return 0
+        cuts = np.arange(0, len(arr), 1024)
+        return sum(int(x) for x in np.add.reduceat(arr, cuts))
+
+    ranked = global_rank(ds, key_col=key_col, id_col=id_col,
+                         descending=False, n_partitions=n_partitions)
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or key_col not in batch.columns:
+            # schema-less empty block off the range exchange — emit a
+            # zero partial so the merge block always materializes
+            return arrow_out(pd.DataFrame({
+                "n": pd.Series([0], dtype="int64"),
+                "sx": pd.Series(["0"], dtype="object"),
+                "srx": pd.Series(["0"], dtype="object")}))
+        x = batch[key_col].to_numpy(dtype=np.int64)
+        r = batch["rank"].to_numpy(dtype=np.int64)
+        return arrow_out(pd.DataFrame({
+            "n": pd.Series([len(x)], dtype="int64"),
+            "sx": pd.Series([str(_big_sum(x))], dtype="object"),
+            "srx": pd.Series([str(_big_sum(r * x))], dtype="object"),
+        }))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n" not in batch.columns or \
+                int(batch["n"].sum()) == 0:
+            return pa.table({
+                "n": pa.array([0], pa.int64()),
+                "sum_key": pa.array([0], pa.int64()),
+                "gini": pa.array([None], pa.float64())})
+        n = int(batch["n"].sum())
+        sx = sum(int(v) for v in batch["sx"])
+        srx = sum(int(v) for v in batch["srx"])
+        if sx == 0:
+            g = None
+        else:
+            g = float(2 * srx) / float(n * sx) \
+                - float(n + 1) / float(n)
+            g = float(np.floor(g * 1e6) / 1e6)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sum_key": pa.array([sx], pa.int64()),
+            "gini": pa.array([g], pa.float64())})
+
+    return ranked.map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

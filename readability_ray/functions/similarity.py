@@ -916,3 +916,57 @@ def ivf_recall_stats(ds: ray.data.Dataset, query_ids: list[int],
                                  * 1e6) / 1e6,
         })
     return ray.data.from_items(rows)
+
+
+def embedding_gram(ds: ray.data.Dataset, *,
+                   emb_col: str = "embedding",
+                   scale: int = 1000) -> ray.data.Dataset:
+    """EXACT Gram matrix X'X over integer-quantized embeddings — the
+    single-tree-reduce primitive behind distributed PCA / covariance /
+    whitening (each batch contributes one d*d partial; partials sum).
+
+    Floats re-associate differently under different partitionings, so
+    a value-checkable Gram needs integers first (the ivf_recall
+    lesson): each element is quantized ``floor(x*scale + 0.5)`` —
+    floor(x+0.5), never round(), numpy rounds half-to-even while SQL
+    rounds half-away — and the per-batch partial is one exact int64
+    matmul ``q.T @ q``.  Partial = ONE row holding the flattened d*d
+    cell list; merge is a single-block int64 sum.  Bound: unit-norm
+    embeddings give |cell| <= rows*scale^2, int64-safe past 9e12 rows
+    at scale 1000; raise to string big-int partials beyond that.
+
+    Output: upper triangle as (i, j, dot) rows, 1-based, i <= j —
+    2080 rows at d=64 regardless of corpus size.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch, emb_col)                  # float64 exact
+        q = np.floor(mat * float(scale) + 0.5).astype(np.int64)
+        g = q.T @ q
+        return pa.table({
+            "d": pa.array([g.shape[0]], pa.int64()),
+            "cells": pa.array([g.reshape(-1)],
+                              pa.list_(pa.int64())),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cells" not in batch.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        d = int(batch.column("d")[0].as_py())
+        g = np.zeros(d * d, dtype=np.int64)
+        for row in batch.column("cells"):
+            g += np.asarray(row.as_py(), dtype=np.int64)
+        g = g.reshape(d, d)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "dot": pa.array(g[iu, ju], pa.int64()),
+        })
+
+    from .util import strip_schema_metadata
+    return strip_schema_metadata(ds.select_columns([emb_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)

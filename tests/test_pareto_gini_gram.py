@@ -1,0 +1,197 @@
+"""Round-5 operators: Pareto skyline, Flesch reading ease, integer
+Gram matrix, Gini coefficient — local differentials against
+brute-force / closed-form answers (the SQL oracles cover the
+driver-scale values)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _det_ints(n, mod, salt):
+    # deterministic pseudo-random ints (no RNG per repo convention)
+    return [int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8],
+                16) % mod for i in range(n)]
+
+
+# ---------------------------------------------------------------- skyline
+
+def _brute_skyline(df, max_col, min_col):
+    keep = []
+    for i, q in df.iterrows():
+        dominated = False
+        for _, p in df.iterrows():
+            if (p[max_col] >= q[max_col] and p[min_col] <= q[min_col]
+                    and (p[max_col] > q[max_col]
+                         or p[min_col] < q[min_col])):
+                dominated = True
+                break
+        if not dominated:
+            keep.append(i)
+    return df.loc[keep]
+
+
+def _points(n=120):
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": np.array(_det_ints(n, 50, "x"), dtype=np.int64),
+        "y": np.array(_det_ints(n, 50, "y"), dtype=np.int64),
+    })
+
+
+def test_pareto_skyline_matches_bruteforce(ray_session):
+    import ray.data
+    from readability_ray.functions import pareto_skyline
+
+    df = _points()
+    got = pareto_skyline(ray.data.from_pandas(df),
+                         max_col="x", min_col="y",
+                         keep_cols=["id", "x", "y"]).to_pandas()
+    want = _brute_skyline(df, "x", "y")[["id", "x", "y"]] \
+        .sort_values(["x", "y", "id"],
+                     ascending=[False, True, True]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_pareto_skyline_keeps_duplicate_points(ray_session):
+    import ray.data
+    from readability_ray.functions import pareto_skyline
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "x": [10, 10, 10, 5],
+                       "y": [2, 2, 7, 1]})
+    got = pareto_skyline(ray.data.from_pandas(df),
+                         max_col="x", min_col="y",
+                         keep_cols=["id", "x", "y"]).to_pandas()
+    # (10,2) twins both survive; (10,7) dominated by (10,2);
+    # (5,1) survives (strictly smaller y than every larger-x point)
+    assert sorted(got["id"].tolist()) == [1, 2, 4]
+
+
+def test_pareto_skyline_partition_invariant(ray_session):
+    import ray.data
+    from readability_ray.functions import pareto_skyline
+
+    df = _points(200)
+    outs = []
+    for k in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(k)
+        outs.append(pareto_skyline(
+            ds, max_col="x", min_col="y",
+            keep_cols=["id", "x", "y"]).to_pandas()
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ----------------------------------------------------------------- flesch
+
+def test_flesch_known_values(ray_session):
+    import ray.data
+    from readability_ray.functions import flesch_reading_ease
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["The cat sat. The dog ran!",
+                          "12345 ---",
+                          "go"], pa.string()),
+    }))
+    out = flesch_reading_ease(docs).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 1: words=6, sentences=2, vowel groups: e,a,a,e,o,a = 6
+    assert out.loc[1, "n_words"] == 6
+    assert out.loc[1, "n_sentences"] == 2
+    assert out.loc[1, "n_syllables"] == 6
+    expect = np.floor((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e6) / 1e6
+    assert out.loc[1, "flesch"] == expect
+    # doc 2: zero words -> NULL score
+    assert out.loc[2, "n_words"] == 0
+    assert pd.isna(out.loc[2, "flesch"])
+    # doc 3: no sentence enders -> denominator clamps to 1
+    assert out.loc[3, "n_sentences"] == 0
+    e3 = np.floor((206.835 - 1.015 * 1.0 - 84.6 * 1.0) * 1e6) / 1e6
+    assert out.loc[3, "flesch"] == e3
+
+
+# ------------------------------------------------------------------- gram
+
+def test_embedding_gram_matches_numpy(ray_session):
+    import ray.data
+    from readability_ray.functions import embedding_gram
+
+    n, d = 30, 8
+    vals = np.array(_det_ints(n * d, 2001, "g"),
+                    dtype=np.float64).reshape(n, d)
+    mat = (vals - 1000.0) / 1000.0
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    got = embedding_gram(ds).to_pandas()
+    q = np.floor(np.asarray(
+        [np.asarray(r, dtype=np.float64) for r in
+         pa.array([list(map(float, r)) for r in mat],
+                  pa.list_(pa.float32())).to_pylist()]) * 1000
+        + 0.5).astype(np.int64)
+    G = q.T @ q
+    iu, ju = np.triu_indices(d)
+    want = pd.DataFrame({"i": iu + 1, "j": ju + 1, "dot": G[iu, ju]})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_embedding_gram_partition_invariant(ray_session):
+    import ray.data
+    from readability_ray.functions import embedding_gram
+
+    n, d = 40, 4
+    vals = np.array(_det_ints(n * d, 999, "p"),
+                    dtype=np.float64).reshape(n, d) / 500.0 - 1.0
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in vals],
+                              pa.list_(pa.float32())),
+    })
+    a = embedding_gram(ray.data.from_arrow(tbl).repartition(1)) \
+        .to_pandas()
+    b = embedding_gram(ray.data.from_arrow(tbl).repartition(9)) \
+        .to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------------- gini
+
+def test_gini_equal_values_is_zero(ray_session):
+    import ray.data
+    from readability_ray.functions import gini_coefficient
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "n_chars": pa.array([7] * 10, pa.int64()),
+    }))
+    out = gini_coefficient(ds).to_pandas()
+    assert out.loc[0, "n"] == 10
+    assert out.loc[0, "sum_key"] == 70
+    assert out.loc[0, "gini"] == 0.0
+
+
+def test_gini_matches_closed_form(ray_session):
+    import ray.data
+    from readability_ray.functions import gini_coefficient
+
+    x = np.array(_det_ints(60, 5000, "gini"), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "n_chars": pa.array(x, pa.int64()),
+    })).repartition(5)
+    out = gini_coefficient(ds, n_partitions=3).to_pandas()
+    xs = np.sort(x)
+    n = len(xs)
+    srx = int(np.sum((np.arange(n, dtype=np.int64) + 1) * xs))
+    g = float(2 * srx) / float(n * int(xs.sum())) \
+        - float(n + 1) / float(n)
+    assert out.loc[0, "gini"] == np.floor(g * 1e6) / 1e6
