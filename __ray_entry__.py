@@ -2757,6 +2757,20 @@ def _q_zorder_manifest(sf_dir: str):
                            y_scale=2, bucket_bits=8)
 
 
+def _q_image_dhash_pairs(sf_dir: str):
+    """Perceptual image near-dup pairs (functions/multimodal.
+    image_dhash_pairs): md5-seeded BMPs per doc_id with
+    brightness(+5) twins whose integer dHash provably equals the
+    base's — real stdlib BMP decode + dHash, one hash-keyed
+    exchange; the restricted-family oracle derives the expected
+    pair set from doc_ids alone."""
+    from readability_ray.functions.multimodal import (
+        image_dhash_pairs, synth_image_family)
+    media = synth_image_family(_docs(sf_dir))
+    pairs = image_dhash_pairs(media)
+    return pairs
+
+
 def _q_fk_integrity(sf_dir: str):
     """Referential-integrity audit (functions/integrity.py): per-FK-
     edge orphan counts; ids-only combiners, ONE composite
@@ -3011,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_manifest": _q_zorder_manifest,
         "order_skyline": _q_order_skyline,
         "fk_integrity": _q_fk_integrity,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
         "gini_doc_lengths": _q_gini_doc_lengths,
@@ -5748,6 +5763,13 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _profile_sql(),
         "zorder_manifest": _zorder_sql(),
         "fk_integrity": _fk_integrity_sql(),
+        "image_dhash_pairs": """
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b
+            FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < 2000
+            ORDER BY 1, 2
+        """,
         "order_skyline": """
             WITH d AS (
                 SELECT o_totalprice AS price, min(o_orderdate) AS md

@@ -359,3 +359,155 @@ def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
         "duration_ms": pa.array([3000 if t == "video" else 0
                                  for t in types], pa.int32()),
     })
+
+
+# ---------------------------------------------------------------------
+# Perceptual image dedup: difference hash (dHash) + exact-hash pairing
+# ---------------------------------------------------------------------
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (Krawetz 2013): integer grayscale
+    ``(r+g+b)//3``, block-mean downsample to 8 rows x 9 cols
+    (np.array_split — deterministic for any input size), then one bit
+    per horizontal gradient ``g[:,1:] > g[:,:-1]``, row-major.
+
+    Every step is INTEGER (sums // counts), so a uniform brightness
+    shift that stays inside [0,255] provably cannot flip any bit —
+    the property the constructible oracle family relies on.
+    """
+    g = (img[:, :, 0].astype(np.int64) + img[:, :, 1]
+         + img[:, :, 2]) // 3
+    rows = [r for r in np.array_split(np.arange(g.shape[0]), 8)]
+    cols = [c for c in np.array_split(np.arange(g.shape[1]), 9)]
+    # exact integer block means: sum // count
+    rsum = np.add.reduceat(g, [r[0] for r in rows], axis=0)
+    csum = np.add.reduceat(rsum, [c[0] for c in cols], axis=1)
+    cnt = np.outer([len(r) for r in rows], [len(c) for c in cols])
+    small = csum // cnt
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def _synth_pixels(key: str, h: int = 24, w: int = 24) -> np.ndarray:
+    """Deterministic md5-stream pixels in [10, 240] — headroom so a
+    +5 brightness twin never clamps."""
+    need = h * w * 3
+    out = bytearray()
+    i = 0
+    while len(out) < need:
+        out += hashlib.md5(f"{key}:{i}".encode()).digest()
+        i += 1
+    arr = np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+    return (arr.astype(np.int64) % 231 + 10).astype(np.uint8) \
+        .reshape(h, w, 3)
+
+
+def synth_image_family(docs: ray.data.Dataset, *,
+                       id_col: str = "doc_id",
+                       max_id: int = 2000,
+                       twin_offset: int = 1_000_000,
+                       twin_mod: int = 5) -> ray.data.Dataset:
+    """Constructible near-dup image family: one md5-seeded BMP per
+    doc_id < max_id, plus a brightness(+5) twin (id + twin_offset)
+    for every id % twin_mod == 0.  The twin's dHash equals the
+    base's BY CONSTRUCTION (integer block means shift exactly +5,
+    gradient comparisons unchanged), and distinct random images
+    collide with probability 2^-64 — so the expected pair set is
+    SQL-derivable from doc_ids alone (the restricted-family oracle
+    technique)."""
+    from .media_codecs import encode_bmp
+    from .util import strip_schema_metadata
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in batch.column(id_col).to_pylist()
+               if int(x) < max_id]
+        out_ids, payloads = [], []
+        for i in ids:
+            px = _synth_pixels(f"img:{i}")
+            out_ids.append(i)
+            payloads.append(encode_bmp(px))
+            if i % twin_mod == 0:
+                out_ids.append(i + twin_offset)
+                payloads.append(encode_bmp(
+                    (px.astype(np.int64) + 5).astype(np.uint8)))
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    return strip_schema_metadata(docs.select_columns([id_col])) \
+        .map_batches(synth, batch_format="pyarrow")
+
+
+def image_dhash_pairs(media: ray.data.Dataset, *,
+                      id_col: str = "media_id",
+                      payload_col: str = "payload",
+                      n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Perceptual image near-dup pairs: real BMP decode -> dHash per
+    image (one vectorized-numpy map), ONE hash-keyed exchange
+    co-locating equal hashes, per-partition pair emission — the
+    exact_dedup silhouette with a perceptual key; image bytes never
+    cross the exchange, only (id, 8-byte dhash) rows do.
+
+    Output: (id_a, id_b) with id_a < id_b, sorted.
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+
+    k = n_partitions or default_partitions()
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out = []
+        for payload in batch.column(payload_col):
+            img = _decode_image_real(
+                payload.as_py() if hasattr(payload, "as_py")
+                else payload)
+            out.append(dhash64(img))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(out, pa.uint64()),
+        })
+
+    hashed = strip_schema_metadata(
+        media.select_columns([id_col, payload_col])) \
+        .map_batches(hashes, batch_format="pyarrow")
+    ensure_hash_shuffle(hashed)
+
+    def pairs(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "dhash" not in batch.columns:
+            return arrow_out(empty)
+        b = batch.sort_values(["dhash", "id"], kind="stable")
+        g = b.groupby("dhash", sort=False)["id"].agg(list)
+        ra, rb = [], []
+        for ids in g:
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+        if not ra:
+            return arrow_out(empty)
+        return arrow_out(pd.DataFrame({
+            "id_a": pd.Series(ra, dtype="int64"),
+            "id_b": pd.Series(rb, dtype="int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "id_a" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64")}))
+        return arrow_out(batch.sort_values(["id_a", "id_b"])
+                         .reset_index(drop=True))
+
+    return hashed.repartition(num_blocks=k, keys=["dhash"]) \
+        .map_batches(pairs, batch_format="pandas", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

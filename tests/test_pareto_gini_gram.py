@@ -195,3 +195,62 @@ def test_gini_matches_closed_form(ray_session):
     g = float(2 * srx) / float(n * int(xs.sum())) \
         - float(n + 1) / float(n)
     assert out.loc[0, "gini"] == np.floor(g * 1e6) / 1e6
+
+
+# ------------------------------------------------------------------ dhash
+
+def test_dhash_brightness_invariant_and_distinct():
+    from readability_ray.functions.multimodal import (
+        _synth_pixels, dhash64)
+    for i in (0, 3, 11):
+        px = _synth_pixels(f"img:{i}")
+        shifted = (px.astype(np.int64) + 5).astype(np.uint8)
+        assert dhash64(px) == dhash64(shifted)
+    assert dhash64(_synth_pixels("img:1")) != \
+        dhash64(_synth_pixels("img:2"))
+
+
+def test_dhash_odd_sizes():
+    from readability_ray.functions.multimodal import (
+        _synth_pixels, dhash64)
+    # block-splits must handle non-multiples of 8/9
+    for h, w in ((17, 31), (9, 10), (8, 9)):
+        px = _synth_pixels("odd", h=h, w=w)
+        v = dhash64(px)
+        assert 0 <= v < 2 ** 64
+        shifted = (px.astype(np.int64) + 5).astype(np.uint8)
+        assert dhash64(shifted) == v
+
+
+def test_image_dhash_pairs_family(ray_session):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        image_dhash_pairs, synth_image_family)
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), pa.int64())})).repartition(4)
+    media = synth_image_family(docs, max_id=30)
+    got = image_dhash_pairs(media, n_partitions=3).to_pandas()
+    want = [(i, i + 1_000_000) for i in range(0, 30, 5)]
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_image_dhash_pairs_triple_group(ray_session):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        _synth_pixels, image_dhash_pairs)
+    from readability_ray.functions.media_codecs import encode_bmp
+
+    px = _synth_pixels("trip")
+    payloads = [encode_bmp(px),
+                encode_bmp((px.astype(np.int64) + 5)
+                           .astype(np.uint8)),
+                encode_bmp((px.astype(np.int64) + 10)
+                           .astype(np.uint8)),
+                encode_bmp(_synth_pixels("other"))]
+    media = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([4, 2, 9, 1], pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary())}))
+    got = image_dhash_pairs(media).to_pandas()
+    assert list(map(tuple, got.to_numpy())) == \
+        [(2, 4), (2, 9), (4, 9)]
