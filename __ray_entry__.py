@@ -2757,6 +2757,19 @@ def _q_zorder_manifest(sf_dir: str):
                            y_scale=2, bucket_bits=8)
 
 
+def _q_session_table(sf_dir: str):
+    """Per-session mart rows (functions/textstats.session_table):
+    one user-keyed exchange, vectorized gap-flag/cumsum pass; tied
+    timestamps share a session on both sides (RANGE-frame running
+    sum in the oracle)."""
+    import ray.data
+
+    from readability_ray.functions import session_table
+    return session_table(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+        gap_minutes=30)
+
+
 def _q_image_dhash_pairs(sf_dir: str):
     """Perceptual image near-dup pairs (functions/multimodal.
     image_dhash_pairs): md5-seeded BMPs per doc_id with
@@ -3026,6 +3039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "fk_integrity": _q_fk_integrity,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "session_table": _q_session_table,
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
         "gini_doc_lengths": _q_gini_doc_lengths,
@@ -5763,6 +5777,29 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _profile_sql(),
         "zorder_manifest": _zorder_sql(),
         "fk_integrity": _fk_integrity_sql(),
+        "session_table": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts) AS sid
+                FROM o
+            )
+            SELECT user_id, sid::BIGINT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                       AS duration_us
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_idx
+        """,
         "image_dhash_pairs": """
             SELECT doc_id AS id_a,
                    doc_id + 1000000 AS id_b

@@ -21,7 +21,7 @@ from .textstats import (
     events_hourly_rollup, events_hourly_unique_users,
     events_hopping_counts, user_modal_event_type,
     value_time_correlation_by_type,
-    flesch_reading_ease,
+    flesch_reading_ease, session_table,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -159,6 +159,6 @@ __all__ = [
     "bloom_novelty", "build_bloom", "embedding_quantize",
     "canonical_url", "canonicalize_urls",
     "order_skyline", "pareto_skyline", "flesch_reading_ease",
-    "fk_integrity", "referential_integrity",
+    "fk_integrity", "referential_integrity", "session_table",
     "embedding_gram", "gini_coefficient",
 ]

@@ -1763,3 +1763,87 @@ def flesch_reading_ease(ds: ray.data.Dataset, *,
     return strip_schema_metadata(
         ds.select_columns([id_col, text_col])) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def session_table(events: ray.data.Dataset, gap_minutes: int = 30,
+                  n_partitions: int | None = None
+                  ) -> ray.data.Dataset:
+    """Per-SESSION rows (one granularity below events_sessionize's
+    per-user summary): (user_id, session_idx, n_events, start_ts,
+    end_ts, duration_us) — the session table a product-analytics
+    mart materializes once and every funnel/retention query joins.
+
+    Same scale silhouette as events_sessionize: ONE user-keyed
+    exchange, then a single vectorized pass per partition (sort,
+    gap flags, cumsum session ids, groupby-aggregate).  session_idx
+    is 1-based per user in start-time order.  Tied timestamps share
+    a session id on both sides (a tie's gap is 0, and the SQL
+    running sum uses the default RANGE frame, so every tied row sees
+    the same break total).
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    k = n_partitions or default_partitions()
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_partition(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "user_id" not in batch.columns:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+                "duration_us": pa.array([], pa.int64()),
+            })
+        users = batch["user_id"].to_numpy(dtype=np.int64)
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]") \
+            .astype("int64")
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        n = len(users)
+        user_change = np.empty(n, dtype=bool)
+        user_change[0] = True
+        user_change[1:] = users[1:] != users[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = user_change | gap_break
+        sid = np.cumsum(new_session)               # 1-based global
+        # per-user 1-based index: subtract the sid just before the
+        # user's first session
+        first_idx = np.maximum.accumulate(
+            np.where(user_change, np.arange(n), 0))
+        sidx = sid - sid[first_idx] + 1
+        df = pd.DataFrame({"user_id": users, "sid": sid,
+                           "sidx": sidx, "ts": ts})
+        g = df.groupby("sid", sort=True)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first(),
+            "session_idx": g["sidx"].first(),
+            "n_events": g.size(),
+            "start": g["ts"].min(),
+            "end": g["ts"].max(),
+        })
+        out["duration_us"] = out["end"] - out["start"]
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+            "session_idx": pa.array(
+                out["session_idx"].to_numpy(np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "start_ts": pa.array(out["start"].to_numpy(np.int64),
+                                 pa.timestamp("us")),
+            "end_ts": pa.array(out["end"].to_numpy(np.int64),
+                               pa.timestamp("us")),
+            "duration_us": pa.array(
+                out["duration_us"].to_numpy(np.int64)),
+        })
+
+    return strip_schema_metadata(
+        events.select_columns(["user_id", "ts"])) \
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(per_partition, batch_format="pandas",
+                     batch_size=None)

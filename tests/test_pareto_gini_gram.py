@@ -254,3 +254,50 @@ def test_image_dhash_pairs_triple_group(ray_session):
     got = image_dhash_pairs(media).to_pandas()
     assert list(map(tuple, got.to_numpy())) == \
         [(2, 4), (2, 9), (4, 9)]
+
+
+# ---------------------------------------------------------------- session
+
+def _event_tbl(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+    })
+
+
+def test_session_table_semantics(ray_session):
+    import ray.data
+    from readability_ray.functions import session_table
+
+    rows = [
+        (1, "2024-01-01T00:00:00"),
+        (1, "2024-01-01T00:10:00"),   # same session (10 min)
+        (1, "2024-01-01T00:40:01"),   # gap 30:01 > 30 -> new
+        (2, "2024-01-01T05:00:00"),
+        (2, "2024-01-01T05:30:00"),   # exactly 30 min -> SAME session
+        (2, "2024-01-01T05:30:00"),   # tied ts -> same session
+    ]
+    out = session_table(ray.data.from_arrow(_event_tbl(rows)),
+                        gap_minutes=30).to_pandas() \
+        .sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_idx"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [2, 1, 3]
+    assert out["duration_us"].tolist() == [600_000_000, 0,
+                                           1_800_000_000]
+
+
+def test_session_table_partition_invariant(ray_session):
+    import ray.data
+    from readability_ray.functions import session_table
+
+    rows = [(u, f"2024-01-01T{h:02d}:{m:02d}:00")
+            for u in range(6) for h in range(4)
+            for m in (0, 20, 55)]
+    ds = ray.data.from_arrow(_event_tbl(rows)).repartition(5)
+    outs = [session_table(ds, n_partitions=kp).to_pandas()
+            .sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True) for kp in (2, 8)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
