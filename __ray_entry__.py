@@ -2784,6 +2784,18 @@ def _q_image_dhash_pairs(sf_dir: str):
     return pairs
 
 
+def _q_audio_fp_pairs(sf_dir: str):
+    """Audio near-dup pairs (functions/multimodal.audio_fp_pairs):
+    md5-seeded PCM WAVs with half-gain twins whose sign-bit
+    fingerprint provably equals the base's — real stdlib WAV decode,
+    one fp-keyed exchange; same restricted-family oracle shape as
+    image_dhash_pairs."""
+    from readability_ray.functions.multimodal import (
+        audio_fp_pairs, synth_audio_family)
+    media = synth_audio_family(_docs(sf_dir))
+    return audio_fp_pairs(media)
+
+
 def _q_fk_integrity(sf_dir: str):
     """Referential-integrity audit (functions/integrity.py): per-FK-
     edge orphan counts; ids-only combiners, ONE composite
@@ -3039,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "fk_integrity": _q_fk_integrity,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
         "session_table": _q_session_table,
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
@@ -5799,6 +5812,13 @@ def oracle_sql() -> dict[str, str]:
                        AS duration_us
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_idx
+        """,
+        "audio_fp_pairs": """
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b
+            FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < 2000
+            ORDER BY 1, 2
         """,
         "image_dhash_pairs": """
             SELECT doc_id AS id_a,

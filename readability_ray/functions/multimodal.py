@@ -452,12 +452,7 @@ def image_dhash_pairs(media: ray.data.Dataset, *,
 
     Output: (id_a, id_b) with id_a < id_b, sorted.
     """
-    import pandas as pd
-
-    from ..state import default_partitions, ensure_hash_shuffle
-    from .util import arrow_out, strip_schema_metadata
-
-    k = n_partitions or default_partitions()
+    from .util import strip_schema_metadata
 
     def hashes(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -475,6 +470,21 @@ def image_dhash_pairs(media: ray.data.Dataset, *,
     hashed = strip_schema_metadata(
         media.select_columns([id_col, payload_col])) \
         .map_batches(hashes, batch_format="pyarrow")
+    return _hash_key_pairs(hashed, n_partitions=n_partitions)
+
+
+def _hash_key_pairs(hashed: ray.data.Dataset, *,
+                    n_partitions: int | None = None
+                    ) -> ray.data.Dataset:
+    """(id, dhash) rows -> sorted (id_a, id_b) pairs of equal hashes:
+    ONE hash-keyed exchange, per-partition pair emission (groups are
+    near-dup clusters — tiny), single-block sort merge."""
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+
+    k = n_partitions or default_partitions()
     ensure_hash_shuffle(hashed)
 
     def pairs(batch: pd.DataFrame) -> pa.Table:
@@ -511,3 +521,90 @@ def image_dhash_pairs(media: ray.data.Dataset, *,
         .map_batches(pairs, batch_format="pandas", batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def audio_signbits_fp(samples: np.ndarray) -> int:
+    """64-bit amplitude-invariant audio fingerprint: the md5 of the
+    packed per-sample SIGN bits (sample > 0).  Any positive gain
+    change preserves every sign, so re-encoded / re-normalized copies
+    of the same recording collide while distinct signals differ with
+    probability 2^-64.  Zero-valued samples are the only fragile
+    spot — the constructible family keeps |sample| >= 0.015 so no
+    encode/decode truncation can cross zero."""
+    bits = np.packbits(np.asarray(samples) > 0)
+    return int(np.frombuffer(
+        hashlib.md5(bits.tobytes()).digest()[:8], dtype=">u8")[0])
+
+
+def synth_audio_family(docs: ray.data.Dataset, *,
+                       id_col: str = "doc_id",
+                       max_id: int = 2000,
+                       twin_offset: int = 1_000_000,
+                       twin_mod: int = 5,
+                       n_samples: int = 2000) -> ray.data.Dataset:
+    """Constructible audio near-dup family: one md5-seeded PCM WAV
+    per doc_id < max_id (|sample| in [0.05, 0.9] — headroom so int16
+    truncation never crosses zero), plus a half-gain twin
+    (id + twin_offset) for every id % twin_mod == 0 whose sign
+    pattern — hence fingerprint — provably equals the base's."""
+    from .media_codecs import encode_wav_pcm16
+    from .util import strip_schema_metadata
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in batch.column(id_col).to_pylist()
+               if int(x) < max_id]
+        out_ids, payloads = [], []
+        for i in ids:
+            need = n_samples * 2
+            raw = bytearray()
+            j = 0
+            while len(raw) < need:
+                raw += hashlib.md5(f"aud:{i}:{j}".encode()).digest()
+                j += 1
+            b = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+            mag = 0.05 + (b[:n_samples].astype(np.float64)
+                          / 255.0) * 0.85
+            sign = np.where(b[n_samples:] % 2 == 0, 1.0, -1.0)
+            samples = mag * sign
+            out_ids.append(i)
+            payloads.append(encode_wav_pcm16(samples, 16_000))
+            if i % twin_mod == 0:
+                out_ids.append(i + twin_offset)
+                payloads.append(encode_wav_pcm16(samples * 0.5,
+                                                 16_000))
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    return strip_schema_metadata(docs.select_columns([id_col])) \
+        .map_batches(synth, batch_format="pyarrow")
+
+
+def audio_fp_pairs(media: ray.data.Dataset, *,
+                   id_col: str = "media_id",
+                   payload_col: str = "payload",
+                   n_partitions: int | None = None
+                   ) -> ray.data.Dataset:
+    """Audio near-dup pairs: real WAV decode -> sign-bit fingerprint
+    per clip, then the same one-exchange pairing as
+    image_dhash_pairs — audio bytes never cross the exchange."""
+    from .util import strip_schema_metadata
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out = []
+        for payload in batch.column(payload_col):
+            samples, _rate = _decode_audio_real(
+                payload.as_py() if hasattr(payload, "as_py")
+                else payload)
+            out.append(audio_signbits_fp(samples))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(out, pa.uint64()),
+        })
+
+    hashed = strip_schema_metadata(
+        media.select_columns([id_col, payload_col])) \
+        .map_batches(fps, batch_format="pyarrow")
+    return _hash_key_pairs(hashed, n_partitions=n_partitions)

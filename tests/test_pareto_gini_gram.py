@@ -301,3 +301,32 @@ def test_session_table_partition_invariant(ray_session):
             .sort_values(["user_id", "session_idx"])
             .reset_index(drop=True) for kp in (2, 8)]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ------------------------------------------------------------------ audio
+
+def test_audio_fp_half_gain_invariant():
+    from readability_ray.functions.media_codecs import (
+        decode_wav, encode_wav_pcm16)
+    from readability_ray.functions.multimodal import audio_signbits_fp
+    raw = np.array(_det_ints(500, 1000, "a"), dtype=np.float64)
+    s = (0.05 + raw / 1000.0 * 0.85) * \
+        np.where(np.array(_det_ints(500, 2, "sgn")) == 0, 1.0, -1.0)
+    a, _ = decode_wav(encode_wav_pcm16(s, 16000))
+    b, _ = decode_wav(encode_wav_pcm16(s * 0.5, 16000))
+    c, _ = decode_wav(encode_wav_pcm16(-s, 16000))
+    assert audio_signbits_fp(a) == audio_signbits_fp(b)
+    assert audio_signbits_fp(a) != audio_signbits_fp(c)
+
+
+def test_audio_fp_pairs_family(ray_session):
+    import ray.data
+    from readability_ray.functions.multimodal import (
+        audio_fp_pairs, synth_audio_family)
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64())})).repartition(3)
+    media = synth_audio_family(docs, max_id=20, n_samples=400)
+    got = audio_fp_pairs(media, n_partitions=2).to_pandas()
+    want = [(i, i + 1_000_000) for i in range(0, 20, 5)]
+    assert list(map(tuple, got.to_numpy())) == want
