@@ -2784,6 +2784,58 @@ def _q_image_dhash_pairs(sf_dir: str):
     return pairs
 
 
+def _q_lineitem_covariance(sf_dir: str):
+    """Exact pairwise covariance/correlation matrix (functions/
+    report.table_covariance): fixed-point integer partials per
+    batch, big-int single-block merge, float steps mirrored
+    op-for-op in HUGEINT SQL at floor-6."""
+    import ray.data
+
+    from readability_ray.functions.report import table_covariance
+    return table_covariance(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        numeric_cols={"l_quantity": 0, "l_extendedprice": 2,
+                      "l_discount": 2, "l_tax": 2})
+
+
+def _table_cov_sql() -> str:
+    cols = {"l_discount": 2, "l_extendedprice": 2,
+            "l_quantity": 0, "l_tax": 2}
+    names = sorted(cols)
+    q = {c: f"floor({c}*{10**cols[c]} + 0.5)::HUGEINT" for c in names}
+    sums = [f"sum({q[c]})::HUGEINT AS s_{i}"
+            for i, c in enumerate(names)]
+    import itertools
+    prods = []
+    pairs = []
+    for i in range(len(names)):
+        for j in range(i, len(names)):
+            prods.append(f"sum({q[names[i]]} * {q[names[j]]})"
+                         f"::HUGEINT AS p_{i}_{j}")
+            pairs.append((i, j))
+    sel = []
+    for i, j in pairs:
+        unit = float(10 ** (cols[names[i]] + cols[names[j]]))
+        sel.append(f"""
+            SELECT '{names[i]}' AS col_a, '{names[j]}' AS col_b, n,
+                   floor(((n*p_{i}_{j} - s_{i}*s_{j})::DOUBLE
+                          / (n*n)::DOUBLE / {unit}) * 1000000)
+                       / 1000000 AS cov,
+                   CASE WHEN (sqrt((n*p_{i}_{i} - s_{i}*s_{i})::DOUBLE)
+                              * sqrt((n*p_{j}_{j} - s_{j}*s_{j})::DOUBLE))
+                             = 0 THEN NULL
+                        ELSE floor(((n*p_{i}_{j} - s_{i}*s_{j})::DOUBLE
+                             / (sqrt((n*p_{i}_{i} - s_{i}*s_{i})::DOUBLE)
+                                * sqrt((n*p_{j}_{j} - s_{j}*s_{j})::DOUBLE)))
+                             * 1000000) / 1000000 END AS corr
+            FROM p""")
+    return ("WITH p AS (SELECT count(*)::BIGINT AS n, "
+            + ", ".join(sums) + ", " + ", ".join(prods)
+            + " FROM lineitem) "
+            + " UNION ALL ".join(sel)
+            + " ORDER BY col_a, col_b")
+
+
 def _q_audio_fp_pairs(sf_dir: str):
     """Audio near-dup pairs (functions/multimodal.audio_fp_pairs):
     md5-seeded PCM WAVs with half-gain twins whose sign-bit
@@ -3052,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity": _q_fk_integrity,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
+        "lineitem_covariance": _q_lineitem_covariance,
         "session_table": _q_session_table,
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
@@ -5813,6 +5866,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_idx
         """,
+        "lineitem_covariance": _table_cov_sql(),
         "audio_fp_pairs": """
             SELECT doc_id AS id_a,
                    doc_id + 1000000 AS id_b

@@ -348,3 +348,102 @@ def key_skew_stats(ds: ray.data.Dataset, key_cols: list[str], *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas")
+
+
+def table_covariance(ds: ray.data.Dataset,
+                     numeric_cols: dict[str, int], *,
+                     out_prefix: str = "") -> ray.data.Dataset:
+    """EXACT pairwise covariance/correlation matrix over a table's
+    numeric columns — quantity_price_correlation generalized to the
+    full moment matrix, the one-pass profiler feeding feature
+    selection / drift monitors.
+
+    ``numeric_cols`` maps column -> decimal scale (the table_profile
+    convention): values become exact integers via
+    ``floor(x*10^s + 0.5)``, each batch emits ONE row of integer
+    partials (n, per-column sums, upper-triangle product sums — the
+    big-int STRING technique, int64-safe chunked reduceat), and the
+    single-block merge mirrors the only float steps op-for-op with
+    the HUGEINT oracle: cov = (n·Sxy − Sx·Sy)/n², corr = the
+    five-sum Pearson form, both floor-6.
+
+    Output: one row per ordered pair (col_a <= col_b alphabetically):
+    (col_a, col_b, n, cov, corr); corr NULL on zero variance.
+    """
+    import math
+
+    import numpy as np
+
+    cols = sorted(numeric_cols)
+    scales = [numeric_cols[c] for c in cols]
+    d = len(cols)
+    iu, ju = np.triu_indices(d)
+
+    def _big_sum(arr: np.ndarray) -> int:
+        if len(arr) == 0:
+            return 0
+        cuts = np.arange(0, len(arr), 1024)
+        return sum(int(x) for x in np.add.reduceat(arr, cuts))
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        mats = []
+        for c, s in zip(cols, scales):
+            x = batch[c].to_numpy(dtype=np.float64)
+            mats.append(np.floor(x * float(10 ** s) + 0.5)
+                        .astype(np.int64))
+        row = {"n": pd.Series([len(batch)], dtype="int64")}
+        for c, m in zip(cols, mats):
+            row[f"s_{c}"] = pd.Series([str(_big_sum(m))],
+                                      dtype="object")
+        for i, j in zip(iu, ju):
+            row[f"p_{cols[i]}_{cols[j]}"] = pd.Series(
+                [str(_big_sum(mats[i] * mats[j]))], dtype="object")
+        return arrow_out(pd.DataFrame(row))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        FLOOR6 = 1_000_000
+        out = {"col_a": [], "col_b": [], "n": [], "cov": [],
+               "corr": []}
+        if len(batch) == 0 or "n" not in batch.columns or \
+                int(batch["n"].sum()) == 0:
+            return pa.table({
+                "col_a": pa.array([], pa.string()),
+                "col_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cov": pa.array([], pa.float64()),
+                "corr": pa.array([], pa.float64())})
+        n = int(batch["n"].sum())
+        s = {c: sum(int(v) for v in batch[f"s_{c}"]) for c in cols}
+        for i, j in zip(iu, ju):
+            a, b = cols[i], cols[j]
+            sab = sum(int(v) for v in batch[f"p_{a}_{b}"])
+            saa = sum(int(v) for v in batch[f"p_{a}_{a}"])
+            sbb = sum(int(v) for v in batch[f"p_{b}_{b}"])
+            # cov in SCALED units, normalized back by both scales so
+            # the value is in the columns' natural units
+            unit = float(10 ** (numeric_cols[a] + numeric_cols[b]))
+            cov = float(n * sab - s[a] * s[b]) / float(n * n) / unit
+            cov = math.floor(cov * FLOOR6) / FLOOR6
+            den = math.sqrt(float(n * saa - s[a] * s[a])) * \
+                math.sqrt(float(n * sbb - s[b] * s[b]))
+            num = float(n * sab - s[a] * s[b])
+            corr = None
+            if den != 0.0:
+                corr = num / den
+                corr = math.floor(corr * FLOOR6) / FLOOR6
+            out["col_a"].append(out_prefix + a)
+            out["col_b"].append(out_prefix + b)
+            out["n"].append(n)
+            out["cov"].append(cov)
+            out["corr"].append(corr)
+        return pa.table({
+            "col_a": pa.array(out["col_a"], pa.string()),
+            "col_b": pa.array(out["col_b"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "cov": pa.array(out["cov"], pa.float64()),
+            "corr": pa.array(out["corr"], pa.float64())})
+
+    return strip_schema_metadata(ds.select_columns(cols)) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -330,3 +330,41 @@ def test_audio_fp_pairs_family(ray_session):
     got = audio_fp_pairs(media, n_partitions=2).to_pandas()
     want = [(i, i + 1_000_000) for i in range(0, 20, 5)]
     assert list(map(tuple, got.to_numpy())) == want
+
+
+# ------------------------------------------------------------- covariance
+
+def test_table_covariance_matches_numpy(ray_session):
+    import ray.data
+    from readability_ray.functions.report import table_covariance
+
+    n = 300
+    a = np.array(_det_ints(n, 97, "ca"), dtype=np.int64)
+    b = (a * 3 + np.array(_det_ints(n, 11, "cb"))).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a.astype(float)),
+        "b": pa.array(b.astype(float) / 100.0),
+    })).repartition(6)
+    out = table_covariance(ds, {"a": 0, "b": 2}).to_pandas() \
+        .set_index(["col_a", "col_b"])
+    bi = b  # exact integer cents of the b column
+    for (ca, cb), (xa, ua), (xb, ub) in [
+            (("a", "a"), (a, 1), (a, 1)),
+            (("a", "b"), (a, 1), (bi, 100)),
+            (("b", "b"), (bi, 100), (bi, 100))]:
+        sab = int((xa * xb).sum())
+        cov = float(n * sab - int(xa.sum()) * int(xb.sum())) \
+            / float(n * n) / float(ua * ub)
+        import math
+        assert out.loc[(ca, cb), "cov"] == \
+            math.floor(cov * 1e6) / 1e6
+    # perfectly correlated-ish pair has corr near 1
+    assert out.loc[("a", "b"), "corr"] > 0.99
+    # partition invariance
+    out2 = table_covariance(
+        ray.data.from_arrow(pa.table({
+            "a": pa.array(a.astype(float)),
+            "b": pa.array(b.astype(float) / 100.0)})).repartition(1),
+        {"a": 0, "b": 2}).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(), out2, check_dtype=False)
