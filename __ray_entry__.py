@@ -2784,6 +2784,41 @@ def _q_image_dhash_pairs(sf_dir: str):
     return pairs
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Asymmetric containment pairs (functions/dedup.
+    ngram_containment_pairs): quote docs = first half of each base
+    doc's tokens, whose gram set is a SUBSET of the base's, so
+    containment(quote in base) = 1.0 by construction; the oracle
+    re-derives the whole corpus + exact join in SQL."""
+    import re
+
+    from readability_ray.functions.dedup import ngram_containment_pairs
+    TOK = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def quotes(batch):
+        import pyarrow as pa
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        oi, ot = [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i >= 200:
+                continue
+            oi.append(i)
+            ot.append(t or "")
+            toks = TOK.findall(t or "")
+            if toks:
+                kq = max(len(toks) // 2, 1)
+                oi.append(i + 1_000_000)
+                ot.append(" ".join(toks[:kq]))
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    corpus = _docs(sf_dir).map_batches(quotes, batch_format="pyarrow")
+    return ngram_containment_pairs(corpus,
+                                   containment_threshold=0.8)
+
+
 def _q_lineitem_covariance(sf_dir: str):
     """Exact pairwise covariance/correlation matrix (functions/
     report.table_covariance): fixed-point integer partials per
@@ -3105,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "lineitem_covariance": _q_lineitem_covariance,
+        "ngram_containment_pairs": _q_ngram_containment,
         "session_table": _q_session_table,
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
@@ -5867,6 +5903,58 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, session_idx
         """,
         "lineitem_covariance": _table_cov_sql(),
+        "ngram_containment_pairs": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+            ), btoks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+                FROM base
+            ), corpus AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(
+                           t[1:greatest(len(t) // 2, 1)], ' ') AS text
+                FROM btoks WHERE len(t) > 0
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS t
+                FROM corpus
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t, ' ') AS gram
+                FROM toks WHERE len(t) > 0 AND len(t) < 3
+                UNION
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 2)) AS i
+                      FROM toks WHERE len(t) >= 3)
+            ), counts AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::DOUBLE AS c
+                FROM grams a
+                JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), both_dirs AS (
+                SELECT i.doc_a AS contained, i.doc_b AS container,
+                       floor(i.c / ca.n * 1000000) / 1000000
+                           AS containment
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                UNION ALL
+                SELECT i.doc_b, i.doc_a,
+                       floor(i.c / cb.n * 1000000) / 1000000
+                FROM inter i
+                JOIN counts cb ON cb.doc_id = i.doc_b
+            )
+            SELECT contained::BIGINT AS contained,
+                   container::BIGINT AS container, containment
+            FROM both_dirs WHERE containment >= 0.8
+            ORDER BY 1, 2
+        """,
         "audio_fp_pairs": """
             SELECT doc_id AS id_a,
                    doc_id + 1000000 AS id_b

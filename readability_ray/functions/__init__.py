@@ -25,7 +25,8 @@ from .textstats import (
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
-    near_dup_keepers, ngram_jaccard_pairs, simhash_near_pairs,
+    near_dup_keepers, ngram_containment_pairs, ngram_jaccard_pairs,
+    simhash_near_pairs,
     simhash_signatures,
 )
 from .similarity import (
@@ -100,6 +101,7 @@ __all__ = [
     "token_frequency_topk", "token_stats",
     "content_hashes", "exact_dedup", "minhash_lsh_pairs",
     "near_dup_keepers", "ngram_jaccard_pairs", "minhash_recall_stats",
+    "ngram_containment_pairs",
     "simhash_near_pairs", "simhash_signatures", "embedding_dup_pairs",
     "knn_topk", "lsh_ann_topk", "ivf_ann_topk", "semdedup_keepers",
     "ann_recall_stats", "ivf_recall_stats",

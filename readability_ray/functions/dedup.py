@@ -918,3 +918,87 @@ def minhash_recall_stats(ds: ray.data.Dataset, *,
                             batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def ngram_containment_pairs(ds: ray.data.Dataset, *,
+                            shingle_k: int = 3,
+                            containment_threshold: float = 0.8,
+                            max_doc_freq: int | None = None,
+                            n_partitions: int | None = None,
+                            doc_id_col: str = "doc_id"
+                            ) -> ray.data.Dataset:
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric cousin of
+    :func:`ngram_jaccard_pairs` that catches quotes / excerpts /
+    supersets symmetric dedup misses: containment(A in B) =
+    |A∩B| / |A| can be ~1 while Jaccard is tiny (a paragraph quoted
+    inside a book).
+
+    Identical plan to the Jaccard join (same gram explode, same two
+    keyed exchanges, text never moves); only the final per-pair pass
+    differs — each co-located (doc_a, doc_b) pair emits up to TWO
+    directional rows (contained, container, containment floor-6),
+    one per direction clearing the threshold.
+
+    Output: (contained, container, containment), sorted.
+    """
+    import functools
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    gram_fn = functools.partial(_gram_rows_batch,
+                                shingle_k=shingle_k,
+                                doc_id_col=doc_id_col)
+    gram_rows = ds.map_batches(gram_fn, batch_format="pyarrow")
+
+    def scan(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(_scan_bucket_pairs(
+            batch, ["gram"], {"doc": "doc_id", "n": "n_grams"},
+            max_group=max_doc_freq))
+
+    shared = gram_rows \
+        .repartition(num_blocks=k, keys=["gram"]) \
+        .map_batches(scan, batch_format="pandas", batch_size=None)
+
+    def to_containment(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "contained": pd.Series([], dtype="int64"),
+            "container": pd.Series([], dtype="int64"),
+            "containment": pd.Series([], dtype="float64")})
+        if len(batch) == 0 or "doc_a" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby(["doc_a", "doc_b"], as_index=False,
+                          sort=False).agg(
+            inter=("n_a", "size"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        c_ab = np.floor(g["inter"] / g["n_a"] * 1e6) / 1e6
+        c_ba = np.floor(g["inter"] / g["n_b"] * 1e6) / 1e6
+        out = pd.concat([
+            pd.DataFrame({"contained": g["doc_a"],
+                          "container": g["doc_b"],
+                          "containment": c_ab}),
+            pd.DataFrame({"contained": g["doc_b"],
+                          "container": g["doc_a"],
+                          "containment": c_ba}),
+        ], ignore_index=True)
+        return arrow_out(
+            out[out["containment"] >= containment_threshold]
+            .reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "contained" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "contained": pd.Series([], dtype="int64"),
+                "container": pd.Series([], dtype="int64"),
+                "containment": pd.Series([], dtype="float64")}))
+        return arrow_out(batch.sort_values(["contained", "container"])
+                         .reset_index(drop=True))
+
+    return shared \
+        .repartition(num_blocks=k, keys=["doc_a", "doc_b"]) \
+        .map_batches(to_containment, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -368,3 +368,43 @@ def test_table_covariance_matches_numpy(ray_session):
         {"a": 0, "b": 2}).to_pandas()
     pd.testing.assert_frame_equal(
         out.reset_index(), out2, check_dtype=False)
+
+
+# ------------------------------------------------------------ containment
+
+def test_ngram_containment_quote_detection(ray_session):
+    import ray.data
+    from readability_ray.functions.dedup import ngram_containment_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    quote = "alpha beta gamma delta epsilon zeta"   # first half
+    other = "one two three four five six seven eight nine ten"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, quote, other], pa.string()),
+    }))
+    out = ngram_containment_pairs(
+        ds, containment_threshold=0.8).to_pandas()
+    # quote's grams are a strict subset of base's: containment 1.0
+    # in the quote->base direction only
+    assert list(map(tuple, out[["contained", "container"]]
+                    .to_numpy())) == [(2, 1)]
+    assert out["containment"].iloc[0] == 1.0
+
+
+def test_ngram_containment_partition_invariant(ray_session):
+    import ray.data
+    from readability_ray.functions.dedup import ngram_containment_pairs
+
+    texts = []
+    for i in range(24):
+        toks = [f"w{(i * 7 + j) % 40}" for j in range(12)]
+        texts.append(" ".join(toks))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(24), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    outs = [ngram_containment_pairs(
+        ds, containment_threshold=0.3,
+        n_partitions=kp).to_pandas() for kp in (2, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
