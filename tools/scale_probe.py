@@ -56,8 +56,13 @@ Q15/Q17/Q21 at 6M lines, RANGE-frame window / transitions / cohorts
 at 2M events, BM25 + chi-square at 50k docs, triangle count /
 components / degree histogram on a 12.5k-node md5 graph.
 
+Round-5 fifth-session additions (run alone with --s12): skyline +
+session table at 2M events, flesch/gini/containment at 50k docs,
+Gram at 100k vectors, covariance at 6M lines, dHash at 24k images,
+FK-integrity audit over the full sf0.1 schema.
+
 Usage: python tools/scale_probe.py [num_cpus]
-       [--new-only|--s4|--s5|--s6|--s7|--s8|--s9|--s10|--s11]
+       [--new-only|--s4|--s5|--s6|--s7|--s8|--s9|--s10|--s11|--s12]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -731,6 +736,63 @@ def main() -> None:
                   ray.data.read_parquet(sup)))
 
         results["n_lineitem"] = n_li
+        results["n_docs"] = n_docs
+        results["n_events"] = n_events
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s12" in sys.argv:
+        # round-5 fifth-session ops at 10-20x: skyline + session
+        # table at 2M events, flesch/gini/containment at 50k docs,
+        # gram at 100k vectors, covariance at 6M lines, dhash at 24k
+        # images, fk audit over the full sf0.1 schema (6M-row child).
+        from readability_ray.functions import (
+            flesch_reading_ease, gini_coefficient,
+            ngram_containment_pairs, pareto_skyline, session_table)
+        from readability_ray.functions.multimodal import (
+            image_dhash_pairs, synth_image_family)
+        from readability_ray.functions.report import table_covariance
+        from readability_ray.functions.similarity import embedding_gram
+        from readability_ray.functions.integrity import fk_integrity
+
+        timed("skyline_2m", lambda: pareto_skyline(
+            ray.data.read_parquet(events20),
+            max_col="value", min_col="ts",
+            keep_cols=["event_id", "value", "ts"]))
+        timed("session_table_2m", lambda: session_table(
+            ray.data.read_parquet(events20)))
+        timed("flesch_50k", lambda: flesch_reading_ease(
+            ray.data.read_parquet(docs10)))
+        timed("gini_50k", lambda: gini_coefficient(
+            ray.data.read_parquet(docs10)))
+        # exact containment join needs the DF cutoff at this density
+        # (replicated docs make every gram 10x hotter) — documented
+        # subset semantics, the 100-TB configuration
+        timed("containment_50k_df50",
+              lambda: ngram_containment_pairs(
+                  ray.data.read_parquet(docs10), max_doc_freq=50))
+        emb20 = os.path.join(tmp, "embeddings20.parquet")
+        n_emb = replicate(os.path.join(sf, "embeddings.parquet"),
+                          emb20, 20, None)
+        timed("gram_100k_vecs", lambda: embedding_gram(
+            ray.data.read_parquet(emb20)))
+        li10c = os.path.join(tmp, "lineitem10c.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li10c, 10,
+            {"l_orderkey": 10_000_000})
+        timed("covariance_6m", lambda: table_covariance(
+            ray.data.read_parquet(li10c),
+            numeric_cols={"l_quantity": 0, "l_extendedprice": 2,
+                          "l_discount": 2, "l_tax": 2}))
+        timed("dhash_pairs_24k_imgs", lambda: image_dhash_pairs(
+            synth_image_family(ray.data.read_parquet(docs10),
+                               max_id=20_000)))
+        timed("fk_integrity_sf01", lambda: fk_integrity(sf))
+        results["n_lineitem"] = n_li
+        results["n_embeddings"] = n_emb
         results["n_docs"] = n_docs
         results["n_events"] = n_events
         print(json.dumps(results))
