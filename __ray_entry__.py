@@ -2980,6 +2980,155 @@ def _q_corpus_divergence(sf_dir: str):
     return corpus_divergence(docs, k=20)
 
 
+def _q_scd2_intervals(sf_dir: str):
+    """SCD-type-2 history build (functions/windows.scd2_intervals):
+    each user's event stream collapsed into state validity intervals
+    — one keyed exchange, vectorized run-length pass; order pinned by
+    (ts, event_id) so duplicate timestamps are deterministic; the
+    oracle re-derives runs with a LAG-change flag + running sum."""
+    import ray.data
+
+    from readability_ray.functions import scd2_intervals
+    return scd2_intervals(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_events_late_data(sf_dir: str):
+    """Watermark / allowed-lateness accounting (functions/windows.
+    events_late_data) over a deterministically OUT-OF-ORDER arrival
+    family: arrival id = md5-LE('ar:'+event_id) top bits composed
+    with event_id's low 20 bits (unique by construction at driver
+    scales), so the stream arrives md5-shuffled and a 60-min
+    watermark genuinely drops rows.  The prefix max distributes via
+    the TeraSort two-pass idiom; the oracle is a ROWS-frame running
+    max over the same arrival order."""
+    import hashlib
+    import struct
+
+    import pyarrow as pa
+    import ray.data
+
+    from readability_ray.functions import events_late_data
+
+    def permute(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        arr = [((struct.unpack(
+            "<Q", hashlib.md5(f"ar:{i}".encode()).digest()[:8])[0]
+            >> 21) << 20) | (int(i) & 0xFFFFF) for i in ids]
+        return batch.set_column(
+            batch.schema.get_field_index("event_id"), "event_id",
+            pa.array(arr, pa.int64()))
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet") \
+        .map_batches(permute, batch_format="pyarrow")
+    return events_late_data(ev, lateness_min=60)
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage / OOV rate per language (functions/
+    textstats.vocab_coverage): top-64 vocabulary (count desc, token
+    asc) broadcast into one stateless scan; bounded-group partials
+    merged in a single block; oov_rate floor-6."""
+    from readability_ray.functions import vocab_coverage
+    return vocab_coverage(_docs(sf_dir), vocab_size=64)
+
+
+def _q_phrase_search(sf_dir: str):
+    """Exact multi-phrase search (functions/textstats.phrase_search):
+    phrases = tokens[3:6] of each doc_id < 8 (the restricted-family
+    technique — every phrase is guaranteed ≥1 hit in its source doc);
+    token-position semantics, overlapping occurrences counted; the
+    oracle re-derives phrases AND hits with list_slice/list_filter."""
+    import pyarrow as pa
+
+    import re
+
+    from readability_ray.functions import phrase_search
+    tok = re.compile(r"[^ \t\n\r\f\v]+")
+
+    seed_rows = sorted(
+        (r for r in _docs(sf_dir).filter(
+            expr="doc_id < 8").take_all()),
+        key=lambda r: r["doc_id"])
+    phrases, lut = [], []
+    for r in seed_rows:
+        toks = tok.findall(r["text"] or "")
+        if len(toks) >= 6:
+            phrases.append(" ".join(toks[3:6]))
+            lut.append(int(r["doc_id"]))
+    hits = phrase_search(_docs(sf_dir), phrases)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        pid = batch.column("phrase_id").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("phrase_id"), "phrase_id",
+            pa.array(np.array(lut, dtype=np.int64)[pid]))
+
+    return hits.map_batches(remap, batch_format="pyarrow")
+
+
+def _q_k_core_nodes(sf_dir: str):
+    """k-core decomposition (functions/graph.k_core, k=4) over the
+    synthetic md5 doc graph: per round one node-keyed degree exchange
+    + broadcast doomed-id filter, materialized per round; the oracle
+    UNROLLS the peeling (24 fixed rounds — idempotent past the
+    fixpoint) over the shared graph CTE."""
+    from readability_ray.functions import k_core, synthetic_doc_edges
+    return k_core(synthetic_doc_edges(_docs_full(sf_dir)), k=4,
+                  n_iter=24)
+
+
+def _q_trimmed_event_mean(sf_dir: str):
+    """Exact 5%-trimmed mean of event values (functions/ranking.
+    trimmed_mean): fixed-point cents + TeraSort global ranks, closed-
+    form trim bounds, big-int kept-sum reduce; the one float division
+    mirrored floor-6."""
+    import ray.data
+
+    from readability_ray.functions import trimmed_mean
+    return trimmed_mean(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV interchange round trip — the third corpus-native format
+    (Parquet/JSONL/WARC already covered): documents written to CSV
+    shards (Ray's distributed CSV sink — Arrow quoting handles
+    embedded newlines/quotes), re-ingested with ray.data.read_csv,
+    digested; the oracle re-derives doc_id / text md5 / char length /
+    lang from the table, value-checking the quote→escape→parse chain
+    end-to-end."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        _docs_full(sf_dir).write_csv(out_dir)
+        ds = ray.data.read_csv(out_dir)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts],
+                                    pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+            })
+
+        return ds.map_batches(digest, batch_format="pyarrow") \
+            .materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3145,6 +3294,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flesch_reading_ease": _q_flesch,
         "embedding_gram": _q_embedding_gram,
         "gini_doc_lengths": _q_gini_doc_lengths,
+        "scd2_intervals": _q_scd2_intervals,
+        "events_late_data": _q_events_late_data,
+        "vocab_coverage": _q_vocab_coverage,
+        "phrase_search": _q_phrase_search,
+        "k_core_nodes": _q_k_core_nodes,
+        "trimmed_event_mean": _q_trimmed_event_mean,
+        "csv_roundtrip": _q_csv_roundtrip,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -3206,6 +3362,40 @@ def _graph_edges_cte() -> str:
                 SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
                 FROM ends WHERE x <> y
             )"""
+def _k_core_sql(k: int = 4, rounds: int = 24) -> str:
+    """Unrolled k-core peeling over the shared graph CTE: each round
+    is a plain CTE pair (edge filter by previous degrees, new
+    degrees) — idempotent once the fixpoint is reached, so a fixed
+    unroll equals the fixpoint whenever convergence ≤ ``rounds``
+    (and equals functions/graph.k_core's capped run otherwise, which
+    uses the SAME round count)."""
+    # MATERIALIZED is load-bearing: d{r-1} is referenced twice per
+    # round, and an inlined CTE chain would expand 2^rounds scans
+    parts = [_graph_edges_cte(), f""",
+            e0 AS MATERIALIZED (SELECT a, b FROM ce),
+            d0 AS MATERIALIZED (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+                GROUP BY node)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+            e{r} AS MATERIALIZED (
+                SELECT e.a, e.b FROM e{r - 1} e
+                JOIN d{r - 1} da ON da.node = e.a
+                JOIN d{r - 1} db ON db.node = e.b
+                WHERE da.deg >= {k} AND db.deg >= {k}),
+            d{r} AS MATERIALIZED (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e{r}
+                    UNION ALL SELECT b FROM e{r})
+                GROUP BY node)""")
+    parts.append(f"""
+            SELECT node, deg AS core_deg FROM d{rounds}
+            ORDER BY node""")
+    return "".join(parts)
+
+
 _MERSENNE61 = (1 << 61) - 1
 _W64 = 1 << 64
 
@@ -6699,6 +6889,156 @@ def oracle_sql() -> dict[str, str]:
                              / sum(rev_c4) * 1e6) / 1e6
                    END::DOUBLE AS promo_pct
             FROM f
+        """,
+        "scd2_intervals": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS tsu,
+                       event_id
+                FROM events
+            ), r AS (
+                SELECT *, lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY tsu, event_id) AS prev
+                FROM e
+            ), runs AS (
+                SELECT *, sum(CASE WHEN prev IS NULL
+                                     OR prev <> event_type
+                                   THEN 1 ELSE 0 END) OVER (
+                              PARTITION BY user_id
+                              ORDER BY tsu, event_id) AS run
+                FROM r
+            ), iv AS (
+                SELECT user_id, any_value(event_type) AS state,
+                       min(tsu) AS valid_from_us,
+                       count(*)::BIGINT AS n_events, run
+                FROM runs GROUP BY user_id, run
+            )
+            SELECT user_id, state, valid_from_us,
+                   lead(valid_from_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY valid_from_us) AS valid_to_us,
+                   n_events,
+                   CASE WHEN lead(valid_from_us) OVER (
+                            PARTITION BY user_id
+                            ORDER BY valid_from_us) IS NULL
+                        THEN 1 ELSE 0 END::BIGINT AS is_current
+            FROM iv ORDER BY user_id, valid_from_us
+        """,
+        "events_late_data": f"""
+            -- md5-permuted arrival order; 60-min watermark lateness
+            WITH e AS (
+                SELECT md5('ar:' || event_id::VARCHAR) AS h,
+                       event_id, event_type, epoch_us(ts) AS tsu
+                FROM events
+            ), e2 AS (
+                SELECT (({MD5_64_LE_SQL} >> 21) << 20
+                        | (event_id % 1048576))::BIGINT AS aid,
+                       event_type, tsu
+                FROM e
+            ), w AS (
+                SELECT *, max(tsu) OVER (
+                           ORDER BY aid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM e2
+            )
+            SELECT event_type,
+                   sum(CASE WHEN wm IS NOT NULL
+                             AND tsu < wm - 3600000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                   count(*)::BIGINT AS n_total
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, count(*)::BIGINT AS n
+                FROM toks GROUP BY token
+            ), vocab AS (
+                SELECT token FROM cnt ORDER BY n DESC, token LIMIT 64
+            ), per_doc AS (
+                SELECT t.doc_id, any_value(t.lang) AS lang,
+                       count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN v.token IS NULL
+                                THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                FROM toks t LEFT JOIN vocab v USING (token)
+                GROUP BY t.doc_id
+            ), alldocs AS (
+                -- zero-token docs still count toward n_docs
+                SELECT d.doc_id, d.lang,
+                       coalesce(p.n_tokens, 0) AS n_tokens,
+                       coalesce(p.n_oov, 0) AS n_oov
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   sum(n_oov)::BIGINT AS n_oov,
+                   CASE WHEN sum(n_tokens) = 0 THEN NULL
+                        ELSE floor(sum(n_oov)::DOUBLE
+                                   / sum(n_tokens) * 1e6) / 1e6
+                   END AS oov_rate
+            FROM alldocs GROUP BY lang ORDER BY lang
+        """,
+        "phrase_search": r"""
+            -- phrases = tokens[4..6] (1-based) of each doc_id < 8;
+            -- token-position semantics, overlapping hits counted
+            WITH ph AS (
+                SELECT doc_id::BIGINT AS phrase_id,
+                       list_slice(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+'), 4, 6) AS p
+                FROM documents
+                WHERE doc_id < 8
+                  AND len(regexp_extract_all(
+                          text, '[^ \t\n\r\f\v]+')) >= 6
+            ), t AS (
+                SELECT doc_id, regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+') AS toks
+                FROM documents
+            ), hits AS (
+                SELECT ph.phrase_id, t.doc_id,
+                       len(list_filter(
+                           generate_series(
+                               1, len(t.toks) - len(ph.p) + 1),
+                           i -> list_slice(t.toks, i,
+                                           i + len(ph.p) - 1) = ph.p
+                       ))::BIGINT AS n_hits
+                FROM ph, t WHERE len(t.toks) >= len(ph.p)
+            )
+            SELECT phrase_id, doc_id, n_hits FROM hits
+            WHERE n_hits > 0 ORDER BY phrase_id, doc_id
+        """,
+        "k_core_nodes": _k_core_sql(k=4, rounds=24),
+        "trimmed_event_mean": """
+            WITH c AS (
+                SELECT event_id,
+                       round(value * 100)::BIGINT AS c2
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY c2, event_id) AS rn
+                FROM c
+            ), n AS (SELECT count(*)::BIGINT AS cnt FROM events),
+            k AS (SELECT floor(cnt * 0.05)::BIGINT AS lo, cnt FROM n)
+            SELECT k.cnt AS n, k.lo AS n_trim_each,
+                   (SELECT count(*)::BIGINT FROM r, k
+                    WHERE rn > k.lo AND rn <= k.cnt - k.lo) AS kept_n,
+                   (SELECT floor(sum(c2)::DOUBLE
+                                 / (100.0 * count(*)) * 1e6) / 1e6
+                    FROM r, k
+                    WHERE rn > k.lo AND rn <= k.cnt - k.lo)
+                       AS trimmed_mean
+            FROM k
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   lang
+            FROM documents ORDER BY doc_id
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

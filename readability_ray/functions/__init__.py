@@ -22,6 +22,7 @@ from .textstats import (
     events_hopping_counts, user_modal_event_type,
     value_time_correlation_by_type,
     flesch_reading_ease, session_table,
+    phrase_search, vocab_coverage,
 )
 from .dedup import (
     content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
@@ -38,13 +39,15 @@ from .bm25 import bm25_topk
 from .integrity import fk_integrity, referential_integrity
 from .pareto import order_skyline, pareto_skyline
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
-from .graph import (degree_histogram, graph_components,
+from .graph import (degree_histogram, graph_components, k_core,
                     synthetic_doc_edges, triangle_count)
 from .windows import (
-    event_interarrival_stats, events_asof_join, events_range_join,
+    event_interarrival_stats, events_asof_join, events_late_data,
+    events_range_join,
     event_type_transitions,
     events_rolling_counts, events_throttle, events_time_range_sums,
-    funnel_counts, retention_cohorts, user_event_paths,
+    funnel_counts, retention_cohorts, scd2_intervals,
+    user_event_paths,
 )
 from .pdftext import extract_pdf_text, make_pdf, pdf_text
 from .corpus import (
@@ -77,7 +80,8 @@ from .robots import (
     sitemap_discovery,
 )
 from .packing import pack_sequences, shard_shuffle
-from .ranking import doc_ntile, gini_coefficient, global_rank
+from .ranking import (doc_ntile, gini_coefficient, global_rank,
+                      trimmed_mean)
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     brand_quantity_revenue,
@@ -163,4 +167,6 @@ __all__ = [
     "order_skyline", "pareto_skyline", "flesch_reading_ease",
     "fk_integrity", "referential_integrity", "session_table",
     "embedding_gram", "gini_coefficient",
+    "scd2_intervals", "events_late_data", "vocab_coverage",
+    "phrase_search", "k_core", "trimmed_mean",
 ]

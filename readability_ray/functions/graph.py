@@ -570,3 +570,175 @@ def degree_histogram(edges: ray.data.Dataset, *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def k_core(edges: ray.data.Dataset, *, k: int = 3,
+           n_iter: int = 24,
+           strategy: str = "auto",
+           max_broadcast_nodes: int = 2_000_000,
+           n_partitions: int | None = None) -> ray.data.Dataset:
+    """k-core decomposition (Seidman 1983 peeling): repeatedly delete
+    nodes of degree < k until a fixpoint; what survives is the maximal
+    subgraph in which every node keeps ≥ k neighbors — the standard
+    "dense-community skeleton" filter over a web/link graph.
+
+    Per round (all ids-only): per-batch degree combiners → ONE
+    node-keyed exchange → the doomed set (deg < k).  Doomed ids flow
+    back two ways: ``strategy="broadcast"`` (default under
+    ``max_broadcast_nodes``) pulls the compact doomed ids to the
+    driver and ships ONE ray.put-style closure set to a vectorized
+    isin filter — right when removals fit a worker's heap;
+    ``"colocate"`` never materializes the doomed set in one process:
+    edges and doomed marks ride the UNION idiom through a keyed
+    exchange per endpoint.  Every round MATERIALIZES (the >4-shuffle
+    lazy-plan rule); peeling stops at the fixpoint (guaranteed ≤
+    n_iter rounds for the oracle family; a RuntimeWarning flags a
+    non-converged cap hit, and the SQL oracle unrolls exactly
+    ``n_iter`` rounds so capped runs still hash-match).
+
+    Output: (node, core_deg) — surviving nodes with their degree
+    INSIDE the k-core, the per-node row a downstream community pass
+    joins on.
+    """
+    import warnings
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(edges)
+    kp = n_partitions or default_partitions()
+
+    cur = strip_schema_metadata(edges.select_columns(["a", "b"])) \
+        .materialize()
+
+    def degree_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        nodes = np.concatenate([
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def degree_merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "node" not in batch.columns:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        g = batch.groupby("node", as_index=False, sort=False)["deg"] \
+            .sum()
+        return arrow_out(g)
+
+    for _round in range(n_iter):
+        ensure_hash_shuffle(cur)
+        degs = cur.map_batches(degree_partials,
+                               batch_format="pyarrow") \
+            .repartition(num_blocks=kp, keys=["node"]) \
+            .map_batches(degree_merge, batch_format="pandas",
+                         batch_size=None).materialize()
+        doomed_ds = degs.filter(expr=f"deg < {k}")
+        n_doomed = doomed_ds.count()
+        if n_doomed == 0:
+            break
+        use_bcast = strategy == "broadcast" or (
+            strategy == "auto" and n_doomed <= max_broadcast_nodes)
+        if use_bcast:
+            import ray as _ray
+
+            from .lmscore import _get_broadcast
+            doomed_ref = _ray.put(np.sort(np.array(
+                [r["node"] for r in
+                 doomed_ds.select_columns(["node"]).take_all()],
+                dtype=np.int64)))
+
+            def drop(batch: pa.Table, *,
+                     doomed_ref=doomed_ref) -> pa.Table:
+                if batch.num_columns == 0 or batch.num_rows == 0:
+                    return pa.table({"a": pa.array([], pa.int64()),
+                                     "b": pa.array([], pa.int64())})
+                doomed = _get_broadcast(doomed_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(doomed, a)
+                ib = np.searchsorted(doomed, b)
+                bad = ((ia < len(doomed)) & (doomed[np.minimum(
+                    ia, len(doomed) - 1)] == a)) | \
+                      ((ib < len(doomed)) & (doomed[np.minimum(
+                          ib, len(doomed) - 1)] == b))
+                return pa.table({"a": pa.array(a[~bad]),
+                                 "b": pa.array(b[~bad])})
+
+            cur = cur.map_batches(drop, batch_format="pyarrow") \
+                .materialize()
+        else:
+            # colocate: the doomed set never sits in one process —
+            # union (edge rows on each endpoint) + (doomed marks),
+            # one keyed exchange per endpoint role
+            marks = doomed_ds.select_columns(["node"]).materialize()
+            for side in ("a", "b"):
+                ensure_hash_shuffle(cur)
+                ensure_hash_shuffle(marks)
+
+                def edge_rows(batch: pa.Table, *,
+                              side=side) -> pa.Table:
+                    if batch.num_columns == 0 or batch.num_rows == 0:
+                        return pa.table({
+                            "key": pa.array([], pa.int64()),
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64()),
+                            "is_mark": pa.array([], pa.int64())})
+                    return pa.table({
+                        "key": batch.column(side),
+                        "a": batch.column("a"),
+                        "b": batch.column("b"),
+                        "is_mark": pa.array(
+                            np.zeros(batch.num_rows, np.int64))})
+
+                def mark_rows(batch: pa.Table) -> pa.Table:
+                    if batch.num_columns == 0 or batch.num_rows == 0:
+                        return pa.table({
+                            "key": pa.array([], pa.int64()),
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64()),
+                            "is_mark": pa.array([], pa.int64())})
+                    n = batch.num_rows
+                    return pa.table({
+                        "key": batch.column("node"),
+                        "a": pa.array(np.zeros(n, np.int64)),
+                        "b": pa.array(np.zeros(n, np.int64)),
+                        "is_mark": pa.array(np.ones(n, np.int64))})
+
+                def keep_unmarked(batch: pd.DataFrame) -> pa.Table:
+                    if len(batch) == 0 or "key" not in batch.columns:
+                        return pa.table({
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())})
+                    bad = set(batch.loc[batch["is_mark"] == 1,
+                                        "key"].tolist())
+                    e = batch[batch["is_mark"] == 0]
+                    m = ~e["key"].isin(bad)
+                    return arrow_out(e.loc[m, ["a", "b"]]
+                                     .reset_index(drop=True))
+
+                left = cur.map_batches(edge_rows,
+                                       batch_format="pyarrow")
+                right = marks.map_batches(mark_rows,
+                                          batch_format="pyarrow")
+                ensure_hash_shuffle(left)
+                ensure_hash_shuffle(right)  # union snapshots BOTH
+                cur = left.union(right) \
+                    .repartition(num_blocks=kp, keys=["key"]) \
+                    .map_batches(keep_unmarked,
+                                 batch_format="pandas",
+                                 batch_size=None).materialize()
+    else:
+        warnings.warn(
+            f"k_core: peeling not converged after {n_iter} rounds; "
+            "result equals the oracle's fixed unroll but NOT the "
+            "fixpoint", RuntimeWarning)
+
+    ensure_hash_shuffle(cur)
+    return cur.map_batches(degree_partials, batch_format="pyarrow") \
+        .repartition(num_blocks=kp, keys=["node"]) \
+        .map_batches(degree_merge, batch_format="pandas",
+                     batch_size=None) \
+        .rename_columns({"deg": "core_deg"})

@@ -251,3 +251,77 @@ def gini_coefficient(ds: ray.data.Dataset, *,
     return ranked.map_batches(partials, batch_format="pandas") \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def trimmed_mean(ds: ray.data.Dataset, *,
+                 val_col: str = "value",
+                 id_col: str = "event_id",
+                 trim_pct: float = 0.05,
+                 n_partitions: int | None = None) -> ray.data.Dataset:
+    """EXACT trimmed (truncated) mean — the robust-statistics export
+    "mean of ``val_col`` after dropping the lowest and highest
+    ``trim_pct`` of rows" (ties broken by id, so the dropped set is
+    deterministic and partitioning-invariant).
+
+    Values are fixed-point integer CENTS (the relational.py idiom) so
+    the kept-mass sum re-associates freely; the global order comes
+    from :func:`global_rank`'s TeraSort ranks (one range exchange over
+    (id, cents) only), the trim bound is closed-form from the exact
+    row count, and the kept sum is a constant-size big-int tree
+    reduce.  The only float steps (one division) mirror op-for-op in
+    the HUGEINT SQL at floor-6.
+
+    Output: ONE row (n, n_trim_each, kept_n, trimmed_mean).
+    """
+    def _big_sum(arr: np.ndarray) -> int:
+        if len(arr) == 0:
+            return 0
+        cuts = np.arange(0, len(arr), 1024)
+        return sum(int(x) for x in np.add.reduceat(arr, cuts))
+
+    def to_cents(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype=np.int64),
+            "value_c2": np.rint(batch[val_col].to_numpy()
+                                * 100).astype(np.int64)}))
+
+    cents = strip_schema_metadata(
+        ds.select_columns([id_col, val_col])) \
+        .map_batches(to_cents, batch_format="pandas")
+    total = int(ds.count())
+    lo = int(np.floor(total * trim_pct))
+    hi = total - lo  # keep ranks in (lo, hi]
+
+    ranked = global_rank(cents, key_col="value_c2", id_col=id_col,
+                         descending=False,
+                         n_partitions=n_partitions)
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "rank" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "m": pd.Series([0], dtype="int64"),
+                "s": pd.Series(["0"], dtype="object")}))
+        r = batch["rank"].to_numpy(dtype=np.int64)
+        keep = (r > lo) & (r <= hi)
+        c = batch["value_c2"].to_numpy(dtype=np.int64)[keep]
+        return arrow_out(pd.DataFrame({
+            "m": pd.Series([len(c)], dtype="int64"),
+            "s": pd.Series([str(_big_sum(c))], dtype="object")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "m" not in batch.columns:
+            m, s = 0, 0
+        else:
+            m = int(batch["m"].sum())
+            s = sum(int(v) for v in batch["s"])
+        mean = None if m == 0 else float(
+            np.floor(float(s) / (100.0 * m) * 1e6) / 1e6)
+        return pa.table({
+            "n": pa.array([total], pa.int64()),
+            "n_trim_each": pa.array([lo], pa.int64()),
+            "kept_n": pa.array([m], pa.int64()),
+            "trimmed_mean": pa.array([mean], pa.float64())})
+
+    return ranked.map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

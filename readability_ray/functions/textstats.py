@@ -1847,3 +1847,138 @@ def session_table(events: ray.data.Dataset, gap_minutes: int = 30,
         .repartition(num_blocks=k, keys=["user_id"]) \
         .map_batches(per_partition, batch_format="pandas",
                      batch_size=None)
+
+
+def vocab_coverage(ds: ray.data.Dataset, *,
+                   vocab_size: int = 64,
+                   text_col: str = "text",
+                   group_col: str = "lang",
+                   id_col: str = "doc_id",
+                   n_partitions: int | None = None
+                   ) -> ray.data.Dataset:
+    """Vocabulary coverage / OOV-rate report — the pre-training sanity
+    check "what fraction of corpus token OCCURRENCES fall outside the
+    model's top-V vocabulary", broken down per group (language).
+
+    Scale shape: the vocabulary is the proven two-level top-k
+    (:func:`token_frequency_topk` — count desc, token asc ties), a
+    BOUNDED V-row driver pull broadcast into the scan closure as a
+    frozen set; the scan itself is one stateless pass emitting
+    per-batch (group, docs, tokens, oov) partials, merged in a single
+    block (bounded group cardinality — the events_hourly rule: never a
+    keyed shuffle for a bounded-key merge).  Nothing but the partial
+    rows ever moves.
+
+    Output: (lang, n_docs, n_tokens, n_oov, oov_rate) — oov_rate
+    floor-6, NULL when a group has zero tokens.
+    """
+    import re as _re
+
+    from .util import arrow_out, strip_schema_metadata
+
+    vocab_rows = token_frequency_topk(
+        ds, k=vocab_size, text_col=text_col).take_all()
+    tok_key = "token" if vocab_rows and "token" in vocab_rows[0] \
+        else None
+    vocab = frozenset(r[tok_key] for r in vocab_rows) if tok_key \
+        else frozenset()
+    token_re = _re.compile(r"[^ \t\n\r\f\v]+")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups = [(g or "") for g in
+                  batch.column(group_col).to_pylist()]
+        texts = batch.column(text_col).to_pylist()
+        import pandas as pd
+        n_tok, n_oov = [], []
+        for t in texts:
+            toks = token_re.findall(t or "")
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for x in toks if x not in vocab))
+        df = pd.DataFrame({"lang": groups, "n_tokens": n_tok,
+                           "n_oov": n_oov})
+        g = df.groupby("lang", as_index=False, sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"),
+            n_oov=("n_oov", "sum"))
+        return arrow_out(g)
+
+    def merge(batch) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        if len(batch) == 0 or "lang" not in batch.columns:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_oov": pa.array([], pa.int64()),
+                "oov_rate": pa.array([], pa.float64())})
+        g = batch.groupby("lang", as_index=False, sort=True) \
+            [["n_docs", "n_tokens", "n_oov"]].sum()
+        nt = g["n_tokens"].to_numpy(dtype=np.float64)
+        rate = np.where(nt > 0,
+                        np.floor(g["n_oov"].to_numpy() / np.where(
+                            nt > 0, nt, 1.0) * 1e6) / 1e6, np.nan)
+        g["oov_rate"] = rate
+        return arrow_out(g)
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, text_col, group_col])) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def phrase_search(ds: ray.data.Dataset, phrases: list, *,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact multi-phrase search over the corpus: for each (phrase,
+    doc) pair, the number of TOKEN positions where the phrase's tokens
+    appear consecutively (overlapping occurrences counted — position
+    semantics, not substring semantics).
+
+    Scale shape: a phrase list is tiny, so this is the SCAN path —
+    one stateless vectorized-per-doc pass with the phrase table in the
+    closure, zero exchanges, output bounded by |phrases| × matching
+    docs.  (The repeated-query SERVE path is the positional inverted
+    index — :func:`token_postings` — this operator is the one-shot /
+    index-build-not-worth-it shape.)  Candidate positions are found by
+    numpy equality on the first token; only candidates pay the
+    remaining m−1 compares.
+
+    Output: (phrase_id, doc_id, n_hits), n_hits ≥ 1 rows only.
+    """
+    import re as _re
+
+    import numpy as np
+
+    from .util import strip_schema_metadata
+
+    token_re = _re.compile(r"[^ \t\n\r\f\v]+")
+    plist = [token_re.findall(p or "") for p in phrases]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_p, out_d, out_n = [], [], []
+        for did, t in zip(ids, texts):
+            toks = np.array(token_re.findall(t or ""), dtype=object)
+            for pid, p in enumerate(plist):
+                m = len(p)
+                if m == 0 or len(toks) < m:
+                    continue
+                cand = np.flatnonzero(toks[:len(toks) - m + 1] == p[0])
+                n = 0
+                for c in cand:
+                    if all(toks[c + j] == p[j] for j in range(1, m)):
+                        n += 1
+                if n:
+                    out_p.append(pid)
+                    out_d.append(int(did))
+                    out_n.append(n)
+        return pa.table({
+            "phrase_id": pa.array(out_p, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "n_hits": pa.array(out_n, pa.int64())})
+
+    return strip_schema_metadata(
+        ds.select_columns([id_col, text_col])) \
+        .map_batches(scan, batch_format="pyarrow")

@@ -774,3 +774,216 @@ def retention_cohorts(ds: ray.data.Dataset, *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def scd2_intervals(ds: ray.data.Dataset, *,
+                   key_col: str = "user_id",
+                   state_col: str = "event_type",
+                   ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   n_partitions: int | None = None
+                   ) -> ray.data.Dataset:
+    """Slowly-changing-dimension (SCD type 2) history build: collapse
+    each key's ordered event stream into state VALIDITY INTERVALS —
+    one row per maximal run of consecutive equal states, carrying
+    ``valid_from`` (first event of the run), ``valid_to`` (first event
+    of the NEXT run, NULL on the current/open interval) and the run's
+    event count.  This is the "snapshot stream → versioned dimension
+    table" operator every warehouse load needs.
+
+    Scale shape: ONE keyed exchange on the key column ((key, state,
+    ts, id) only — no payload moves), then a single vectorized pass
+    per partition: lexsort by (key, ts, id), run boundaries from
+    adjacent-row compares, interval bounds by indexed gather — no
+    per-key loop, no groupby.apply.  Deterministic under duplicate
+    timestamps because the order is pinned by the id tiebreak, exactly
+    the SQL oracle's ``row_number() OVER (ORDER BY ts, id)`` order.
+
+    Output: (key, state, valid_from_us, valid_to_us, n_events,
+    is_current) — epoch-µs int64 bounds (valid_to_us NULL on open
+    intervals), one row per run.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def intervals(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or key_col not in batch.columns:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "state": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "is_current": pa.array([], pa.int64())})
+        key = batch[key_col].to_numpy(dtype=np.int64)
+        ts = batch[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        eid = batch[id_col].to_numpy(dtype=np.int64)
+        state = batch[state_col].to_numpy(dtype=object)
+        order = np.lexsort((eid, ts, key))
+        key, ts, state = key[order], ts[order], state[order]
+        # run starts: key change OR state change vs the previous row
+        new_run = np.r_[True, (key[1:] != key[:-1])
+                        | (state[1:] != state[:-1])]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(key)]  # exclusive
+        run_key = key[starts]
+        # the run's successor opens at the NEXT run's first ts iff the
+        # next run belongs to the same key; else the interval is open
+        nxt_from = np.empty(len(starts), dtype=np.int64)
+        nxt_from[:-1] = ts[starts[1:]]
+        nxt_from[-1] = 0
+        same_key = np.r_[run_key[1:] == run_key[:-1], False]
+        valid_to = [int(v) if s else None
+                    for v, s in zip(nxt_from, same_key)]
+        return pa.table({
+            "user_id": pa.array(run_key, pa.int64()),
+            "state": pa.array(state[starts].tolist(), pa.string()),
+            "valid_from_us": pa.array(ts[starts], pa.int64()),
+            "valid_to_us": pa.array(valid_to, pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "is_current": pa.array((~same_key).astype(np.int64)),
+        })
+
+    return strip_schema_metadata(
+        ds.select_columns([key_col, state_col, ts_col, id_col])) \
+        .repartition(num_blocks=k, keys=[key_col]) \
+        .map_batches(intervals, batch_format="pandas",
+                     batch_size=None)
+
+
+def events_late_data(ds: ray.data.Dataset, *,
+                     lateness_min: int = 10,
+                     ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     type_col: str = "event_type",
+                     n_partitions: int | None = None,
+                     points_per_batch: int = 64
+                     ) -> ray.data.Dataset:
+    """Watermark / allowed-lateness accounting — the streaming-ingest
+    semantics check: events ARRIVE in ``id_col`` order; the watermark
+    after each arrival is ``max(event-time so far) − lateness``; an
+    event is LATE if its own event time is below the watermark of the
+    arrivals STRICTLY before it (the first arrival is never late).
+    Reports, per event type, how many rows a lateness-bounded
+    streaming window would have dropped vs kept.
+
+    Scale shape (the TeraSort two-pass prefix idiom, ranking.py): the
+    running max over arrival order is a PREFIX MAX, so it distributes
+    as (0) a bounded order-statistic sample of arrival ids cuts range
+    splitters on the driver, (1) one pass computes each range's max
+    event-time (constant-size partials, driver pull of B ints) whose
+    exclusive prefix max is each range's incoming watermark, (2) one
+    range exchange co-locates arrival ranges and a vectorized
+    cummax-shifted pass flags lateness.  Only (id, ts, type) move.
+
+    Output: (event_type, n_late, n_total), one row per type.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+    late_us = np.int64(lateness_min) * 60_000_000
+
+    slim = strip_schema_metadata(
+        ds.select_columns([id_col, ts_col, type_col]))
+
+    def sample(batch: pd.DataFrame) -> pa.Table:
+        ids = np.sort(batch[id_col].to_numpy(dtype=np.int64))
+        if len(ids) > points_per_batch:
+            ids = ids[np.linspace(0, len(ids) - 1, points_per_batch,
+                                  dtype=np.int64)]
+        return arrow_out(pd.DataFrame({"key": ids}))
+
+    sampled = np.sort(np.array(
+        [r["key"] for r in
+         slim.map_batches(sample, batch_format="pandas").take_all()],
+        dtype=np.int64))
+    if len(sampled) >= 2 * k:
+        splitters = np.unique(sampled[np.linspace(
+            0, len(sampled) - 1, k, dtype=np.int64)[1:]])
+    else:
+        splitters = np.array([], dtype=np.int64)
+    n_bins = len(splitters) + 1
+
+    def bin_of(ids: np.ndarray) -> np.ndarray:
+        return np.searchsorted(splitters, ids.astype(np.int64),
+                               side="right").astype(np.int64)
+
+    # -- pass 1: per-range max event-time -> incoming watermarks -----
+    def range_max(batch: pd.DataFrame) -> pa.Table:
+        b = bin_of(batch[id_col].to_numpy())
+        t = batch[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        mx = np.full(n_bins, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, b, t)
+        return arrow_out(pd.DataFrame({
+            "bin": np.arange(n_bins, dtype=np.int64), "mx": mx}))
+
+    per_bin = np.full(n_bins, np.iinfo(np.int64).min, dtype=np.int64)
+    for r in slim.map_batches(range_max,
+                              batch_format="pandas").take_all():
+        i = int(r["bin"])
+        per_bin[i] = max(per_bin[i], int(r["mx"]))
+    # exclusive prefix max = watermark entering each range
+    incoming = np.full(n_bins, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.accumulate(per_bin[:-1], out=incoming[1:])
+
+    # -- pass 2: range exchange + vectorized shifted cummax ----------
+    def tag(batch: pd.DataFrame) -> pa.Table:
+        b = batch[[id_col, ts_col, type_col]].copy()
+        b["bin"] = bin_of(batch[id_col].to_numpy())
+        return arrow_out(b)
+
+    def flag(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_late": pd.Series([], dtype="int64"),
+            "n_total": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "bin" not in batch.columns:
+            return arrow_out(empty)
+        b = batch.sort_values(["bin", id_col], kind="stable")
+        t = b[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        bins = b["bin"].to_numpy()
+        # shifted running max STRICTLY within each bin run (the loop
+        # is over runs — at most n_bins per partition — never rows),
+        # seeded by the bin's incoming prefix max from pass 1
+        starts = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
+        seed = incoming[bins[starts]]
+        run_id = np.cumsum(np.r_[False, bins[1:] != bins[:-1]])
+        within = np.empty(len(t), dtype=np.int64)
+        for s, e in zip(starts, np.r_[starts[1:], len(t)]):
+            within[s] = np.iinfo(np.int64).min
+            if e - s > 1:
+                np.maximum.accumulate(t[s:e - 1], out=within[s + 1:e])
+        wm = np.maximum(within, seed[run_id])
+        # the global first arrival has no predecessor: its sentinel
+        # watermark must not underflow into a huge positive
+        valid = wm > np.iinfo(np.int64).min
+        late = valid & (t < np.where(valid, wm, t) - late_us)
+        f = pd.DataFrame({"event_type": b[type_col].to_numpy(),
+                          "late": late.astype(np.int64)})
+        g = f.groupby("event_type", as_index=False, sort=False) \
+            .agg(n_late=("late", "sum"), n_total=("late", "size"))
+        return arrow_out(g)
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_late": pa.array([], pa.int64()),
+                "n_total": pa.array([], pa.int64())})
+        g = batch.groupby("event_type", as_index=False, sort=False) \
+            [["n_late", "n_total"]].sum()
+        return arrow_out(g)
+
+    # bounded-key final merge: repartition(1)+pandas, never a keyed
+    # shuffle (the events_hourly rule)
+    return slim.map_batches(tag, batch_format="pandas") \
+        .repartition(num_blocks=max(2, min(k, n_bins)), keys=["bin"]) \
+        .map_batches(flag, batch_format="pandas", batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
