@@ -3129,6 +3129,43 @@ def _q_csv_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction (functions/graph.adamic_adar_pairs)
+    over the synthetic md5 edge family: top-20 non-adjacent pairs by
+    Σ 1/ln(deg(common neighbor)), weights int-quantized at 1e6 BEFORE
+    the distributed sum (order-free reduce, exact oracle)."""
+    from readability_ray.functions import (adamic_adar_pairs,
+                                           synthetic_doc_edges)
+    docs = _docs_full(sf_dir)
+    return adamic_adar_pairs(synthetic_doc_edges(docs))
+
+
+def _q_negative_samples(sf_dir: str):
+    """Implicit-feedback negative sampling
+    (functions/textstats.negative_event_samples): per user, the k=2
+    event types engaged < 10 times (incl. never), md5-draw order —
+    the recommender/contrastive training-pair generator."""
+    import ray.data
+    from readability_ray.functions import negative_event_samples
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    return negative_event_samples(ev)
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate rate per source
+    (functions/dedup.dup_rate_by_source): hash-keyed exchange of
+    (md5, source) rows, bounded-source merge; dup_rate in integer
+    arithmetic so the float is bit-identical to the oracle."""
+    import ray.data
+    from readability_ray.functions import dup_rate_by_source
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    return dup_rate_by_source(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3301,6 +3338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_nodes": _q_k_core_nodes,
         "trimmed_event_mean": _q_trimmed_event_mean,
         "csv_roundtrip": _q_csv_roundtrip,
+        "adamic_adar_pairs": _q_adamic_adar,
+        "negative_samples": _q_negative_samples,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -7039,6 +7079,76 @@ def oracle_sql() -> dict[str, str]:
                    length(coalesce(text, ''))::BIGINT AS n_chars,
                    lang
             FROM documents ORDER BY doc_id
+        """,
+        "adamic_adar_pairs": _graph_edges_cte() + """,
+            adj AS (
+                SELECT a AS node, b AS nbr FROM ce
+                UNION ALL
+                SELECT b AS node, a AS nbr FROM ce
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS d
+                FROM adj GROUP BY node
+            ), piv AS (
+                SELECT adj.node, adj.nbr,
+                       floor(1000000.0 / ln(deg.d) + 0.5)::BIGINT AS q
+                FROM adj JOIN deg ON deg.node = adj.node
+                WHERE deg.d BETWEEN 2 AND 64
+            ), cand AS (
+                SELECT p1.nbr AS u, p2.nbr AS v, p1.q AS q
+                FROM piv p1
+                JOIN piv p2 ON p2.node = p1.node AND p2.nbr > p1.nbr
+            ), scored AS (
+                SELECT u, v, sum(q)::BIGINT AS score_q6,
+                       count(*)::BIGINT AS n_common
+                FROM cand
+                WHERE NOT EXISTS (SELECT 1 FROM ce
+                                  WHERE ce.a = cand.u
+                                    AND ce.b = cand.v)
+                GROUP BY u, v
+            )
+            SELECT u, v, score_q6, n_common FROM scored
+            ORDER BY score_q6 DESC, u, v LIMIT 20
+        """,
+        "negative_samples": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::BIGINT AS n
+                FROM events GROUP BY user_id, event_type
+            ), users AS (
+                SELECT DISTINCT user_id FROM events
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+            ), cand AS (
+                SELECT u.user_id, t.event_type,
+                       md5(u.user_id::VARCHAR || ':' || t.event_type)
+                           AS r
+                FROM users u
+                CROSS JOIN types t
+                LEFT JOIN c ON c.user_id = u.user_id
+                           AND c.event_type = t.event_type
+                WHERE coalesce(c.n, 0) < 10
+            ), ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY r, event_type)::BIGINT AS rank
+                FROM cand
+            )
+            SELECT user_id, event_type, rank
+            FROM ranked WHERE rank <= 2
+            ORDER BY user_id, rank
+        """,
+        "dup_rate_by_source": """
+            WITH g AS (
+                SELECT source,
+                       count(*)::BIGINT AS n_docs,
+                       (count(*) - count(DISTINCT md5(text)))::BIGINT
+                           AS n_dups
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_dups,
+                   ((1000000 * n_dups) // n_docs) / 1000000.0
+                       AS dup_rate
+            FROM g ORDER BY source
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

@@ -19,13 +19,15 @@ from .textstats import (
     events_hourly_cube,
     events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
-    events_hopping_counts, user_modal_event_type,
+    events_hopping_counts, negative_event_samples,
+    user_modal_event_type,
     value_time_correlation_by_type,
     flesch_reading_ease, session_table,
     phrase_search, vocab_coverage,
 )
 from .dedup import (
-    content_hashes, exact_dedup, minhash_lsh_pairs, minhash_recall_stats,
+    content_hashes, dup_rate_by_source, exact_dedup,
+    minhash_lsh_pairs, minhash_recall_stats,
     near_dup_keepers, ngram_containment_pairs, ngram_jaccard_pairs,
     simhash_near_pairs,
     simhash_signatures,
@@ -39,8 +41,9 @@ from .bm25 import bm25_topk
 from .integrity import fk_integrity, referential_integrity
 from .pareto import order_skyline, pareto_skyline
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
-from .graph import (degree_histogram, graph_components, k_core,
-                    synthetic_doc_edges, triangle_count)
+from .graph import (adamic_adar_pairs, degree_histogram,
+                    graph_components, k_core, synthetic_doc_edges,
+                    triangle_count)
 from .windows import (
     event_interarrival_stats, events_asof_join, events_late_data,
     events_range_join,
@@ -168,5 +171,6 @@ __all__ = [
     "fk_integrity", "referential_integrity", "session_table",
     "embedding_gram", "gini_coefficient",
     "scd2_intervals", "events_late_data", "vocab_coverage",
-    "phrase_search", "k_core", "trimmed_mean",
+    "phrase_search", "k_core", "trimmed_mean", "adamic_adar_pairs",
+    "negative_event_samples", "dup_rate_by_source",
 ]

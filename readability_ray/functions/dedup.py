@@ -1002,3 +1002,80 @@ def ngram_containment_pairs(ds: ray.data.Dataset, *,
                      batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def dup_rate_by_source(ds: ray.data.Dataset, *,
+                       text_col: str = "text",
+                       source_col: str = "source",
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """Corpus-governance metrology: exact duplicate RATE per source —
+    which feeds are shipping copies (the go/no-go signal corpus
+    curation runs before paying near-dup compute on a new source).
+
+    Shape: per-batch rows shed to (md5(text), source) — text never
+    crosses the exchange — then ONE hash-keyed repartition.  Equal
+    hashes co-locate, so a per-partition pandas pass computes EXACT
+    partials per source (row count + distinct-hash count: a given
+    (source, hash) pair lives in exactly one partition, hence the
+    partial distinct counts sum without overlap).  Sources are a
+    bounded vocabulary, so the merge is the repartition(1) + pandas
+    shape (bounded-key merges never pay a keyed shuffle).
+
+    dup_rate is computed in integer arithmetic —
+    (1e6 * n_dups) // n_docs / 1e6 — so the float is bit-identical to
+    the SQL oracle's.  Output: (source, n_docs, n_dups, dup_rate).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(ds)
+    k = n_partitions or default_partitions()
+
+    def to_hash_rows(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            "h": pa.array(hashes, pa.string()),
+            "source": batch.column(source_col)})
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "source" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("source", sort=False).agg(
+            n_docs=("h", "size"), n_distinct=("h", "nunique")) \
+            .reset_index()
+        return arrow_out(pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_distinct": g["n_distinct"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_dups": pd.Series([], dtype="int64"),
+            "dup_rate": pd.Series([], dtype="float64")})
+        if len(batch) == 0 or "source" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("source", as_index=False, sort=False).sum()
+        n_docs = g["n_docs"].to_numpy(dtype=np.int64)
+        n_dups = n_docs - g["n_distinct"].to_numpy(dtype=np.int64)
+        rate = (1_000_000 * n_dups // n_docs) / 1e6
+        out = pd.DataFrame({
+            "source": g["source"], "n_docs": n_docs,
+            "n_dups": n_dups, "dup_rate": rate}) \
+            .sort_values("source")
+        return arrow_out(out.reset_index(drop=True))
+
+    return strip_schema_metadata(
+        ds.select_columns([text_col, source_col])) \
+        .map_batches(to_hash_rows, batch_format="pyarrow") \
+        .repartition(num_blocks=k, keys=["h"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -742,3 +742,171 @@ def k_core(edges: ray.data.Dataset, *, k: int = 3,
         .map_batches(degree_merge, batch_format="pandas",
                      batch_size=None) \
         .rename_columns({"deg": "core_deg"})
+
+
+def adamic_adar_pairs(edges: ray.data.Dataset, *, max_degree: int = 64,
+                      k: int = 20, n_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over an
+    undirected canonical edge list: for every NON-adjacent pair
+    (u, v), score = Σ over common neighbors w of 1/ln(deg(w)),
+    returning the global top-k candidate links.
+
+    Exactness rule (the ``embedding_gram`` precedent — quantize BEFORE
+    any value-oracled float reduce): each pivot's weight is quantized
+    to an integer q_w = floor(1e6/ln(deg_w) + 0.5) and the distributed
+    sum runs over int64, so the reduce is order-free and a DuckDB
+    oracle re-derives the exact value (``score_q6``).  A 1-ulp ln()
+    disagreement between numpy and DuckDB cannot cross the +0.5
+    boundary except at astronomically unlikely half-integer values;
+    tests probe every degree 2..4096 against DuckDB.
+
+    Scale shape: the adjacency co-locates on the pivot node (one keyed
+    exchange) where deg is the local group size — no separate degree
+    table; neighbor-pair generation is the same vectorized
+    repeat+arange explode as ``triangle_count``; pair scores and the
+    existing-edge mask co-locate on a composite (u, v) key (union
+    idiom — candidate pairs that ARE edges are dropped without an
+    Acero join); the global top-k merges per-partition top-k
+    candidates (valid: the global top-k is a subset of their union).
+    Pivots with deg < 2 contribute nothing (ln 1 = 0); pivots with
+    deg > max_degree are EXCLUDED — the hub cap that bounds the
+    explode at max_degree² rows per pivot (a power-law web graph's hub
+    would otherwise emit deg² ≈ 10¹² pairs; its per-pair contribution
+    1/ln(deg) is the smallest term, so capping is the standard
+    approximation) — and the SQL oracle applies the same cap.
+
+    Output: (u, v, score_q6, n_common), u < v, non-edges only,
+    ordered by (score_q6 DESC, u, v), ≤ k rows.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    ensure_hash_shuffle(edges)
+    kp = n_partitions or default_partitions()
+
+    canon = strip_schema_metadata(edges.select_columns(["a", "b"])) \
+        .materialize()
+    ensure_hash_shuffle(canon)
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        a = batch.column("a")
+        b = batch.column("b")
+        return pa.table({
+            "node": pa.chunked_array([*a.chunks, *b.chunks]),
+            "nbr": pa.chunked_array([*b.chunks, *a.chunks])})
+
+    _pair_schema = {"u": pa.int64(), "v": pa.int64(),
+                    "q": pa.int64(), "_side": pa.string()}
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table({c: pa.array([], t)
+                         for c, t in _pair_schema.items()})
+
+    def pivot_pairs(batch: pd.DataFrame) -> pa.Table:
+        # All rows for a node are co-located: deg(w) = local run size.
+        if len(batch) == 0 or "node" not in batch.columns:
+            return _empty_pairs()
+        b = batch.sort_values(["node", "nbr"], kind="stable")
+        node = b["node"].to_numpy(dtype=np.int64)
+        nbr = b["nbr"].to_numpy(dtype=np.int64)
+        n = len(node)
+        new = np.concatenate(([True], node[1:] != node[:-1]))
+        gid = np.cumsum(new) - 1
+        start = np.flatnonzero(new)
+        sizes = np.diff(np.append(start, n))
+        deg = sizes[gid]
+        keep = (deg >= 2) & (deg <= max_degree)
+        if not keep.any():
+            return _empty_pairs()
+        # per-row count of pairs where this row is the LEFT element
+        loc = np.arange(n) - start[gid]
+        left_counts = np.where(keep, sizes[gid] - 1 - loc, 0)
+        total = int(left_counts.sum())
+        if total == 0:
+            return _empty_pairs()
+        lefts = np.repeat(np.arange(n), left_counts)
+        run_starts = np.concatenate(([0], np.cumsum(
+            left_counts)[:-1]))[left_counts > 0]
+        intra = np.arange(total) - np.repeat(
+            run_starts, left_counts[left_counts > 0])
+        rights = lefts + 1 + intra
+        q_by_deg = np.floor(
+            1e6 / np.log(deg[lefts].astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "u": pa.array(nbr[lefts]),
+            "v": pa.array(nbr[rights]),
+            "q": pa.array(q_by_deg),
+            "_side": pa.array(np.full(total, "p", dtype=object),
+                              pa.string())})
+
+    pair_side = canon.map_batches(adjacency, batch_format="pyarrow") \
+        .repartition(num_blocks=kp, keys=["node"]) \
+        .map_batches(pivot_pairs, batch_format="pandas",
+                     batch_size=None).materialize()
+    ensure_hash_shuffle(pair_side)
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        # Canonicalize orientation so the mask matches the u<v
+        # candidates even when the caller's edge list isn't a<b.
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _empty_pairs()
+        a = batch.column("a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "u": pa.array(np.minimum(a, b)),
+            "v": pa.array(np.maximum(a, b)),
+            "q": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "_side": pa.array(["e"] * batch.num_rows, pa.string())})
+
+    edge_side = canon.map_batches(edge_tag, batch_format="pyarrow")
+    ensure_hash_shuffle(edge_side)
+
+    _out_schema = {"u": pa.int64(), "v": pa.int64(),
+                   "score_q6": pa.int64(), "n_common": pa.int64()}
+
+    def _empty_out() -> pa.Table:
+        return pa.table({c: pa.array([], t)
+                         for c, t in _out_schema.items()})
+
+    def score_local_topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return _empty_out()
+        p = batch[batch["_side"] == "p"]
+        if len(p) == 0:
+            return _empty_out()
+        e = batch[batch["_side"] == "e"][["u", "v"]]
+        g = p.groupby(["u", "v"], as_index=False, sort=False) \
+            .agg(score_q6=("q", "sum"), n_common=("q", "size"))
+        if len(e):
+            g = g.merge(e.assign(_e=1), on=["u", "v"], how="left")
+            g = g[g["_e"].isna()].drop(columns="_e")
+        g = g.sort_values(["score_q6", "u", "v"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+        out = pd.DataFrame({
+            "u": g["u"].to_numpy(dtype=np.int64),
+            "v": g["v"].to_numpy(dtype=np.int64),
+            "score_q6": g["score_q6"].to_numpy(dtype=np.int64),
+            "n_common": g["n_common"].to_numpy(dtype=np.int64)})
+        return arrow_out(out)
+
+    def merge_topk(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "u" not in batch.columns:
+            return _empty_out()
+        g = batch.sort_values(["score_q6", "u", "v"],
+                              ascending=[False, True, True],
+                              kind="stable").head(k)
+        return arrow_out(g.reset_index(drop=True))
+
+    return pair_side.union(edge_side) \
+        .repartition(num_blocks=kp, keys=["u", "v"]) \
+        .map_batches(score_local_topk, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge_topk, batch_format="pandas",
+                     batch_size=None)

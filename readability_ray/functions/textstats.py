@@ -1982,3 +1982,94 @@ def phrase_search(ds: ray.data.Dataset, phrases: list, *,
     return strip_schema_metadata(
         ds.select_columns([id_col, text_col])) \
         .map_batches(scan, batch_format="pyarrow")
+
+
+def negative_event_samples(events: ray.data.Dataset, *,
+                           k: int = 2, min_count: int = 10,
+                           n_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """Deterministic negative sampling over the implicit-feedback
+    (user, event_type) interaction matrix: for each user, the k event
+    types the user has engaged with FEWER than ``min_count`` times
+    (including never), drawn in md5(user:type) order — the
+    training-pair generator for recommender / contrastive objectives
+    (BPR-style implicit feedback treats low-count cells as sampleable
+    negatives).  The md5 draw is content-independent and reproducible
+    across runs, partitionings and cluster sizes.
+
+    Shape: per-batch (user, type, n) combiners shed the event stream
+    to interaction-cell partials before ONE user-keyed ids-only
+    exchange; the event-type vocabulary is bounded by design (it is a
+    schema-level enum, not data-scale), so it is derived once via
+    per-batch uniques and a tiny driver pull, then closed over by the
+    per-partition pass — which cross-joins the partition's users with
+    the vocabulary, anti-joins cells with n >= min_count, and keeps
+    each user's md5-head-k.  All vectorized pandas except the md5
+    ranking itself (one digest per candidate cell, bounded by
+    |users| x |types|).
+
+    Output: (user_id, event_type, rank) with rank 1..k in draw order.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    n_parts = n_partitions or default_partitions()
+
+    pairs = strip_schema_metadata(
+        events.select_columns(["user_id", "event_type"])) \
+        .materialize()
+    ensure_hash_shuffle(pairs)
+
+    # bounded vocabulary: per-batch uniques, tiny driver pull
+    def uniq_types(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type":
+                         batch.column("event_type").unique()})
+
+    vocab = sorted({r["event_type"] for r in
+                    pairs.map_batches(uniq_types,
+                                      batch_format="pyarrow")
+                    .take_all()})
+    vocab_df = pd.DataFrame({"event_type": vocab})
+
+    def combiners(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby(["user_id", "event_type"],
+                          sort=False).size().reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64")}))
+
+    def sample(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "rank": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "user_id" not in batch.columns:
+            return arrow_out(empty)
+        cells = batch.groupby(["user_id", "event_type"],
+                              as_index=False, sort=False)["n"].sum()
+        users = cells[["user_id"]].drop_duplicates()
+        cand = users.merge(vocab_df, how="cross") \
+            .merge(cells, on=["user_id", "event_type"], how="left")
+        cand = cand[cand["n"].isna() | (cand["n"] < min_count)]
+        if len(cand) == 0:
+            return arrow_out(empty)
+        cand = cand.assign(_r=[
+            hashlib.md5(f"{u}:{t}".encode()).hexdigest()
+            for u, t in zip(cand["user_id"], cand["event_type"])])
+        cand = cand.sort_values(["user_id", "_r", "event_type"],
+                                kind="stable")
+        kept = cand.groupby("user_id", sort=False).head(k)
+        rank = kept.groupby("user_id", sort=False).cumcount() + 1
+        return arrow_out(pd.DataFrame({
+            "user_id": kept["user_id"].astype("int64"),
+            "event_type": kept["event_type"],
+            "rank": rank.astype("int64")}))
+
+    return pairs.map_batches(combiners, batch_format="pandas") \
+        .repartition(num_blocks=n_parts, keys=["user_id"]) \
+        .map_batches(sample, batch_format="pandas", batch_size=None)

@@ -88,3 +88,28 @@ def test_minhash_verify_exact_no_pairs(ray_session):
     }))
     df = minhash_lsh_pairs(ds, n_partitions=2).to_pandas()
     assert len(df) == 0
+
+
+def test_dup_rate_by_source(ray_session):
+    """Hand-built corpus: source A has 2 copies of one text among 4
+    docs (rate 0.25), source B all-unique, source C all-same."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import dup_rate_by_source
+    rows = ([("x", "A"), ("x", "A"), ("y", "A"), ("z", "A")]
+            + [("u1", "B"), ("u2", "B")]
+            + [("s", "C"), ("s", "C"), ("s", "C")])
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array([r[0] for r in rows]),
+        "source": pa.array([r[1] for r in rows])}))
+    out = dup_rate_by_source(ds, n_partitions=2).to_pandas() \
+        .set_index("source")
+    assert out.loc["A", "n_docs"] == 4 and out.loc["A", "n_dups"] == 1
+    assert out.loc["A", "dup_rate"] == 0.25
+    assert out.loc["B", "n_dups"] == 0 and out.loc["B", "dup_rate"] == 0.0
+    assert out.loc["C", "n_docs"] == 3 and out.loc["C", "n_dups"] == 2
+    # partition invariance
+    out2 = dup_rate_by_source(ds.repartition(4),
+                              n_partitions=3).to_pandas() \
+        .set_index("source")
+    assert out.equals(out2)

@@ -153,3 +153,83 @@ def test_degree_histogram_star(ray_session):
     out2 = degree_histogram(_ab(star).repartition(3),
                             n_partitions=3).to_pandas()
     assert out.equals(out2)
+
+
+def _aa_brute(pairs, max_degree=64):
+    """Reference Adamic–Adar with the same 1e6 int quantization."""
+    import collections
+    import math
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = collections.defaultdict(lambda: [0, 0])
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > max_degree:
+            continue
+        q = math.floor(1e6 / math.log(d) + 0.5)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                s = scores[(ns[i], ns[j])]
+                s[0] += q
+                s[1] += 1
+    edge_set = {tuple(sorted(p)) for p in pairs}
+    return {p: tuple(v) for p, v in scores.items()
+            if p not in edge_set}
+
+
+def test_adamic_adar_known_graph(ray_session):
+    """Path 0-1-2-3-4 plus edge (0,2): candidate non-edges scored
+    against a brute-force reference; partition invariance."""
+    from readability_ray.functions.graph import adamic_adar_pairs
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)]
+    want = _aa_brute(edges)
+    out = adamic_adar_pairs(_ab(edges), n_partitions=2).to_pandas()
+    got = {(int(r.u), int(r.v)): (int(r.score_q6), int(r.n_common))
+           for r in out.itertuples()}
+    assert got == want
+    # existing edges never appear as candidates
+    assert all((u, v) not in {tuple(sorted(e)) for e in edges}
+               for (u, v) in got)
+    out2 = adamic_adar_pairs(_ab(edges).repartition(3),
+                             n_partitions=3).to_pandas()
+    assert out.equals(out2)
+
+
+def test_adamic_adar_hub_cap_and_topk(ray_session):
+    """A star hub above max_degree contributes nothing; top-k
+    truncates by (score DESC, u, v)."""
+    from readability_ray.functions.graph import adamic_adar_pairs
+    hub = [(100, i) for i in range(5)]       # deg(100) = 5 > cap 4
+    tri = [(0, 1), (1, 2)]                   # pivot 1 scores (0, 2)
+    out = adamic_adar_pairs(_ab(hub + tri), max_degree=4,
+                            n_partitions=2).to_pandas()
+    want = _aa_brute(hub + tri, max_degree=4)
+    got = {(int(r.u), int(r.v)): (int(r.score_q6), int(r.n_common))
+           for r in out.itertuples()}
+    assert got == want
+    # k=1 keeps only the single best row under the total order
+    top1 = adamic_adar_pairs(_ab(hub + tri), max_degree=4, k=1,
+                             n_partitions=2).to_pandas()
+    best = max(want.items(), key=lambda kv: (kv[1][0],
+                                             -kv[0][0], -kv[0][1]))
+    assert len(top1) == 1
+    assert (int(top1.loc[0, "u"]), int(top1.loc[0, "v"])) == best[0]
+
+
+def test_adamic_adar_ln_quantization_matches_duckdb():
+    """The q = floor(1e6/ln(d) + 0.5) lattice must agree between
+    numpy and DuckDB for every admissible degree (the oracle's
+    exactness hinges on it)."""
+    import duckdb
+    import numpy as np
+    degs = np.arange(2, 4097, dtype=np.float64)
+    ours = np.floor(1e6 / np.log(degs) + 0.5).astype(np.int64)
+    theirs = duckdb.sql(
+        "SELECT floor(1000000.0 / ln(d) + 0.5)::BIGINT "
+        "FROM (SELECT unnest(range(2, 4097)) AS d) ORDER BY d"
+    ).fetchnumpy()
+    col = list(theirs.values())[0].astype(np.int64)
+    assert (ours == col).all()

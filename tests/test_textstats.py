@@ -71,3 +71,33 @@ def test_lang_source_chisq_hand_computed(ray_session):
                - np.floor(d * d / e * 1e6) / 1e6) < 1e-12
     out2 = lang_source_chisq(ds.repartition(4)).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_negative_event_samples(ray_session):
+    """Users 1 (heavy on 'a' only) and 2 (heavy on both): negatives
+    are the under-min_count cells, md5-draw order, k-capped."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import negative_event_samples
+    rows = [(1, "a")] * 3 + [(1, "b")] * 1 + [(2, "a")] * 3 \
+        + [(2, "b")] * 3 + [(2, "c")] * 1
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows])}))
+    out = negative_event_samples(ds, k=2, min_count=3,
+                                 n_partitions=2).to_pandas()
+    got = {(int(r.user_id), r.event_type, int(r.rank))
+           for r in out.itertuples()}
+    # user 1 candidates: b (1 hit), c (never) -> both kept, md5 order
+    order1 = sorted(["b", "c"],
+                    key=lambda t: hashlib.md5(f"1:{t}".encode())
+                    .hexdigest())
+    # user 2 candidates: only c
+    want = {(1, order1[0], 1), (1, order1[1], 2), (2, "c", 1)}
+    assert got == want
+    # k truncates
+    out1 = negative_event_samples(ds, k=1, min_count=3,
+                                  n_partitions=3).to_pandas()
+    assert len(out1[out1.user_id == 1]) == 1
