@@ -3166,6 +3166,41 @@ def _q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_source(docs)
 
 
+def _q_dq_violations(sf_dir: str):
+    """Declarative data-quality audit (functions/report.dq_check):
+    six constraint rules over lineitem evaluated vectorized in one
+    embarrassingly-parallel pass; (rule, n_checked, n_violations)."""
+    import ray.data
+    from readability_ray.functions import LINEITEM_DQ_RULES, dq_check
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_linestatus", "l_extendedprice",
+                 "l_quantity", "l_returnflag", "l_tax"])
+    return dq_check(li, LINEITEM_DQ_RULES)
+
+
+def _q_power_users(sf_dir: str):
+    """Percentile-threshold cohort (functions/textstats.power_users):
+    users at/above the p90 of per-user event counts — exact counts
+    via one user-keyed exchange, threshold via the bounded
+    count-value histogram (nearest-rank, quantile_disc semantics)."""
+    import ray.data
+    from readability_ray.functions import power_users
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return power_users(ev, q=0.9)
+
+
+def _q_token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy
+    (functions/textstats.token_entropy): H = ln n − (Σ c·ln c)/n with
+    the inner sum on the integer lattice floor(c·ln(c)·1e9 + 0.5)
+    (finite input domain, exhaustively probed vs DuckDB), final
+    floor-6; stateless map, zero exchanges."""
+    from readability_ray.functions import token_entropy
+    return token_entropy(_docs_full(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3341,6 +3376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_pairs": _q_adamic_adar,
         "negative_samples": _q_negative_samples,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "dq_violations": _q_dq_violations,
+        "power_users": _q_power_users,
+        "token_entropy": _q_token_entropy,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -7149,6 +7187,84 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * n_dups) // n_docs) / 1000000.0
                        AS dup_rate
             FROM g ORDER BY source
+        """,
+        "dq_violations": """
+            WITH t AS (SELECT count(*)::BIGINT AS n FROM lineitem)
+            SELECT * FROM (
+                SELECT 'discount_range' AS rule,
+                       (SELECT n FROM t) AS n_checked,
+                       count(*) FILTER (WHERE l_discount IS NULL OR
+                           NOT (l_discount BETWEEN 0.0 AND 0.1)
+                       )::BIGINT AS n_violations FROM lineitem
+                UNION ALL
+                SELECT 'linestatus_domain', (SELECT n FROM t),
+                       count(*) FILTER (WHERE l_linestatus IS NULL OR
+                           l_linestatus NOT IN ('O', 'F'))::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'price_positive', (SELECT n FROM t),
+                       count(*) FILTER (WHERE l_extendedprice IS NULL
+                           OR NOT (l_extendedprice
+                                   BETWEEN 0.01 AND 1e12))::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'quantity_range', (SELECT n FROM t),
+                       count(*) FILTER (WHERE l_quantity IS NULL OR
+                           NOT (l_quantity BETWEEN 1.0 AND 50.0)
+                       )::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'returnflag_domain', (SELECT n FROM t),
+                       count(*) FILTER (WHERE l_returnflag IS NULL OR
+                           l_returnflag NOT IN ('A', 'N', 'R')
+                       )::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'tax_range', (SELECT n FROM t),
+                       count(*) FILTER (WHERE l_tax IS NULL OR
+                           NOT (l_tax BETWEEN 0.0 AND 0.08))::BIGINT
+                FROM lineitem
+            ) ORDER BY rule
+        """,
+        "power_users": """
+            WITH c AS (
+                SELECT user_id, count(*)::BIGINT AS n_events
+                FROM events GROUP BY user_id
+            ), t AS (
+                SELECT quantile_disc(n_events, 0.9) AS thr FROM c
+            )
+            SELECT user_id, n_events
+            FROM c, t WHERE n_events >= thr
+            ORDER BY user_id
+        """,
+        "token_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, '[^ \t\n\r\f\v]+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS c
+                FROM toks GROUP BY doc_id, tok
+            ), agg AS (
+                SELECT doc_id,
+                       sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum(floor(c * ln(c) * 1000000000 + 0.5)
+                           )::BIGINT AS s_q
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_types, 0)::BIGINT AS n_types,
+                   CASE WHEN a.doc_id IS NULL THEN 0.0
+                        ELSE floor((ln(a.n_tokens)
+                                    - (a.s_q / 1000000000.0)
+                                      / a.n_tokens) * 1000000)
+                             / 1000000.0
+                   END AS entropy
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

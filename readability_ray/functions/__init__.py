@@ -19,8 +19,8 @@ from .textstats import (
     events_hourly_cube,
     events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
-    events_hopping_counts, negative_event_samples,
-    user_modal_event_type,
+    events_hopping_counts, negative_event_samples, power_users,
+    token_entropy, user_modal_event_type,
     value_time_correlation_by_type,
     flesch_reading_ease, session_table,
     phrase_search, vocab_coverage,
@@ -70,7 +70,8 @@ from .nbayes import naive_bayes_classify, train_naive_bayes
 from .graph import pagerank
 from .editdist import edit_distance_pairs
 from .zorder import morton_interleave, zorder_layout, zorder_manifest
-from .report import corpus_report, key_skew_stats, table_profile
+from .report import (LINEITEM_DQ_RULES, corpus_report, dq_check,
+                     key_skew_stats, table_profile)
 from .crawldiff import crawl_diff
 from .linkgraph import anchor_text_stats, host_stats, page_outlinks
 from .tables import extract_tables, page_tables
@@ -172,5 +173,6 @@ __all__ = [
     "embedding_gram", "gini_coefficient",
     "scd2_intervals", "events_late_data", "vocab_coverage",
     "phrase_search", "k_core", "trimmed_mean", "adamic_adar_pairs",
-    "negative_event_samples", "dup_rate_by_source",
+    "negative_event_samples", "dup_rate_by_source", "dq_check",
+    "LINEITEM_DQ_RULES", "power_users", "token_entropy",
 ]

@@ -832,9 +832,15 @@ def adamic_adar_pairs(edges: ray.data.Dataset, *, max_degree: int = 64,
         intra = np.arange(total) - np.repeat(
             run_starts, left_counts[left_counts > 0])
         rights = lefts + 1 + intra
+        # libm math.log, not numpy's SIMD log (1 ulp off for some
+        # integers — enough to cross the +0.5 lattice boundary); the
+        # admissible-degree domain is tiny, so a LUT costs nothing.
+        import math
+        ln_lut = np.array([0.0, 0.0] +
+                          [math.log(d) for d in
+                           range(2, max_degree + 1)])
         q_by_deg = np.floor(
-            1e6 / np.log(deg[lefts].astype(np.float64)) + 0.5
-        ).astype(np.int64)
+            1e6 / ln_lut[deg[lefts]] + 0.5).astype(np.int64)
         return pa.table({
             "u": pa.array(nbr[lefts]),
             "v": pa.array(nbr[rights]),

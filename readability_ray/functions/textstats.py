@@ -2073,3 +2073,162 @@ def negative_event_samples(events: ray.data.Dataset, *,
     return pairs.map_batches(combiners, batch_format="pandas") \
         .repartition(num_blocks=n_parts, keys=["user_id"]) \
         .map_batches(sample, batch_format="pandas", batch_size=None)
+
+
+def power_users(events: ray.data.Dataset, *, q: float = 0.9,
+                n_partitions: int | None = None) -> ray.data.Dataset:
+    """Percentile-threshold cohort: users whose event count reaches
+    the q-quantile of per-user activity (the HAVING-over-percentile
+    shape every engagement/abuse pipeline runs: "top decile of
+    activity").  ``>=`` at the threshold keeps the cohort non-empty
+    for any non-empty input (the argmax user always qualifies).
+
+    Shape: per-batch (user, n) combiners → ONE user-keyed ids-only
+    exchange → exact per-user counts (materialized once); the
+    threshold comes from a COUNT-VALUE HISTOGRAM (per-partition
+    value-counts partials, one tiny merge block, nearest-rank
+    ceil(q·n) — the doc_length_percentiles shape: the exchange moves
+    O(distinct_counts) rows, never O(users)), pulled to the driver as
+    a bounded histogram; a closure filter pass over the materialized
+    counts emits the cohort.  Output: (user_id, n_events).
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    k = n_partitions or default_partitions()
+
+    def combiners(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("user_id", sort=False) \
+            .size().reset_index(name="n")
+        return arrow_out(pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n": g["n"].astype("int64")}))
+
+    def exact(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "user_id" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("user_id", as_index=False,
+                          sort=False)["n"].sum()
+        return arrow_out(pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_events": g["n"].astype("int64")}))
+
+    counts = strip_schema_metadata(
+        events.select_columns(["user_id"])) \
+        .map_batches(combiners, batch_format="pandas") \
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(exact, batch_format="pandas", batch_size=None) \
+        .materialize()
+
+    def hist_partial(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n_events" not in batch.columns:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = batch["n_events"].value_counts()
+        return pa.table({
+            "n": pa.array(vc.index.to_numpy(dtype=np.int64)),
+            "cnt": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    hist = pd.DataFrame(counts.map_batches(
+        hist_partial, batch_format="pandas").take_all())
+    if len(hist) == 0:
+        return counts.rename_columns(
+            {"n_events": "n_events"}).limit(0)
+    hist = hist.groupby("n")["cnt"].sum().sort_index()
+    cum = hist.to_numpy().cumsum()
+    rank = max(1, int(np.ceil(q * int(cum[-1]))))
+    thr = int(hist.index.to_numpy()[np.searchsorted(cum, rank)])
+
+    def keep(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "n_events" not in batch.columns:
+            return arrow_out(pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")}))
+        kept = batch[batch["n_events"] >= thr]
+        return arrow_out(kept.reset_index(drop=True))
+
+    return counts.map_batches(keep, batch_format="pandas")
+
+
+def token_entropy(ds: ray.data.Dataset, *,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> ray.data.Dataset:
+    """Per-document Shannon token entropy — the unigram-diversity
+    quality signal (low entropy = boilerplate/spam/keyword-stuffed
+    pages; the complement of repetition_scores' top-gram fractions).
+
+    Exactness: H = ln(n) − (Σ c·ln c)/n over the distinct-token
+    counts c.  The inner sum is quantized PER TERM on the integer
+    lattice floor(c·ln(c)·1e9 + 0.5) — c is an integer, so the whole
+    quantization has a FINITE input domain that the tests probe
+    exhaustively against DuckDB (the adamic_adar lattice rule; never
+    value-oracle a re-associated raw float sum) — and the final
+    entropy is one floor-6 expression of exact integers, mirrored
+    op-for-op in the oracle.  Tokens use the explicit ASCII class so
+    Python and RE2 split identically.
+
+    Stateless single map — zero exchanges; the inner loop is one
+    C-regex findall + one vectorized lattice sum per row.
+
+    Output: (doc_id, n_tokens, n_types, entropy); tokenless docs get
+    (0, 0, 0.0).
+    """
+    import collections
+    import math
+    import re
+
+    token_re = re.compile(TOKEN_RE)
+
+    # ln over INTEGER args must come from libm (math.log == DuckDB ln
+    # bit-for-bit over the whole probed domain; numpy's SIMD log is
+    # 1 ulp off for ~2.5% of integers, which crosses the 1e9-lattice
+    # rounding boundary).  Grown once per worker, vectorized lookups.
+    lut = [np.array([0.0, 0.0])]
+
+    def ln_lut(up_to: int) -> np.ndarray:
+        cur = lut[0]
+        if up_to >= len(cur):
+            new = np.empty(up_to + 1, dtype=np.float64)
+            new[:len(cur)] = cur
+            for i in range(len(cur), up_to + 1):
+                new[i] = math.log(i)
+            lut[0] = new
+        return lut[0]
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        n_tok, n_typ, ent = [], [], []
+        for t in texts:
+            toks = token_re.findall(t or "")
+            n = len(toks)
+            if n == 0:
+                n_tok.append(0)
+                n_typ.append(0)
+                ent.append(0.0)
+                continue
+            c = np.fromiter(collections.Counter(toks).values(),
+                            dtype=np.int64)
+            ln_c = ln_lut(n)
+            s_q = int(np.floor(c * ln_c[c] * 1e9 + 0.5)
+                      .astype(np.int64).sum())
+            h = math.floor((math.log(n) - (s_q / 1e9) / n)
+                           * 1e6) / 1e6
+            n_tok.append(n)
+            n_typ.append(len(c))
+            ent.append(float(h))
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_types": pa.array(n_typ, pa.int64()),
+            "entropy": pa.array(ent, pa.float64())})
+
+    from .util import strip_schema_metadata
+    return strip_schema_metadata(
+        ds.select_columns([id_col, text_col])) \
+        .map_batches(per_doc, batch_format="pyarrow")

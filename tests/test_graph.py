@@ -223,10 +223,12 @@ def test_adamic_adar_ln_quantization_matches_duckdb():
     """The q = floor(1e6/ln(d) + 0.5) lattice must agree between
     numpy and DuckDB for every admissible degree (the oracle's
     exactness hinges on it)."""
+    import math
+
     import duckdb
     import numpy as np
-    degs = np.arange(2, 4097, dtype=np.float64)
-    ours = np.floor(1e6 / np.log(degs) + 0.5).astype(np.int64)
+    lut = np.array([math.log(d) for d in range(2, 4097)])
+    ours = np.floor(1e6 / lut + 0.5).astype(np.int64)
     theirs = duckdb.sql(
         "SELECT floor(1000000.0 / ln(d) + 0.5)::BIGINT "
         "FROM (SELECT unnest(range(2, 4097)) AS d) ORDER BY d"

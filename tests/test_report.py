@@ -94,3 +94,44 @@ def test_key_skew_stats_hand_counted(ray_session):
     assert u["n_keys"] == 3 and u["total"] == 6
     assert u["max_count"] == 3 and u["top_key"] == "1"
     assert u["top_share"] == 0.5
+
+
+def test_dq_check_planted_violations(ray_session):
+    """Plant one violation per rule kind and hand-count the report."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import dq_check
+    t = pa.table({
+        "qty": pa.array([5.0, 60.0, 1.0, np.nan], pa.float64()),
+        "flag": pa.array(["A", "N", "X", "A"]),
+        "lo_col": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "hi_col": pa.array([2.0, 1.0, 3.0, 5.0], pa.float64()),
+        "name": pa.array(["ok", "ok", None, "bad!"]),
+    })
+    rules = [
+        {"rule": "qty_range", "kind": "range", "col": "qty",
+         "lo": 1.0, "hi": 50.0},
+        {"rule": "flag_domain", "kind": "in_set", "col": "flag",
+         "values": ["A", "N"]},
+        {"rule": "lo_le_hi", "kind": "col_le", "left": "lo_col",
+         "right": "hi_col"},
+        {"rule": "name_not_null", "kind": "not_null", "col": "name"},
+        {"rule": "name_word", "kind": "regex", "col": "name",
+         "pattern": "^[a-z]+$"},
+    ]
+    out = dq_check(ray.data.from_arrow(t).repartition(3), rules) \
+        .to_pandas().set_index("rule")
+    assert (out["n_checked"] == 4).all()
+    assert out.loc["qty_range", "n_violations"] == 2     # 60, NaN
+    assert out.loc["flag_domain", "n_violations"] == 1   # X
+    assert out.loc["lo_le_hi", "n_violations"] == 1      # 2>1
+    assert out.loc["name_not_null", "n_violations"] == 1
+    assert out.loc["name_word", "n_violations"] == 2     # None, bad!
+    # rule names sorted, duplicate names rejected
+    assert list(out.index) == sorted(out.index)
+    try:
+        dq_check(ray.data.from_arrow(t), rules + [rules[0]])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -101,3 +101,60 @@ def test_negative_event_samples(ray_session):
     out1 = negative_event_samples(ds, k=1, min_count=3,
                                   n_partitions=3).to_pandas()
     assert len(out1[out1.user_id == 1]) == 1
+
+
+def test_power_users_threshold(ray_session):
+    """10 users with counts 1..10: p90 nearest-rank threshold is the
+    ceil(0.9*10)=9th smallest count (9); cohort is counts >= 9."""
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import power_users
+    uid, rows = 0, []
+    for n in range(1, 11):
+        uid += 1
+        rows += [uid] * n
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(rows, pa.int64())}))
+    out = power_users(ds.repartition(3), q=0.9,
+                      n_partitions=2).to_pandas()
+    got = dict(zip(out["user_id"].astype(int),
+                   out["n_events"].astype(int)))
+    assert got == {9: 9, 10: 10}
+    # q=1.0 keeps only the max; never empty
+    out1 = power_users(ds, q=1.0, n_partitions=2).to_pandas()
+    assert dict(zip(out1["user_id"].astype(int),
+                    out1["n_events"].astype(int))) == {10: 10}
+
+
+def test_token_entropy_hand_computed(ray_session):
+    """Hand-checkable docs: uniform tokens -> ln(k); single repeated
+    token -> 0; empty -> 0; lattice matches DuckDB exhaustively."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import token_entropy
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d", "x x x x", "", "a a b b"])}))
+    out = token_entropy(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_types"] == 4
+    assert abs(out.loc[1, "entropy"] - math.log(4)) < 2e-6
+    assert out.loc[2, "entropy"] == 0.0 and out.loc[2, "n_types"] == 1
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
+    assert abs(out.loc[4, "entropy"] - math.log(2)) < 2e-6
+    # the c*ln(c) integer lattice agrees with DuckDB for every count
+    # a document could produce (finite domain -> exhaustive check);
+    # MUST be libm math.log — numpy's SIMD log is 1 ulp off for ~2.5%
+    # of integers, which crosses the 1e9-lattice rounding boundary
+    lut = np.array([math.log(c) for c in range(1, 131073)])
+    cs = np.arange(1, 131073, dtype=np.float64)
+    ours = np.floor(cs * lut * 1e9 + 0.5).astype(np.int64)
+    theirs = duckdb.sql(
+        "SELECT floor(c * ln(c) * 1000000000 + 0.5)::BIGINT "
+        "FROM (SELECT unnest(range(1, 131073)) AS c) ORDER BY c"
+    ).fetchnumpy()
+    col = list(theirs.values())[0].astype(np.int64)
+    assert (ours == col).all()
