@@ -3201,6 +3201,45 @@ def _q_token_entropy(sf_dir: str):
     return token_entropy(_docs_full(sf_dir))
 
 
+def _q_lang_source_mi(sf_dir: str):
+    """Mutual information over the (lang, source) contingency table
+    (functions/textstats.lang_source_mi): per-cell PMI and MI
+    contribution, floor-6 doubles of exact counts — no float sum ever
+    crosses cells, so there is nothing to re-associate."""
+    import ray.data
+    from readability_ray.functions import lang_source_mi
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"])
+    return lang_source_mi(docs)
+
+
+def _q_first_touch(sf_dir: str):
+    """Session first-touch attribution
+    (functions/textstats.first_touch_attribution): 30-min gap
+    sessions, first event type (ties by event_id) credited with the
+    session's purchases; bounded per-channel rollup."""
+    import ray.data
+    from readability_ray.functions import first_touch_attribution
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return first_touch_attribution(ev)
+
+
+def _q_cumulative_spend(sf_dir: str):
+    """Per-customer running balance
+    (functions/relational.customer_cumulative_spend): windowed cumsum
+    in exact integer cents over one custkey-keyed exchange."""
+    import ray.data
+    from readability_ray.functions import customer_cumulative_spend
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    return customer_cumulative_spend(orders)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3379,6 +3418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_violations": _q_dq_violations,
         "power_users": _q_power_users,
         "token_entropy": _q_token_entropy,
+        "lang_source_mi": _q_lang_source_mi,
+        "first_touch_attribution": _q_first_touch,
+        "customer_cumulative_spend": _q_cumulative_spend,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -7265,6 +7307,75 @@ def oracle_sql() -> dict[str, str]:
                    END AS entropy
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "lang_source_mi": """
+            WITH cells AS (
+                SELECT lang, source, count(*)::BIGINT AS observed
+                FROM documents GROUP BY lang, source
+            ), tot AS (
+                SELECT sum(observed)::DOUBLE AS n FROM cells
+            ), rt AS (
+                SELECT lang, sum(observed)::DOUBLE AS r
+                FROM cells GROUP BY lang
+            ), ct AS (
+                SELECT source, sum(observed)::DOUBLE AS c
+                FROM cells GROUP BY source
+            )
+            SELECT cells.lang, cells.source, cells.observed,
+                   floor(ln((t.n * cells.observed::DOUBLE)
+                            / (rt.r * ct.c)) * 1000000)
+                       / 1000000.0 AS pmi,
+                   floor((cells.observed::DOUBLE / t.n)
+                         * ln((t.n * cells.observed::DOUBLE)
+                              / (rt.r * ct.c)) * 1000000)
+                       / 1000000.0 AS mi_contrib
+            FROM cells
+            CROSS JOIN tot t
+            JOIN rt ON rt.lang = cells.lang
+            JOIN ct ON ct.source = cells.source
+            ORDER BY cells.lang, cells.source
+        """,
+        "first_touch_attribution": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS sess
+                FROM e
+            ), f AS (
+                SELECT event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id, sess
+                           ORDER BY ts, event_id) AS rn,
+                       count(*) FILTER (event_type = 'purchase')
+                           OVER (PARTITION BY user_id, sess)
+                           AS conv
+                FROM s
+            )
+            SELECT event_type AS first_type,
+                   count(*)::BIGINT AS n_sessions,
+                   sum(conv)::BIGINT AS n_conversions
+            FROM f WHERE rn = 1
+            GROUP BY event_type ORDER BY first_type
+        """,
+        "customer_cumulative_spend": """
+            SELECT o_orderkey, o_custkey,
+                   sum(round(o_totalprice * 100)::BIGINT) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_spend_cents
+            FROM orders ORDER BY o_orderkey
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.

@@ -19,7 +19,8 @@ from .textstats import (
     events_hourly_cube,
     events_hourly_pivot, events_report,
     events_hourly_rollup, events_hourly_unique_users,
-    events_hopping_counts, negative_event_samples, power_users,
+    events_hopping_counts, first_touch_attribution, lang_source_mi,
+    negative_event_samples, power_users,
     token_entropy, user_modal_event_type,
     value_time_correlation_by_type,
     flesch_reading_ease, session_table,
@@ -88,7 +89,7 @@ from .ranking import (doc_ntile, gini_coefficient, global_rank,
                       trimmed_mean)
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
-    brand_quantity_revenue,
+    brand_quantity_revenue, customer_cumulative_spend,
     customer_order_distribution, forecast_revenue, inactive_customers,
     large_order_totals,
     order_priority_counts, pricing_summary, priority_line_counts,
@@ -175,4 +176,6 @@ __all__ = [
     "phrase_search", "k_core", "trimmed_mean", "adamic_adar_pairs",
     "negative_event_samples", "dup_rate_by_source", "dq_check",
     "LINEITEM_DQ_RULES", "power_users", "token_entropy",
+    "lang_source_mi", "first_touch_attribution",
+    "customer_cumulative_spend",
 ]

@@ -2103,3 +2103,58 @@ def nation_market_share(customer: ray.data.Dataset,
                               batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def customer_cumulative_spend(orders: ray.data.Dataset, *,
+                              n_partitions: int | None = None
+                              ) -> ray.data.Dataset:
+    """Per-key running balance: each order annotated with its
+    customer's cumulative spend so far (order date then orderkey
+    order) — the windowed-cumsum ledger shape (account balances,
+    LTV-to-date, budget burndown).
+
+    Shape: ONE custkey-keyed exchange, then a per-partition
+    vectorized pass (lexsort + per-customer segmented cumsum — a
+    global cumsum minus each segment's offset, no Python loop).
+    Money is exact integer cents (the module's fixed-point rule), so
+    the running sums are associative and bit-equal to the SQL window.
+
+    Output: (o_orderkey, o_custkey, cum_spend_cents).
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+
+    def per_partition(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "o_custkey" not in batch.columns:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "cum_spend_cents": pa.array([], pa.int64())})
+        cust = batch["o_custkey"].to_numpy(dtype=np.int64)
+        okey = batch["o_orderkey"].to_numpy(dtype=np.int64)
+        odate = batch["o_orderdate"] \
+            .to_numpy(dtype="datetime64[us]").astype("int64")
+        cents = _cents(batch["o_totalprice"])
+        order = np.lexsort((okey, odate, cust))
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        run = np.cumsum(cents)
+        starts = np.empty(len(cust), dtype=bool)
+        starts[0] = True
+        starts[1:] = cust[1:] != cust[:-1]
+        seg = np.cumsum(starts) - 1
+        # offset of each segment = running total just before it
+        seg_off = np.concatenate(
+            ([0], run[np.flatnonzero(starts)[1:] - 1]))
+        cum = run - seg_off[seg]
+        return pa.table({
+            "o_orderkey": pa.array(okey),
+            "o_custkey": pa.array(cust),
+            "cum_spend_cents": pa.array(cum.astype(np.int64))})
+
+    return strip_schema_metadata(orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])) \
+        .repartition(num_blocks=k, keys=["o_custkey"]) \
+        .map_batches(per_partition, batch_format="pandas",
+                     batch_size=None)

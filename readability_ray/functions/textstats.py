@@ -2232,3 +2232,162 @@ def token_entropy(ds: ray.data.Dataset, *,
     return strip_schema_metadata(
         ds.select_columns([id_col, text_col])) \
         .map_batches(per_doc, batch_format="pyarrow")
+
+
+def lang_source_mi(ds: ray.data.Dataset, *,
+                   row_col: str = "lang",
+                   col_col: str = "source") -> ray.data.Dataset:
+    """Pointwise / total mutual information over the (lang, source)
+    contingency table — the information-theoretic companion to
+    lang_source_chisq (how many nats does knowing the source reveal
+    about the language?).  Σ mi_contrib is the corpus MI.
+
+    Same bounded-cell shape as the chi-square: per-batch combiners
+    shed the corpus to cell-count partials, ONE single-block merge
+    computes marginals and the per-cell quantities — no shuffle, and
+    because every emitted value is PER-CELL (never a float sum across
+    cells), there is no re-association anywhere: pmi =
+    ln(N·n_xy/(n_x·n_y)) and mi_contrib = (n_xy/N)·pmi are floor-6
+    doubles of exact int64 counts, ln via libm math.log (bit-equal to
+    DuckDB's ln; numpy's SIMD log is 1 ulp off on some args).
+
+    Output: (lang, source, observed, pmi, mi_contrib) ordered by
+    (lang, source).
+    """
+    import math
+
+    import pandas as pd
+
+    from .util import arrow_out, strip_schema_metadata
+
+    def partials(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby([row_col, col_col], sort=False) \
+            .size().reset_index(name="observed")
+        return arrow_out(pd.DataFrame({
+            "lang": g[row_col],
+            "source": g[col_col],
+            "observed": g["observed"].astype("int64")}))
+
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype="object"),
+        "source": pd.Series([], dtype="object"),
+        "observed": pd.Series([], dtype="int64"),
+        "pmi": pd.Series([], dtype="float64"),
+        "mi_contrib": pd.Series([], dtype="float64")})
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "lang" not in batch.columns:
+            return arrow_out(empty.copy())
+        g = batch.groupby(["lang", "source"], as_index=False,
+                          sort=True)["observed"].sum()
+        n = float(g["observed"].sum())
+        row_tot = g.groupby("lang")["observed"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        col_tot = g.groupby("source")["observed"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        o = g["observed"].to_numpy(dtype=np.float64)
+        pmi, mic = [], []
+        for i in range(len(g)):  # bounded cells — scalar libm ln
+            ln_r = math.log((n * o[i]) / (row_tot[i] * col_tot[i]))
+            pmi.append(math.floor(ln_r * 1e6) / 1e6)
+            mic.append(math.floor((o[i] / n) * ln_r * 1e6) / 1e6)
+        g["pmi"] = pd.Series(pmi, dtype="float64")
+        g["mi_contrib"] = pd.Series(mic, dtype="float64")
+        g["observed"] = g["observed"].astype("int64")
+        return arrow_out(g.reset_index(drop=True))
+
+    return strip_schema_metadata(
+        ds.select_columns([row_col, col_col])) \
+        .map_batches(partials, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def first_touch_attribution(events: ray.data.Dataset, *,
+                            gap_minutes: int = 30,
+                            conversion_type: str = "purchase",
+                            n_partitions: int | None = None
+                            ) -> ray.data.Dataset:
+    """Session-level first-touch attribution: sessions are the
+    session_table family (gap > gap_minutes breaks; tied timestamps
+    share a session), each session's FIRST event type (ties at the
+    session start break by event_id — a total order, so "first" is
+    well-defined on both engines) is the acquisition channel, and the
+    channel is credited with the session's conversions.
+
+    Shape: ONE user-keyed exchange of (user, ts, event_id, type)
+    rows; per-partition vectorized lexsort + gap cumsum + segment
+    first/sum; the per-channel rollup is BOUNDED (event-type
+    vocabulary), so the merge is the repartition(1) + pandas shape.
+
+    Output: (first_type, n_sessions, n_conversions) ordered by
+    first_type.
+    """
+    import pandas as pd
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(events)
+    k = n_partitions or default_partitions()
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_partition(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "first_type": pd.Series([], dtype="object"),
+            "n_sessions": pd.Series([], dtype="int64"),
+            "n_conversions": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "user_id" not in batch.columns:
+            return arrow_out(empty)
+        users = batch["user_id"].to_numpy(dtype=np.int64)
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]") \
+            .astype("int64")
+        eids = batch["event_id"].to_numpy(dtype=np.int64)
+        types = batch["event_type"].to_numpy(dtype=object)
+        order = np.lexsort((eids, ts, users))
+        users, ts, eids, types = (users[order], ts[order],
+                                  eids[order], types[order])
+        n = len(users)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_sess = new_user | gap_break
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        first_type = types[starts]
+        conv = (types == conversion_type).astype(np.int64)
+        n_conv = np.add.reduceat(conv, starts)
+        g = pd.DataFrame({"first_type": first_type,
+                          "n_conversions": n_conv}) \
+            .groupby("first_type", sort=False) \
+            .agg(n_sessions=("n_conversions", "size"),
+                 n_conversions=("n_conversions", "sum")) \
+            .reset_index()
+        return arrow_out(pd.DataFrame({
+            "first_type": g["first_type"],
+            "n_sessions": g["n_sessions"].astype("int64"),
+            "n_conversions": g["n_conversions"].astype("int64")}))
+
+    def final_merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "first_type": pd.Series([], dtype="object"),
+            "n_sessions": pd.Series([], dtype="int64"),
+            "n_conversions": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "first_type" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("first_type", as_index=False,
+                          sort=True).sum()
+        g["n_sessions"] = g["n_sessions"].astype("int64")
+        g["n_conversions"] = g["n_conversions"].astype("int64")
+        return arrow_out(g)
+
+    return strip_schema_metadata(events.select_columns(
+        ["user_id", "ts", "event_id", "event_type"])) \
+        .repartition(num_blocks=k, keys=["user_id"]) \
+        .map_batches(per_partition, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(final_merge, batch_format="pandas",
+                     batch_size=None)

@@ -713,3 +713,31 @@ def test_nation_market_share_fraction(ray_session):
     assert int(r["nation_revenue_c4"]) == 1000000
     assert int(r["total_revenue_c4"]) == 4000000
     assert abs(r["mkt_share"] - 0.25) < 1e-9
+
+
+def test_customer_cumulative_spend(ray_session):
+    """Hand-checkable ledger: per-customer running totals in date
+    then orderkey order, exact cents."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import customer_cumulative_spend
+    day = np.int64(86_400_000_000)
+    rows = [  # (okey, cust, day#, price)
+        (1, 7, 0, 10.25), (2, 7, 1, 5.50), (3, 7, 1, 1.00),
+        (4, 9, 0, 100.00)]
+    ds = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([r[2] for r in rows], dtype=np.int64) * day,
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[3] for r in rows],
+                                 pa.float64())}))
+    out = customer_cumulative_spend(ds.repartition(3),
+                                    n_partitions=2).to_pandas() \
+        .set_index("o_orderkey")
+    assert out.loc[1, "cum_spend_cents"] == 1025
+    assert out.loc[2, "cum_spend_cents"] == 1575  # tie day: okey 2<3
+    assert out.loc[3, "cum_spend_cents"] == 1675
+    assert out.loc[4, "cum_spend_cents"] == 10000

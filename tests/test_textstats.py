@@ -158,3 +158,64 @@ def test_token_entropy_hand_computed(ray_session):
     ).fetchnumpy()
     col = list(theirs.values())[0].astype(np.int64)
     assert (ours == col).all()
+
+
+def test_lang_source_mi_independent_and_skewed(ray_session):
+    """Independent 2x2 table has PMI 0 everywhere; a perfectly
+    dependent table has positive diagonal PMI."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import lang_source_mi
+    indep = (["en"] * 2 + ["de"] * 2, ["a", "b", "a", "b"])
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(indep[0]), "source": pa.array(indep[1])}))
+    out = lang_source_mi(ds).to_pandas()
+    assert (out["pmi"] == 0.0).all()
+    assert (out["mi_contrib"] == 0.0).all()
+    dep = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "source": pa.array(["a", "a", "b", "b"])}))
+    out2 = lang_source_mi(dep).to_pandas().set_index(["lang",
+                                                      "source"])
+    want = math.floor(math.log(2.0) * 1e6) / 1e6
+    assert out2.loc[("en", "a"), "pmi"] == want
+    assert out2.loc[("de", "b"), "pmi"] == want
+    # total MI of a deterministic 2-symbol pairing = ln 2
+    assert abs(out2["mi_contrib"].sum() - math.log(2)) < 4e-6
+
+
+def test_first_touch_attribution(ray_session):
+    """Two sessions for user 1 (gap > 30 min), one for user 2; ties
+    at a session start break by event_id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import first_touch_attribution
+    m = 60 * 1_000_000
+    rows = [
+        # user 1, session 1: starts with click (tie: eid 1 < 2), one
+        # purchase inside
+        (1, 0 * m, 1, "click"), (1, 0 * m, 2, "view"),
+        (1, 5 * m, 3, "purchase"),
+        # user 1, session 2 (gap 60 min): starts with view
+        (1, 65 * m, 4, "view"), (1, 70 * m, 5, "purchase"),
+        # user 2: one session starting with signup, no purchase
+        (2, 0 * m, 6, "signup"), (2, 10 * m, 7, "click"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}))
+    out = first_touch_attribution(ds.repartition(3),
+                                  n_partitions=2).to_pandas() \
+        .set_index("first_type")
+    assert out.loc["click", "n_sessions"] == 1
+    assert out.loc["click", "n_conversions"] == 1
+    assert out.loc["view", "n_sessions"] == 1
+    assert out.loc["view", "n_conversions"] == 1
+    assert out.loc["signup", "n_conversions"] == 0
+    assert int(out["n_sessions"].sum()) == 3
