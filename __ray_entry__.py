@@ -3240,6 +3240,45 @@ def _q_cumulative_spend(sf_dir: str):
     return customer_cumulative_spend(orders)
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC interchange round trip (sources/orc.py — the fourth
+    corpus-native format after Parquet/CSV-JSONL/WARC): documents →
+    distributed .orc shards (atomic tmp→rename) → stripe-streaming
+    read with column pruning → digest; the oracle re-derives the
+    digest from the table, value-checking the full encode→stripe→
+    decode chain."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from readability_ray.sources import read_orc, write_orc_shards
+
+    out_dir = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        write_orc_shards(_docs_full(sf_dir), out_dir,
+                         rows_per_shard=256).materialize()
+        ds = read_orc(out_dir, columns=["doc_id", "text", "lang"])
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts],
+                                    pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+            })
+
+        return ds.map_batches(digest, batch_format="pyarrow") \
+            .materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3421,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": _q_lang_source_mi,
         "first_touch_attribution": _q_first_touch,
         "customer_cumulative_spend": _q_cumulative_spend,
+        "orc_roundtrip": _q_orc_roundtrip,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -7376,6 +7416,13 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING
                    )::BIGINT AS cum_spend_cents
             FROM orders ORDER BY o_orderkey
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   lang
+            FROM documents ORDER BY doc_id
         """,
         # extraction / minhash / simhash / lsh-ann / link-hierarchy /
         # aria / image_features are not SQL-expressible → rows-only.
