@@ -3286,10 +3286,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sat past the window in rounds 3-4) occupy the front — plus the
     new round-5 ivf_recall — padded to exactly 50 with 14 core
     queries that already have CORRECTNESS_r04 driver evidence; the
-    remaining r4-driver-green queries move past the window.  Across r4+r5 every one of the 85 oracled queries
-    has a driver-green row.  Invariant pinned by
-    tests/test_entry_contract.py: the first 50 keys must all have an
-    oracle_sql() entry; rows-only queries go last."""
+    remaining r4-driver-green queries move past the window.  Final
+    round: the sixth-session ops take 10 of the padding slots (the
+    displaced core queries keep their r4 evidence), so across r4+r5
+    every driver-checkable oracled query has a driver-green row in
+    some round.  Invariant pinned by tests/test_entry_contract.py:
+    the first 50 keys must all have an oracle_sql() entry; rows-only
+    queries go last."""
     return {
         # -- SQL-oracled (driver window): 38 entries — the 35 r4
         #    never-driver-verified + ivf_recall + the two round-5 ops --
@@ -3331,8 +3334,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue,
         "order_priority_counts": _q_order_priority_counts,
         "events_hopping_counts": _q_events_hopping,
-        # -- window padding: 12 core queries with r4 driver evidence
-        #    (38 + 12 = exactly the 50-slot window) ---------------------
+        # -- the 10 sixth-session ops (never driver-checked — this is
+        #    the final round, so they take the window slots; the
+        #    displaced core queries below keep their r4 evidence) ------
+        "adamic_adar_pairs": _q_adamic_adar,
+        "negative_samples": _q_negative_samples,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "dq_violations": _q_dq_violations,
+        "power_users": _q_power_users,
+        "token_entropy": _q_token_entropy,
+        "lang_source_mi": _q_lang_source_mi,
+        "first_touch_attribution": _q_first_touch,
+        "customer_cumulative_spend": _q_cumulative_spend,
+        "orc_roundtrip": _q_orc_roundtrip,
+        # -- window padding: 2 core queries with r4 driver evidence
+        #    (38 + 10 + 2 = exactly the 50-slot window) -----------------
+        "pricing_summary": _q_pricing_summary,
+        "warc_ingest": _q_warc_ingest,
+        # -- SQL-oracled, past the 50-entry window (all driver-green in
+        #    CORRECTNESS_r04) -------------------------------------------
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "minhash_dedup_keepers": _q_minhash_keepers,
@@ -3342,11 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessions,
-        "pricing_summary": _q_pricing_summary,
         "dedup_pages_by_url": _q_dedup_pages,
-        "warc_ingest": _q_warc_ingest,
-        # -- SQL-oracled, past the 50-entry window (all driver-green in
-        #    CORRECTNESS_r04) -------------------------------------------
         "bloom_novelty": _q_bloom_novelty,
         "inactive_customers": _q_inactive_customers,
         "large_order_totals": _q_large_order_totals,
@@ -3451,16 +3467,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_nodes": _q_k_core_nodes,
         "trimmed_event_mean": _q_trimmed_event_mean,
         "csv_roundtrip": _q_csv_roundtrip,
-        "adamic_adar_pairs": _q_adamic_adar,
-        "negative_samples": _q_negative_samples,
-        "dup_rate_by_source": _q_dup_rate_by_source,
-        "dq_violations": _q_dq_violations,
-        "power_users": _q_power_users,
-        "token_entropy": _q_token_entropy,
-        "lang_source_mi": _q_lang_source_mi,
-        "first_touch_attribution": _q_first_touch,
-        "customer_cumulative_spend": _q_cumulative_spend,
-        "orc_roundtrip": _q_orc_roundtrip,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,

@@ -2019,22 +2019,6 @@ def negative_event_samples(events: ray.data.Dataset, *,
     ensure_hash_shuffle(events)
     n_parts = n_partitions or default_partitions()
 
-    pairs = strip_schema_metadata(
-        events.select_columns(["user_id", "event_type"])) \
-        .materialize()
-    ensure_hash_shuffle(pairs)
-
-    # bounded vocabulary: per-batch uniques, tiny driver pull
-    def uniq_types(batch: pa.Table) -> pa.Table:
-        return pa.table({"event_type":
-                         batch.column("event_type").unique()})
-
-    vocab = sorted({r["event_type"] for r in
-                    pairs.map_batches(uniq_types,
-                                      batch_format="pyarrow")
-                    .take_all()})
-    vocab_df = pd.DataFrame({"event_type": vocab})
-
     def combiners(batch: pd.DataFrame) -> pa.Table:
         g = batch.groupby(["user_id", "event_type"],
                           sort=False).size().reset_index(name="n")
@@ -2042,6 +2026,26 @@ def negative_event_samples(events: ray.data.Dataset, *,
             "user_id": g["user_id"].astype("int64"),
             "event_type": g["event_type"],
             "n": g["n"].astype("int64")}))
+
+    # Shed the event stream to interaction-cell partials FIRST and
+    # materialize only those (users × types × batches rows — never the
+    # stream itself); the bounded vocabulary is a tiny driver pull
+    # over the partials.
+    cells = strip_schema_metadata(
+        events.select_columns(["user_id", "event_type"])) \
+        .map_batches(combiners, batch_format="pandas") \
+        .materialize()
+    ensure_hash_shuffle(cells)
+
+    def uniq_types(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type":
+                         batch.column("event_type").unique()})
+
+    vocab = sorted({r["event_type"] for r in
+                    cells.map_batches(uniq_types,
+                                      batch_format="pyarrow")
+                    .take_all()})
+    vocab_df = pd.DataFrame({"event_type": vocab})
 
     def sample(batch: pd.DataFrame) -> pa.Table:
         empty = pd.DataFrame({
@@ -2070,7 +2074,7 @@ def negative_event_samples(events: ray.data.Dataset, *,
             "event_type": kept["event_type"],
             "rank": rank.astype("int64")}))
 
-    return pairs.map_batches(combiners, batch_format="pandas") \
+    return cells \
         .repartition(num_blocks=n_parts, keys=["user_id"]) \
         .map_batches(sample, batch_format="pandas", batch_size=None)
 

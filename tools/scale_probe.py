@@ -61,8 +61,14 @@ session table at 2M events, flesch/gini/containment at 50k docs,
 Gram at 100k vectors, covariance at 6M lines, dHash at 24k images,
 FK-integrity audit over the full sf0.1 schema.
 
+Round-5 sixth-session additions (run alone with --s13): Adamic-Adar
+over the 50k-doc edge family, token entropy / dup-rate / MI at 50k
+docs, dq audit at 6M lines, negative sampling / power users /
+first-touch attribution at 2M events, running balance at 1.5M
+orders, ORC round trip at 50k docs.
+
 Usage: python tools/scale_probe.py [num_cpus]
-       [--new-only|--s4|--s5|--s6|--s7|--s8|--s9|--s10|--s11|--s12]
+       [--new-only|--s4|--s5|--s6|--s7|--s8|--s9|--s10|--s11|--s12|--s13]
 Prints one JSON line; numbers land in BASELINE.md.
 """
 
@@ -855,6 +861,70 @@ def main() -> None:
             ray.data.read_parquet(li10)))
         results["n_lineitem"] = n_li
         results["n_docs"] = n_docs
+        print(json.dumps(results))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+        return
+
+    if "--s13" in sys.argv:
+        # round-5 sixth-session ops at 10-20x: Adamic-Adar over the
+        # 50k-doc edge family, entropy/dup-rate at 50k docs, dq audit
+        # at 6M lines, negatives/power-users/attribution at 2M
+        # events, running balance at 1.5M orders, ORC sink+source
+        # round trip at 50k docs.
+        from readability_ray.functions import (
+            LINEITEM_DQ_RULES, adamic_adar_pairs,
+            customer_cumulative_spend, dq_check, dup_rate_by_source,
+            first_touch_attribution, lang_source_mi,
+            negative_event_samples, power_users,
+            synthetic_doc_edges, token_entropy)
+        from readability_ray.sources import (read_orc,
+                                             write_orc_shards)
+
+        def edges50k():
+            return synthetic_doc_edges(
+                ray.data.read_parquet(docs10)).materialize()
+
+        e = edges50k()
+        timed("adamic_adar_50k_edges", lambda: adamic_adar_pairs(e))
+        timed("token_entropy_50k", lambda: token_entropy(
+            ray.data.read_parquet(docs10)))
+        timed("dup_rate_by_source_50k", lambda: dup_rate_by_source(
+            ray.data.read_parquet(docs10)))
+        timed("lang_source_mi_50k", lambda: lang_source_mi(
+            ray.data.read_parquet(docs10)))
+        li13 = os.path.join(tmp, "lineitem13.parquet")
+        n_li = replicate_stride(
+            os.path.join(sf, "lineitem.parquet"), li13, 10,
+            {"l_orderkey": 10_000_000})
+        timed("dq_violations_6m", lambda: dq_check(
+            ray.data.read_parquet(li13), LINEITEM_DQ_RULES))
+        timed("negative_samples_2m", lambda: negative_event_samples(
+            ray.data.read_parquet(events20)))
+        timed("power_users_2m", lambda: power_users(
+            ray.data.read_parquet(events20)))
+        timed("first_touch_2m", lambda: first_touch_attribution(
+            ray.data.read_parquet(events20)))
+        ord13 = os.path.join(tmp, "orders13.parquet")
+        n_ord = replicate_stride(
+            os.path.join(sf, "orders.parquet"), ord13, 10,
+            {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+        timed("cumulative_spend_1m5", lambda:
+              customer_cumulative_spend(
+                  ray.data.read_parquet(ord13)))
+
+        def orc_rt():
+            out = os.path.join(tmp, "orc13")
+            write_orc_shards(ray.data.read_parquet(docs10), out,
+                             rows_per_shard=4096).materialize()
+            return read_orc(out, columns=["doc_id", "lang"])
+
+        timed("orc_roundtrip_50k", orc_rt)
+        results["n_lineitem"] = n_li
+        results["n_orders"] = n_ord
+        results["n_docs"] = n_docs
+        results["n_events"] = n_events
         print(json.dumps(results))
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
