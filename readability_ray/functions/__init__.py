@@ -46,6 +46,7 @@ from .graph import (adamic_adar_pairs, degree_histogram,
                     graph_components, k_core, synthetic_doc_edges,
                     triangle_count)
 from .windows import (
+    event_burstiness,
     event_interarrival_stats, events_asof_join, events_late_data,
     events_range_join,
     event_type_transitions,
@@ -90,6 +91,7 @@ from .ranking import (doc_ntile, gini_coefficient, global_rank,
 from .urltools import canonical_url, canonicalize_urls
 from .relational import (
     brand_quantity_revenue, customer_cumulative_spend,
+    rfm_segments, ship_lag_histogram,
     customer_order_distribution, forecast_revenue, inactive_customers,
     large_order_totals,
     order_priority_counts, pricing_summary, priority_line_counts,
@@ -177,5 +179,6 @@ __all__ = [
     "negative_event_samples", "dup_rate_by_source", "dq_check",
     "LINEITEM_DQ_RULES", "power_users", "token_entropy",
     "lang_source_mi", "first_touch_attribution",
-    "customer_cumulative_spend",
+    "customer_cumulative_spend", "event_burstiness",
+    "ship_lag_histogram", "rfm_segments",
 ]

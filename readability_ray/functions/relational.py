@@ -2158,3 +2158,224 @@ def customer_cumulative_spend(orders: ray.data.Dataset, *,
         .repartition(num_blocks=k, keys=["o_custkey"]) \
         .map_batches(per_partition, batch_format="pandas",
                      batch_size=None)
+
+
+def ship_lag_histogram(orders: ray.data.Dataset,
+                       lineitem: ray.data.Dataset, *,
+                       n_partitions: int | None = None
+                       ) -> ray.data.Dataset:
+    """Order→ship latency distribution: for every lineitem, the days
+    between its order's date and its ship date, rolled into a bounded
+    day histogram — the fulfillment-SLA shape (latency percentiles
+    fall out of the cumulative counts).
+
+    Shape: both sides project to ids+dates and co-locate on the
+    orderkey via the union idiom (no Acero join); the per-partition
+    pass is a vectorized date map + lag + local histogram partial;
+    lags are BOUNDED (TPC-H ships within ~4 months), so the merge is
+    the repartition(1) + pandas shape.  Day arithmetic is integer
+    epoch-µs floor division, mirrored exactly in the oracle.
+
+    Output: (lag_days, n_items) ordered by lag_days.
+    """
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(lineitem)
+    k = n_partitions or default_partitions()
+    US_PER_DAY = 86_400_000_000
+
+    def order_side(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "key": batch["o_orderkey"].to_numpy(dtype=np.int64),
+            "d": batch["o_orderdate"]
+            .to_numpy(dtype="datetime64[us]").astype("int64"),
+            "_side": np.full(len(batch), "o", dtype=object)}))
+
+    def line_side(batch: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "key": batch["l_orderkey"].to_numpy(dtype=np.int64),
+            "d": batch["l_shipdate"]
+            .to_numpy(dtype="datetime64[us]").astype("int64"),
+            "_side": np.full(len(batch), "l", dtype=object)}))
+
+    def lag_partial(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "lag_days": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "_side" not in batch.columns:
+            return arrow_out(empty)
+        o = batch[batch["_side"] == "o"].set_index("key")["d"]
+        li = batch[batch["_side"] == "l"]
+        if len(li) == 0 or len(o) == 0:
+            return arrow_out(empty)
+        odate = o.loc[li["key"]].to_numpy(dtype=np.int64)
+        lag = (li["d"].to_numpy(dtype=np.int64) - odate) \
+            // US_PER_DAY
+        vc = pd.Series(lag).value_counts()
+        return arrow_out(pd.DataFrame({
+            "lag_days": vc.index.to_numpy(dtype=np.int64),
+            "n_items": vc.to_numpy(dtype=np.int64)}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "lag_days": pd.Series([], dtype="int64"),
+            "n_items": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "lag_days" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby("lag_days", as_index=False, sort=True) \
+            .sum()
+        g["n_items"] = g["n_items"].astype("int64")
+        return arrow_out(g)
+
+    o_rows = strip_schema_metadata(
+        orders.select_columns(["o_orderkey", "o_orderdate"])) \
+        .map_batches(order_side, batch_format="pandas")
+    l_rows = strip_schema_metadata(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])) \
+        .map_batches(line_side, batch_format="pandas")
+    ensure_hash_shuffle(o_rows)
+    ensure_hash_shuffle(l_rows)
+    return o_rows.union(l_rows) \
+        .repartition(num_blocks=k, keys=["key"]) \
+        .map_batches(lag_partial, batch_format="pandas",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def rfm_segments(orders: ray.data.Dataset, *,
+                 n_partitions: int | None = None
+                 ) -> ray.data.Dataset:
+    """RFM customer segmentation (recency / frequency / monetary
+    terciles — the classic CRM cohorting): each customer scores
+    R = days since their last order (vs the global max order date),
+    F = order count, M = lifetime spend in exact cents; each
+    dimension splits at its 1/3 and 2/3 nearest-rank quantiles over
+    customers (quantile_disc semantics, probed against DuckDB at the
+    thirds), and customers roll up into the ≤27 (r,f,m) segments.
+
+    Shape: ONE custkey-keyed exchange gives exact per-customer RFM
+    (all a customer's orders co-locate); tercile thresholds come from
+    per-dimension VALUE HISTOGRAMS (per-partition value-count
+    partials, one tiny driver pull — the exchange moves O(distinct
+    values), which for R/F is bounded outright and for M is bounded
+    by the distinct-cents domain, the doc_length_percentiles shape);
+    the final pass re-scans the materialized per-customer table with
+    the six thresholds closed over and emits bounded segment counts.
+
+    Output: (r_seg, f_seg, m_seg, n_customers), segments 1..3 (1 =
+    lowest raw value: most-recent R, fewest orders F, lowest spend
+    M), ordered by (r_seg, f_seg, m_seg).
+    """
+    import math
+
+    from ..state import default_partitions, ensure_hash_shuffle
+    from .util import arrow_out, strip_schema_metadata
+    ensure_hash_shuffle(orders)
+    k = n_partitions or default_partitions()
+    US_PER_DAY = 86_400_000_000
+
+    max_date = int(pd.Timestamp(
+        orders.max("o_orderdate")).value // 1000)  # ns → µs
+
+    def per_customer(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "c": pd.Series([], dtype="int64"),
+            "r": pd.Series([], dtype="int64"),
+            "f": pd.Series([], dtype="int64"),
+            "m": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "o_custkey" not in batch.columns:
+            return arrow_out(empty)
+        d = batch["o_orderdate"] \
+            .to_numpy(dtype="datetime64[us]").astype("int64")
+        g = pd.DataFrame({
+            "c": batch["o_custkey"].to_numpy(dtype=np.int64),
+            "d": d,
+            "m": _cents(batch["o_totalprice"])}) \
+            .groupby("c", sort=False) \
+            .agg(last=("d", "max"), f=("d", "size"), m=("m", "sum")) \
+            .reset_index()
+        return arrow_out(pd.DataFrame({
+            "c": g["c"].astype("int64"),
+            "r": ((max_date - g["last"].to_numpy(dtype=np.int64))
+                  // US_PER_DAY),
+            "f": g["f"].astype("int64"),
+            "m": g["m"].astype("int64")}))
+
+    rfm = strip_schema_metadata(orders.select_columns(
+        ["o_custkey", "o_orderdate", "o_totalprice"])) \
+        .repartition(num_blocks=k, keys=["o_custkey"]) \
+        .map_batches(per_customer, batch_format="pandas",
+                     batch_size=None).materialize()
+
+    def hist_partials(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0 or "c" not in batch.columns:
+            return pa.table({"dim": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        dims, vs, cnts = [], [], []
+        for dim in ("r", "f", "m"):
+            vc = batch[dim].value_counts()
+            dims += [dim] * len(vc)
+            vs += vc.index.tolist()
+            cnts += vc.tolist()
+        return pa.table({"dim": pa.array(dims, pa.string()),
+                         "v": pa.array(vs, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    hist = pd.DataFrame(rfm.map_batches(
+        hist_partials, batch_format="pandas").take_all())
+    thresholds = {}
+    for dim in ("r", "f", "m"):
+        h = hist[hist["dim"] == dim].groupby("v")["cnt"].sum() \
+            .sort_index()
+        cum = h.to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = h.index.to_numpy()
+        t = []
+        for q in (1 / 3, 2 / 3):
+            rank = max(1, math.ceil(q * n))
+            t.append(int(vals[np.searchsorted(cum, rank)]))
+        thresholds[dim] = t
+
+    def segment(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "r_seg": pd.Series([], dtype="int64"),
+            "f_seg": pd.Series([], dtype="int64"),
+            "m_seg": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "c" not in batch.columns:
+            return arrow_out(empty)
+
+        def seg(x, t):
+            return np.where(x <= t[0], 1,
+                            np.where(x <= t[1], 2, 3))
+
+        g = pd.DataFrame({
+            "r_seg": seg(batch["r"].to_numpy(dtype=np.int64),
+                         thresholds["r"]),
+            "f_seg": seg(batch["f"].to_numpy(dtype=np.int64),
+                         thresholds["f"]),
+            "m_seg": seg(batch["m"].to_numpy(dtype=np.int64),
+                         thresholds["m"])}) \
+            .groupby(["r_seg", "f_seg", "m_seg"], sort=False) \
+            .size().reset_index(name="n_customers")
+        return arrow_out(g.astype("int64"))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "r_seg": pd.Series([], dtype="int64"),
+            "f_seg": pd.Series([], dtype="int64"),
+            "m_seg": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64")})
+        if len(batch) == 0 or "r_seg" not in batch.columns:
+            return arrow_out(empty)
+        g = batch.groupby(["r_seg", "f_seg", "m_seg"],
+                          as_index=False, sort=True).sum()
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return arrow_out(g)
+
+    return rfm.map_batches(segment, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

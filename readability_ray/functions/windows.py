@@ -987,3 +987,74 @@ def events_late_data(ds: ray.data.Dataset, *,
         .map_batches(flag, batch_format="pandas", batch_size=None) \
         .repartition(1) \
         .map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+def event_burstiness(ds: ray.data.Dataset, *,
+                     n_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """Per-type burstiness (Fano factor) of the hourly arrival
+    process: variance/mean of events-per-hour over the corpus's
+    observed hour span — ~1 for Poisson-like traffic, >1 for bursty
+    types (the stream-health metric an ingestion pipeline alarms on).
+
+    Zero hours count: only H (global span), S1 = Σc and S2 = Σc² are
+    needed, all EXACT int64 from (type, hour) cell counts —
+    mean = S1/H, fano = S2/S1 − S1/H, both floor-6 doubles of exact
+    ints mirrored op-for-op in the oracle.  Cells are bounded
+    (types × hours), so per-batch combiners shed the stream and the
+    merge is the repartition(1) + pandas shape (bounded-key merges
+    never pay a keyed shuffle).  At 100-TB spans carry S2 as string
+    partials (the event_interarrival_stats precedent) — int64 holds
+    to ~3e9 events per (type, hour).
+
+    Output: (event_type, n_hours, mean_per_hour, fano) ordered by
+    event_type.
+    """
+    from .util import arrow_out, strip_schema_metadata
+
+    US_PER_HOUR = 3_600_000_000
+
+    def combiners(batch: pd.DataFrame) -> pa.Table:
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]") \
+            .astype("int64")
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(dtype=object),
+            "hr": ts // US_PER_HOUR}) \
+            .groupby(["event_type", "hr"], sort=False) \
+            .size().reset_index(name="c")
+        return arrow_out(pd.DataFrame({
+            "event_type": g["event_type"],
+            "hr": g["hr"].astype("int64"),
+            "c": g["c"].astype("int64")}))
+
+    def merge(batch: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_hours": pd.Series([], dtype="int64"),
+            "mean_per_hour": pd.Series([], dtype="float64"),
+            "fano": pd.Series([], dtype="float64")})
+        if len(batch) == 0 or "event_type" not in batch.columns:
+            return arrow_out(empty)
+        cells = batch.groupby(["event_type", "hr"], as_index=False,
+                              sort=False)["c"].sum()
+        nh = int(cells["hr"].max() - cells["hr"].min() + 1)
+        c = cells["c"].to_numpy(dtype=np.int64)
+        agg = cells.assign(c2=c * c) \
+            .groupby("event_type", sort=True) \
+            .agg(s1=("c", "sum"), s2=("c2", "sum")).reset_index()
+        s1 = agg["s1"].to_numpy(dtype=np.int64)
+        s2 = agg["s2"].to_numpy(dtype=np.int64)
+        mean = np.floor((s1.astype(np.float64) / nh) * 1e6) / 1e6
+        fano = np.floor((s2.astype(np.float64) / s1
+                         - s1.astype(np.float64) / nh) * 1e6) / 1e6
+        return arrow_out(pd.DataFrame({
+            "event_type": agg["event_type"],
+            "n_hours": np.full(len(agg), nh, dtype=np.int64),
+            "mean_per_hour": mean,
+            "fano": fano}))
+
+    return strip_schema_metadata(
+        ds.select_columns(["event_type", "ts"])) \
+        .map_batches(combiners, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pandas", batch_size=None)

@@ -741,3 +741,67 @@ def test_customer_cumulative_spend(ray_session):
     assert out.loc[2, "cum_spend_cents"] == 1575  # tie day: okey 2<3
     assert out.loc[3, "cum_spend_cents"] == 1675
     assert out.loc[4, "cum_spend_cents"] == 10000
+
+
+def test_ship_lag_histogram(ray_session):
+    """Hand-built orders/lineitem: exact day lags, counts merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import ship_lag_histogram
+    day = np.int64(86_400_000_000)
+
+    def ts(days):
+        return pa.array(np.array(days, dtype=np.int64) * day,
+                        pa.timestamp("us"))
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": ts([0, 10])}))
+    li = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "l_shipdate": ts([3, 5, 13, 13, 10])}))
+    out = ship_lag_histogram(orders, li, n_partitions=2).to_pandas()
+    got = dict(zip(out["lag_days"].astype(int),
+                   out["n_items"].astype(int)))
+    assert got == {0: 1, 3: 3, 5: 1}
+    assert list(out["lag_days"]) == sorted(out["lag_days"])
+
+
+def test_rfm_segments_hand_checked(ray_session):
+    """9 customers engineered so each RFM dimension splits 3/3/3 at
+    the terciles; every customer's segment triple is hand-derived."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import rfm_segments
+    day = np.int64(86_400_000_000)
+    rows = []  # (okey, cust, day, price)
+    okey = 0
+    # customer i (1..9): last order at day 100-i (r = i), i orders,
+    # each order 10*i dollars (m = i*1000*i cents... keep simple:
+    # one extra order per customer at varying count)
+    for i in range(1, 10):
+        for j in range(i):
+            okey += 1
+            rows.append((okey, i, 100 - i, float(10 * i)))
+    ds = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            np.array([r[2] for r in rows], dtype=np.int64) * day,
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[3] for r in rows],
+                                 pa.float64())}))
+    out = rfm_segments(ds, n_partitions=2).to_pandas()
+    # r values: 1..9 (days before max day 99); f: 1..9; m: i*i*1000
+    # cents (monotone in i) -> every dimension's terciles split at
+    # ranks ceil(9/3)=3 and ceil(18/3)=6 -> values 3 and 6.
+    # customer i: seg = 1 if i<=3, 2 if i<=6 else 3 on r; f and m are
+    # monotone in i too, BUT r is "days since last" so customer 1
+    # (most recent) has r=1 -> r_seg 1 while f=1 -> f_seg 1.
+    got = {(int(r.r_seg), int(r.f_seg), int(r.m_seg)):
+           int(r.n_customers) for r in out.itertuples()}
+    # r = i exactly, so r_seg == f_seg == m_seg for each customer
+    assert got == {(1, 1, 1): 3, (2, 2, 2): 3, (3, 3, 3): 3}

@@ -648,3 +648,28 @@ def test_retention_cohorts_min_day(ray_session):
     out2 = retention_cohorts(ds.repartition(3),
                              n_partitions=2).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_event_burstiness_hand_computed(ray_session):
+    """Uniform 1/hour -> fano 0; all-in-one-hour burst over an
+    H-hour span -> fano = n - n/H."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from readability_ray.functions import event_burstiness
+    hr = np.int64(3_600_000_000)
+    # type u: one event in each of hours 0..3 (fano 0 over H=4)
+    # type b: 4 events in hour 0, none in 1..3 (s1=4, s2=16)
+    ts = [0, 1, 2, 3] + [0, 0, 0, 0]
+    types = ["u"] * 4 + ["b"] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types),
+        "ts": pa.array(np.array(ts, dtype=np.int64) * hr,
+                       pa.timestamp("us"))}))
+    out = event_burstiness(ds.repartition(3)).to_pandas() \
+        .set_index("event_type")
+    assert (out["n_hours"] == 4).all()
+    assert out.loc["u", "mean_per_hour"] == 1.0
+    assert out.loc["u", "fano"] == 0.0  # s2/s1 - s1/H = 1 - 1
+    assert out.loc["b", "mean_per_hour"] == 1.0
+    assert out.loc["b", "fano"] == 3.0  # 16/4 - 4/4
