@@ -3320,6 +3320,59 @@ def _q_rfm_segments(sf_dir: str):
     return rfm_segments(orders)
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) interchange round trip (sources/ipc.py —
+    the wire-native Arrow format beside Parquet/CSV-JSONL/ORC/WARC):
+    documents → distributed .arrow shards (multi-record-batch, atomic
+    tmp→rename) → record-batch-streaming read with zero-copy column
+    pruning → digest; the oracle re-derives the digest from the
+    table, value-checking the full encode→footer-index→decode chain."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from readability_ray.sources import read_ipc, write_ipc_shards
+
+    out_dir = tempfile.mkdtemp(prefix="ipc_roundtrip_")
+    try:
+        write_ipc_shards(_docs_full(sf_dir), out_dir,
+                         rows_per_shard=256, batch_rows=64).materialize()
+        ds = read_ipc(out_dir, columns=["doc_id", "text", "lang"])
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text_md5": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in texts], pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts],
+                                    pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+            })
+
+        return ds.map_batches(digest, batch_format="pyarrow") \
+            .materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-purchase supports
+    (functions/basket.copurchase_pairs): top-50 part pairs by number
+    of orders containing both — orderkey exchange co-locates baskets,
+    vectorized repeat+arange pair explode (basket size bounds the
+    blow-up), pair-keyed exchange for exact counts, two-level top-k."""
+    import ray.data
+    from readability_ray.functions import copurchase_pairs
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+    return copurchase_pairs(li, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every SQL-oracled query lands inside the driver's
     50-entry correctness window.  Round-5 rotation (verdict item 1):
@@ -3511,6 +3564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_nodes": _q_k_core_nodes,
         "trimmed_event_mean": _q_trimmed_event_mean,
         "csv_roundtrip": _q_csv_roundtrip,
+        "copurchase_pairs": _q_copurchase_pairs,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         # -- rows-only by design (extraction / iterative floats) ---------
         "ivf_ann_top5": _q_ivf_ann,
         "extract_articles": _q_extract_articles,
@@ -7250,6 +7305,19 @@ def oracle_sql() -> dict[str, str]:
                    lang
             FROM documents ORDER BY doc_id
         """,
+        "copurchase_pairs": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), p AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                FROM d a JOIN d b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )
+            SELECT part_a, part_b, count(*)::BIGINT AS n_orders
+            FROM p GROUP BY part_a, part_b
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+        """,
         "adamic_adar_pairs": _graph_edges_cte() + """,
             adj AS (
                 SELECT a AS node, b AS nbr FROM ce
@@ -7468,6 +7536,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_orderkey
         """,
         "orc_roundtrip": """
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS text_md5,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   lang
+            FROM documents ORDER BY doc_id
+        """,
+        "ipc_roundtrip": """
             SELECT doc_id,
                    md5(coalesce(text, '')) AS text_md5,
                    length(coalesce(text, ''))::BIGINT AS n_chars,

@@ -42,6 +42,7 @@ from .bm25 import bm25_topk
 from .integrity import fk_integrity, referential_integrity
 from .pareto import order_skyline, pareto_skyline
 from .fingerprint import fingerprint_overlap_pairs, winnow_fingerprints
+from .basket import copurchase_pairs
 from .graph import (adamic_adar_pairs, degree_histogram,
                     graph_components, k_core, synthetic_doc_edges,
                     triangle_count)
@@ -176,6 +177,7 @@ __all__ = [
     "embedding_gram", "gini_coefficient",
     "scd2_intervals", "events_late_data", "vocab_coverage",
     "phrase_search", "k_core", "trimmed_mean", "adamic_adar_pairs",
+    "copurchase_pairs",
     "negative_event_samples", "dup_rate_by_source", "dq_check",
     "LINEITEM_DQ_RULES", "power_users", "token_entropy",
     "lang_source_mi", "first_touch_attribution",
